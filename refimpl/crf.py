@@ -1,0 +1,249 @@
+"""Linear-chain CRF over hashed token-window features, in pure numpy.
+
+Reference-equivalent role: the reference's CRFsuite-backed sequence labeler
+("Viterbi decode over token feature windows", BASELINE.json north_star); no
+CRF library exists in this sandbox (SURVEY.md §0), so this is written from
+scratch. Training uses the averaged structured perceptron (Collins 2002,
+public) with a fixed epoch count and fixed data order → bit-reproducible
+weights, which is what lets golden fixtures be regenerated exactly.
+
+Model = (W: [D, L] float32 hashed-feature emission weights,
+         T: [L, L] float32 transition weights), L = 7 BIO labels, D = 2^18.
+
+Decoding is batched: emissions for all tokens of all sequences in a batch are
+one numpy gather, and the Viterbi DP runs once over the padded time axis for
+the whole batch — this is the kernel the Ray tagger actor calls per Arrow
+batch (SURVEY.md §2.3 A1).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from .vocab import BIO_LABELS
+
+D = 1 << 18                 # hashed feature space
+L = len(BIO_LABELS)         # 7
+_PAD_FEAT = 0               # hash bucket 0 doubles as padding; harmless bias
+N_FEATS = 13                # fixed features per token (padded template)
+
+
+def _shape(w: str) -> str:
+    out = []
+    for ch in w[:4]:
+        if ch.isupper():
+            out.append("X")
+        elif ch.islower():
+            out.append("x")
+        elif ch.isdigit():
+            out.append("d")
+        else:
+            out.append(".")
+    return "".join(out)
+
+
+def token_features(tokens: list[str]) -> list[list[str]]:
+    """±1-window feature template, exactly N_FEATS strings per token."""
+    n = len(tokens)
+    lowers = [t.lower() for t in tokens]
+    shapes = [_shape(t) for t in tokens]
+    feats: list[list[str]] = []
+    for i, w in enumerate(tokens):
+        lw = lowers[i]
+        pw = lowers[i - 1] if i > 0 else "<BOS>"
+        nw = lowers[i + 1] if i + 1 < n else "<EOS>"
+        feats.append([
+            "w=" + lw,
+            "sh=" + shapes[i],
+            "it=" + ("1" if w.istitle() else "0"),
+            "iu=" + ("1" if w.isupper() else "0"),
+            "id=" + ("1" if w.isdigit() else "0"),
+            "p1=" + lw[:1], "p2=" + lw[:2],
+            "s1=" + lw[-1:], "s2=" + lw[-2:],
+            "pv=" + pw,
+            "nx=" + nw,
+            "psh=" + (shapes[i - 1] if i > 0 else "<BOS>"),
+            "big=" + pw + "|" + lw,
+        ])
+    return feats
+
+
+def _h(s: str) -> int:
+    return zlib.crc32(s.encode()) & (D - 1)
+
+
+class FeatureHasher:
+    """Memoizing hashed-feature extractor.
+
+    Token-local features depend only on the token string and neighbor-lookup
+    features only on the neighbor string / bigram, so per-token and per-bigram
+    caches turn the per-position cost into dict lookups — crucial because web
+    text has a heavy-tailed token distribution (and our closed fixture vocab
+    makes hits ~100%). One instance lives per tagger actor (SURVEY.md §2 A1);
+    hash values are identical to the uncached definition by construction.
+    """
+
+    def __init__(self) -> None:
+        self._tok: dict[str, tuple[int, ...]] = {}
+        self._big: dict[tuple[str, str], int] = {}
+
+    def _token_entry(self, w: str) -> tuple[int, ...]:
+        e = self._tok.get(w)
+        if e is None:
+            lw = w.lower()
+            sh = _shape(w)
+            e = (
+                _h("w=" + lw), _h("sh=" + sh),
+                _h("it=" + ("1" if w.istitle() else "0")),
+                _h("iu=" + ("1" if w.isupper() else "0")),
+                _h("id=" + ("1" if w.isdigit() else "0")),
+                _h("p1=" + lw[:1]), _h("p2=" + lw[:2]),
+                _h("s1=" + lw[-1:]), _h("s2=" + lw[-2:]),
+                _h("pv=" + lw), _h("nx=" + lw), _h("psh=" + sh),
+            )
+            self._tok[w] = e
+        return e
+
+    def _bigram(self, pw: str, w: str) -> int:
+        k = (pw, w)
+        v = self._big.get(k)
+        if v is None:
+            v = _h("big=" + pw.lower() + "|" + w.lower())
+            self._big[k] = v
+        return v
+
+    def hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        """(n_tokens, N_FEATS) int32 hashed feature ids (== token_features
+        hashed with crc32; asserted in tests/test_crf.py)."""
+        n = len(tokens)
+        out = np.empty((n, N_FEATS), dtype=np.int32)
+        h_bos_pv, h_eos_nx = _h("pv=<BOS>"), _h("nx=<EOS>")
+        h_bos_psh = _h("psh=<BOS>")
+        prev_entry: tuple[int, ...] | None = None
+        prev_tok = ""
+        for i, w in enumerate(tokens):
+            e = self._token_entry(w)
+            out[i, 0:9] = e[0:9]
+            if i > 0:
+                out[i, 9] = prev_entry[9]           # pv=<prev lower>
+                out[i, 11] = prev_entry[11]          # psh=<prev shape>
+                out[i, 12] = self._bigram(prev_tok, w)
+            else:
+                out[i, 9] = h_bos_pv
+                out[i, 11] = h_bos_psh
+                out[i, 12] = _h("big=<BOS>|" + w.lower())
+            if i + 1 < n:
+                out[i, 10] = self._token_entry(tokens[i + 1])[10]
+            else:
+                out[i, 10] = h_eos_nx
+            prev_entry, prev_tok = e, w
+        return out
+
+
+_GLOBAL_HASHER = FeatureHasher()
+
+
+def hash_features(tokens: list[str]) -> np.ndarray:
+    """(n_tokens, N_FEATS) int32 hashed feature ids."""
+    return _GLOBAL_HASHER.hash_tokens(tokens)
+
+
+def viterbi_batch(seq_feats: list[np.ndarray], W: np.ndarray,
+                  T: np.ndarray) -> list[np.ndarray]:
+    """Batched Viterbi decode.
+
+    seq_feats: one (len_i, N_FEATS) int array per sequence. Returns one
+    (len_i,) int label array per sequence. Ties break toward the lower label
+    index (deterministic).
+    """
+    if not seq_feats:
+        return []
+    lens = np.array([f.shape[0] for f in seq_feats])
+    B, M = len(seq_feats), int(lens.max(initial=1))
+    # padded emissions: (B, M, L)
+    flat = np.concatenate([f for f in seq_feats if f.shape[0]], axis=0) \
+        if lens.sum() else np.zeros((0, N_FEATS), np.int32)
+    em_flat = W[flat].sum(axis=1)                       # (sum_len, L)
+    em = np.zeros((B, M, L), dtype=np.float32)
+    pos = 0
+    for b, ln in enumerate(lens):
+        em[b, :ln] = em_flat[pos:pos + ln]
+        pos += ln
+    v = em[:, 0, :].copy()                              # (B, L)
+    bp = np.zeros((B, M, L), dtype=np.int8)
+    for t in range(1, M):
+        # scores[b, i, j] = v[b, i] + T[i, j]
+        s = v[:, :, None] + T[None, :, :]
+        bp[:, t] = s.argmax(axis=1)
+        active = (t < lens)
+        v_new = s.max(axis=1) + em[:, t, :]
+        v = np.where(active[:, None], v_new, v)
+    out: list[np.ndarray] = []
+    last = np.argmax(v, axis=1)
+    for b, ln in enumerate(lens):
+        ln = int(ln)
+        path = np.zeros(ln, dtype=np.int64)
+        if ln == 0:
+            out.append(path)
+            continue
+        path[ln - 1] = last[b]
+        for t in range(ln - 1, 0, -1):
+            path[t - 1] = bp[b, t, path[t]]
+        out.append(path)
+    return out
+
+
+def viterbi(feats: np.ndarray, W: np.ndarray, T: np.ndarray) -> np.ndarray:
+    return viterbi_batch([feats], W, T)[0]
+
+
+def train_perceptron(sequences: list[tuple[np.ndarray, np.ndarray]],
+                     epochs: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Averaged structured perceptron; fixed order + epochs → reproducible.
+
+    sequences: list of (hashed_feats (n, N_FEATS), gold_labels (n,)).
+    Returns averaged (W, T) float32.
+    """
+    W = np.zeros((D, L), dtype=np.float64)
+    T = np.zeros((L, L), dtype=np.float64)
+    Wa = np.zeros_like(W)
+    Ta = np.zeros_like(T)
+    t_step = 1
+    n_updates = 0
+    for _ in range(epochs):
+        for feats, gold in sequences:
+            if feats.shape[0] == 0:
+                continue
+            pred = viterbi(feats, W.astype(np.float32),
+                           T.astype(np.float32))
+            if not np.array_equal(pred, gold):
+                n_updates += 1
+                for i in range(feats.shape[0]):
+                    g, p = int(gold[i]), int(pred[i])
+                    if g != p:
+                        W[feats[i], g] += 1.0
+                        W[feats[i], p] -= 1.0
+                        Wa[feats[i], g] += t_step
+                        Wa[feats[i], p] -= t_step
+                    if i > 0:
+                        gp, pp = int(gold[i - 1]), int(pred[i - 1])
+                        if gp != pp or g != p:
+                            T[gp, g] += 1.0
+                            T[pp, p] -= 1.0
+                            Ta[gp, g] += t_step
+                            Ta[pp, p] -= t_step
+            t_step += 1
+    W_avg = (W - Wa / t_step).astype(np.float32)
+    T_avg = (T - Ta / t_step).astype(np.float32)
+    return W_avg, T_avg
+
+
+def save_model(path: str, W: np.ndarray, T: np.ndarray) -> None:
+    np.savez_compressed(path, W=W, T=T)
+
+
+def load_model(path: str) -> tuple[np.ndarray, np.ndarray]:
+    z = np.load(path)
+    return z["W"].astype(np.float32), z["T"].astype(np.float32)
