@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract + BASELINE.md protocol).
+
+Default: one fresh Ray session (`num_cpus` from $RAY_GRAFT_CPUS, default 32)
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1); runs the headline flagship
+KG pipeline over a synthesized pages corpus scaled to the sf plus a set of
+representative queries, and prints ONE JSON line.
+
+--scaling: runs the SAME job twice in fresh subprocesses at num_cpus=8 and
+num_cpus=32 (the sandbox stand-in for N vs 4N nodes, SURVEY.md §4) and prints
+one JSON line with both throughputs and the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_QUERIES = [
+    "q1_pricing_summary", "q3_top_orders", "events_hourly",
+    "docs_token_counts", "docs_exact_dedup", "docs_minhash_pairs",
+    "emb_knn_bruteforce",
+]
+
+
+def _consume(res) -> int:
+    """Materialize a result enough to have really executed it."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from information_extraction_system_ray.context import tune_context
+    from information_extraction_system_ray.pipelines.flagship import annotate, \
+        build_graph
+    from information_extraction_system_ray.queries import _n_pages, queries
+    from information_extraction_system_ray.sources.pages import synth_pages
+
+    tune_context()
+
+    # warm: model training/loading + one untimed tiny pass (page cache, JIT)
+    from refimpl.oracle import get_model
+    get_model()
+    _consume(annotate(synth_pages(64), num_parts=4))
+
+    n_pages = _n_pages(SF_DIR)
+    sf = n_pages / 500 * 0.001
+
+    t0 = time.time()
+    ann = annotate(synth_pages(n_pages), num_parts=64,
+                   concurrency=(1, max(2, NUM_CPUS - 4)),
+                   batch_size=256).materialize()
+    g = build_graph(ann)
+    n_edges = _consume(g["edges"])
+    n_nodes = _consume(g["nodes"])
+    flagship_s = time.time() - t0
+
+    q = queries()
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(q[name](SF_DIR))
+        q_times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "flagship_kg_e2e_sec",
+        "value": round(flagship_s, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_s": round(n_pages / flagship_s, 1),
+        "nodes": n_nodes,
+        "edges": n_edges,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["pages_per_s"] and
+           round(hi["pages_per_s"] / (4 * lo["pages_per_s"]), 3))
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "pages_per_s_8": lo["pages_per_s"],
+        "pages_per_s_32": hi["pages_per_s"],
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "sf": lo["sf"],
+        "queries": {"cpus8": lo["queries"], "cpus32": hi["queries"]},
+    }
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+    result = run_scaling() if "--scaling" in sys.argv else run_once()
+    print(json.dumps(result))

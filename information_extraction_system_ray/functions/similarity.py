@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (system-prompt scope).
+
+- brute-force cosine top-k: one numpy matmul per Arrow batch against a
+  broadcast query matrix (``ray.put`` once), per-batch partial top-k →
+  tiny global merge. This is the exact baseline.
+- IVF-style variant: vectors pre-bucketed by nearest of C coarse centroids
+  (deterministic seeded k-means-ish init); queries probe the nearest
+  ``nprobe`` buckets only — the documented scale path (recall/latency
+  trade-off identical in spirit to FAISS IVF-Flat, public).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_bruteforce(emb: ray.data.Dataset, queries: np.ndarray, k: int, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> pd.DataFrame:
+    """Exact cosine top-k for each query row → DataFrame(query_id, vec_id,
+    cosine, rank). queries: (Q, D) float32, broadcast via ray.put."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        v = _normalize(_as_matrix(batch[vec_col]))
+        sim = v @ q.T                     # (n, Q)
+        kk = min(k, sim.shape[0])
+        top = np.argpartition(-sim, kk - 1, axis=0)[:kk]  # (kk, Q)
+        out_q, out_id, out_c = [], [], []
+        for qi in range(q.shape[0]):
+            idx = top[:, qi]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_c.extend(sim[idx, qi].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    # partials are k×Q rows per block — tiny; final merge on the driver
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in parts.groupby("query_id"):
+        best = heapq.nlargest(k, g.itertuples(index=False),
+                              key=lambda r: (r.cosine, -getattr(r, id_col)))
+        for rank, r in enumerate(best):
+            out.append({"query_id": int(qi), id_col: getattr(r, id_col),
+                        "cosine": float(r.cosine), "rank": rank})
+    return pd.DataFrame(out)
+
+
+def ivf_build_centroids(emb: ray.data.Dataset, num_centroids: int, *,
+                        vec_col: str = "embedding",
+                        sample: int = 2048, seed: int = 11) -> np.ndarray:
+    """Coarse centroids from a deterministic sample (one k-means++-ish pass
+    + 5 Lloyd iterations on the driver — centroids ≪ data)."""
+    s = _normalize(_as_matrix(
+        pa.table(emb.limit(sample).to_pandas()[[vec_col]])[vec_col]))
+    rng = np.random.default_rng(seed)
+    c = s[rng.choice(len(s), size=min(num_centroids, len(s)),
+                     replace=False)]
+    for _ in range(5):
+        assign = (s @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            m = s[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_assign(emb: ray.data.Dataset, centroids: np.ndarray, *,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> ray.data.Dataset:
+    """Adds ``ivf_bucket`` = argmax cosine to centroids (broadcast)."""
+    c_ref = ray.put(_normalize(centroids.astype(np.float32)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        v = _normalize(_as_matrix(batch[vec_col]))
+        bucket = (v @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_bucket", pa.array(bucket))
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(emb: ray.data.Dataset, queries: np.ndarray, k: int, *,
+            num_centroids: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> pd.DataFrame:
+    """Approximate top-k: search only the ``nprobe`` nearest IVF buckets per
+    query. Partitioning assumption: true neighbors share a coarse bucket with
+    the query (holds when nprobe/num_centroids is sized to the data's cluster
+    structure; recall is tested vs brute force in tests/test_similarity.py).
+    """
+    centroids = ivf_build_centroids(emb, num_centroids, vec_col=vec_col)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, p)
+    wanted = sorted({int(b) for row in probe for b in row})
+    filtered = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(
+            t["ivf_bucket"], pa.array(wanted, pa.int64()))),
+        batch_format="pyarrow")
+    res = knn_bruteforce(filtered, qn, k, id_col=id_col, vec_col=vec_col)
+    # drop results from buckets a given query did not probe? brute force over
+    # the union of probed buckets is a superset search — strictly better
+    # recall at slightly more compute; keep it (documented behavior).
+    return res

@@ -1,0 +1,166 @@
+"""The flagship KG-construction DAG (SURVEY.md §3.2, north star):
+
+    read pages → strip_html (tasks) → [lang filter] → CRF tagger (actors)
+    → entity linker (actors) → triple extract (tasks)
+    → canonicalize (distinct-edge groupby + connected components)
+    → nodes/edges (partial-agg → groupby merge → sort) → Parquet + manifest
+
+Two modes:
+- in-memory (``out_dir=None``): returns lazy Datasets; used by ``entry()``
+  smoke and unit tests.
+- checkpointed (``out_dir`` set): three committed stages (``extracted``,
+  ``annotated``, ``graph``) written as hive-partitioned Parquet keyed by
+  ``part_id = crc32(url) % num_parts`` with per-partition lineage manifests;
+  a rerun recomputes only uncommitted partitions (state/manifest.py).
+
+Ray is never initialized here (driver contract, __ray_entry__.py:11-13).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from refimpl.oracle import get_model
+
+from ..state.broadcast import put_once
+from ..state.manifest import Manifest, commit_partitions_from_dir
+from ..stages.strip import extract_text
+from ..stages.tagger import tag_pages
+from ..stages.linker import link_pages
+from ..stages.triple_extract import extract_triples_stage
+from ..stages.canonicalize import connected_components, mention_entity_edges
+from ..stages.graph import build_edges, build_nodes
+
+DEFAULT_LANGS = ("en",)
+
+
+def _filter_langs(ds: ray.data.Dataset, langs) -> ray.data.Dataset:
+    langs = list(langs)
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["lang"], pa.array(langs))),
+        batch_format="pyarrow")
+
+
+def _normalize_part_id(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Hive-partitioned read-back yields part_id as string; restore int32."""
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("part_id")
+        return t.set_column(i, "part_id", pc.cast(t["part_id"], pa.int32()))
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def _filter_parts(ds: ray.data.Dataset, parts: set[int]) -> ray.data.Dataset:
+    wanted = pa.array(sorted(parts), pa.int32())
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(
+            pc.cast(t["part_id"], pa.int32()), wanted)),
+        batch_format="pyarrow")
+
+
+def annotate(pages: ray.data.Dataset, *, langs=DEFAULT_LANGS,
+             num_parts: int = 32, concurrency=(1, 8),
+             batch_size: int = 256) -> ray.data.Dataset:
+    """pages → annotated(url, part_id, lang, mentions, triples): the fused
+    per-page half of the DAG (no shuffles; pure streaming)."""
+    model_ref = put_once("crf_model", get_model)
+    extracted = extract_text(pages, num_parts=num_parts, with_sha=False)
+    en = _filter_langs(extracted, langs)
+    tagged = tag_pages(en, model_ref, concurrency=concurrency,
+                       batch_size=batch_size)
+    linked = link_pages(tagged, concurrency=concurrency,
+                        batch_size=batch_size)
+    return extract_triples_stage(linked)
+
+
+def build_graph(annotated: ray.data.Dataset, *,
+                driver_threshold: int = 2_000_000) -> dict:
+    """annotated → {cluster map, nodes Dataset, edges Dataset}."""
+    import ray as _ray
+
+    edges_bi = mention_entity_edges(annotated)
+    cmap = connected_components(edges_bi, driver_threshold=driver_threshold)
+    cref = _ray.put(cmap)
+    return {
+        "cluster": cmap,
+        "nodes": build_nodes(annotated, cref),
+        "edges": build_edges(annotated, cref),
+    }
+
+
+def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
+                 langs=DEFAULT_LANGS, num_parts: int = 32,
+                 concurrency=(1, 8), batch_size: int = 256,
+                 driver_threshold: int = 2_000_000,
+                 input_fingerprint: str = "") -> dict:
+    if out_dir is None:
+        annotated = annotate(pages, langs=langs, num_parts=num_parts,
+                             concurrency=concurrency, batch_size=batch_size)
+        annotated = annotated.materialize()  # consumed 3× below (small rows)
+        g = build_graph(annotated, driver_threshold=driver_threshold)
+        return {"annotated": annotated, **g}
+
+    man = Manifest(out_dir)
+    metrics: dict[str, dict] = {}
+
+    # ---- stage 1: extracted (all langs; the byte-identity deliverable) ----
+    ext_dir = os.path.join(out_dir, "extracted")
+    pend = set(man.clean_uncommitted("extracted", num_parts, ext_dir))
+    if pend:
+        t0 = time.time()
+        ext = extract_text(pages, num_parts=num_parts, with_sha=True)
+        if len(pend) < num_parts:
+            ext = _filter_parts(ext, pend)
+        ext.write_parquet(ext_dir, partition_cols=["part_id"])
+        commit_partitions_from_dir(
+            man, "extracted", ext_dir, wall_s=time.time() - t0,
+            input_fingerprint=input_fingerprint, part_ids=sorted(pend))
+    metrics["extracted"] = man.stage_stats("extracted")
+
+    # ---- stage 2: annotated (en-only; tagger→linker→triples) ----
+    ann_dir = os.path.join(out_dir, "annotated")
+    pend = set(man.clean_uncommitted("annotated", num_parts, ann_dir))
+    if pend:
+        t0 = time.time()
+        model_ref = put_once("crf_model", get_model)
+        ext_ds = _normalize_part_id(ray.data.read_parquet(
+            ext_dir, columns=["url", "part_id", "lang", "text"]))
+        src = _filter_langs(ext_ds, langs)
+        if len(pend) < num_parts:
+            src = _filter_parts(src, pend)
+        tagged = tag_pages(src, model_ref, concurrency=concurrency,
+                           batch_size=batch_size)
+        linked = link_pages(tagged, concurrency=concurrency,
+                            batch_size=batch_size)
+        ann = extract_triples_stage(linked)
+        ann.write_parquet(ann_dir, partition_cols=["part_id"])
+        commit_partitions_from_dir(
+            man, "annotated", ann_dir, wall_s=time.time() - t0,
+            input_fingerprint=input_fingerprint, part_ids=sorted(pend))
+    metrics["annotated"] = man.stage_stats("annotated")
+
+    # ---- stage 3: graph (wide shuffles; committed as one unit) ----
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+    if man.pending("graph", 1):
+        t0 = time.time()
+        annotated = _normalize_part_id(ray.data.read_parquet(ann_dir))
+        g = build_graph(annotated, driver_threshold=driver_threshold)
+        g["nodes"].write_parquet(nodes_dir)
+        g["edges"].write_parquet(edges_dir)
+        import pyarrow.parquet as pq
+        n_rows = sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for d in (nodes_dir, edges_dir) for f in os.listdir(d)
+            if f.endswith(".parquet"))
+        man.commit("graph", 0, n_rows=n_rows, wall_s=time.time() - t0,
+                   output_path=out_dir, input_fingerprint=input_fingerprint)
+    metrics["graph"] = man.stage_stats("graph")
+
+    return {"out_dir": out_dir, "extracted_dir": ext_dir,
+            "annotated_dir": ann_dir, "nodes_dir": nodes_dir,
+            "edges_dir": edges_dir, "metrics": metrics}

@@ -1,0 +1,731 @@
+"""Driver-facing operator registry: ``queries()`` + ``oracle_sql()``.
+
+One entry per implemented operator family from SURVEY.md §2, each exercised
+over the driver's Parquet tables (TESTDATA.md) with a matching ANSI-SQL
+oracle for DuckDB. Column names match EXACTLY between the Ray result and the
+SQL (driver hashes values after sorting columns by name).
+
+Determinism rules (the driver compares order-insensitive value hashes):
+- monetary aggregates are computed in integer CENTS (``*_cents``: int64) so
+  floating summation order cannot flip a rounding boundary;
+- averages are written as exact-integer-sum / count in BOTH engines;
+- float outputs (cosine) are rounded to 4 dp with float64 math on both sides;
+- top-k sorts break ties on a unique key.
+
+Non-SQL-expressible operators (flagship KG stages over synthesized pages,
+MinHash/SimHash dedup, IVF ANN, language-ID heuristic, multimodal stubs)
+register a query WITHOUT an oracle entry → the driver records the weaker
+rows-only check, and tests/ hold their real oracles (refimpl goldens).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .sources.tables import read_table
+
+_JOIN_PARTS = 8
+
+
+def _cents(col):
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish generic operators (SURVEY.md §2.2, §2.4-2.7)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """G: grouped aggregate with per-batch vectorized derived columns."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "base_cents": _cents(t["l_extendedprice"]),
+            "disc_cents": _cents(disc),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty", alias_name="sum_qty"),
+                      Sum("base_cents", alias_name="sum_base_cents"),
+                      Sum("disc_cents", alias_name="sum_disc_cents"),
+                      Count(alias_name="count_order")))
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+           AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue_filter(sf_dir: str):
+    """M/G: vectorized predicate + global aggregate (no groupby shuffle)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+            pc.less(t["l_quantity"], pa.scalar(24.0)))
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"rev_cents": _cents(rev)})
+
+    total = ds.map_batches(prep, batch_format="pyarrow").sum("rev_cents")
+    return pa.table({"revenue_cents": pa.array([int(total)], pa.int64())})
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))
+       AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """J3 + G + O2: broadcast semi-join (small side) → hash join (large) →
+    grouped aggregate → top-k."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    keys = ray.put(set(
+        cust.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+            .select(["c_custkey"]),
+            batch_format="pyarrow").to_pandas()["c_custkey"]))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys)
+        mask = pc.and_(
+            pc.is_in(t["o_custkey"],
+                     pa.array(sorted(ks), pa.int64())),
+            pc.less(t["o_orderdate"],
+                    pa.scalar(np.datetime64("1995-03-15", "us"))))
+        return t.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(filt_orders, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(
+            t["l_shipdate"], pa.scalar(np.datetime64("1995-03-15", "us"))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_cents": _cents(rev)})
+
+    li_f = li.map_batches(prep_li, batch_format="pyarrow")
+    joined = li_f.join(orders_f, join_type="inner",
+                       num_partitions=_JOIN_PARTS,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (joined.groupby("l_orderkey")
+           .aggregate(Sum("rev_cents", alias_name="revenue_cents")))
+    return agg.sort(["revenue_cents", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+           AS BIGINT) AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
+def join_customer_nation_region(sf_dir: str):
+    """J1: two-level broadcast dimension join (region→nation→customer)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"],
+                   nation["n_regionkey"].map(
+                       dict(zip(region["r_regionkey"], region["r_name"])))))
+    ref = ray.put(n2r)
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_acctbal"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        rn = [m[k] for k in t["c_nationkey"].to_pylist()]
+        return pa.table({
+            "r_name": pa.array(rn, pa.string()),
+            "bal_cents": _cents(t["c_acctbal"]),
+        })
+
+    return (cust.map_batches(attach, batch_format="pyarrow")
+            .groupby("r_name")
+            .aggregate(Count(alias_name="n_customers"),
+                       Sum("bal_cents", alias_name="sum_bal_cents"))
+            .sort("r_name"))
+
+
+_JOIN_CNR_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+           AS sum_bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def sort_topk_orders(sf_dir: str):
+    """O1/O2/O4: sort-based top-k with unique tie-break key."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(20)
+
+
+_SORT_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def distinct_segments(sf_dir: str):
+    """G5: distinct values of one column."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+_DISTINCT_SQL = \
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def group_nation_balance(sf_dir: str):
+    """G1-style grouped aggregate with min/max/count."""
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_acctbal", "c_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_nationkey": t["c_nationkey"],
+                         "bal_cents": _cents(t["c_acctbal"]),
+                         "c_custkey": t["c_custkey"]})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("c_nationkey")
+            .aggregate(Count(alias_name="n"),
+                       Sum("bal_cents", alias_name="sum_bal_cents"),
+                       Min("c_custkey", alias_name="min_custkey"),
+                       Max("c_custkey", alias_name="max_custkey"))
+            .sort("c_nationkey"))
+
+
+_GROUP_NATION_SQL = """
+SELECT c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+           AS sum_bal_cents,
+       MIN(c_custkey) AS min_custkey, MAX(c_custkey) AS max_custkey
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def dedup_orders_per_customer(sf_dir: str):
+    """D1-pattern: keep min(o_orderkey) row per o_custkey (hash-partition +
+    per-group first)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return (ds.groupby("o_custkey")
+            .aggregate(Min("o_orderkey", alias_name="first_orderkey"))
+            .sort("o_custkey"))
+
+
+_DEDUP_ORDERS_SQL = """
+SELECT o_custkey, MIN(o_orderkey) AS first_orderkey
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def union_key_sources(sf_dir: str):
+    """D3: union of two sources + grouped count."""
+    c = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"src": pa.array(["customer"] * len(t)),
+                            "key": t["c_custkey"]}),
+        batch_format="pyarrow")
+    s = read_table(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        lambda t: pa.table({"src": pa.array(["supplier"] * len(t)),
+                            "key": t["s_suppkey"]}),
+        batch_format="pyarrow")
+    return (c.union(s).groupby("src")
+            .aggregate(Count(alias_name="n"),
+                       Sum("key", alias_name="key_sum"))
+            .sort("src"))
+
+
+_UNION_SQL = """
+SELECT src, COUNT(*) AS n, CAST(SUM(key) AS BIGINT) AS key_sum FROM (
+  SELECT 'customer' AS src, c_custkey AS key FROM customer
+  UNION ALL
+  SELECT 'supplier' AS src, s_suppkey AS key FROM supplier
+) GROUP BY src ORDER BY src
+"""
+
+
+def part_type_stats(sf_dir: str):
+    ds = read_table(sf_dir, "part",
+                    columns=["p_type", "p_size", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"p_type": t["p_type"], "p_size": t["p_size"],
+                         "price_cents": _cents(t["p_retailprice"])})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("p_type")
+            .aggregate(Count(alias_name="n"),
+                       Max("p_size", alias_name="max_size"),
+                       Sum("price_cents", alias_name="sum_price_cents"))
+            .sort("p_type"))
+
+
+_PART_TYPE_SQL = """
+SELECT p_type, COUNT(*) AS n, MAX(p_size) AS max_size,
+       CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# events: timestamp bucketing + JSON scalar functions (SURVEY.md §2.8)
+# --------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"],
+            "value_cents": _cents(t["value"]),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["hour", "event_type"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value_cents", alias_name="sum_value_cents"))
+            .sort(["hour", "event_type"]))
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+"""
+
+
+def events_json_extract(sf_dir: str):
+    """M8: per-row JSON parse + grouped count over the extracted value."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ks = [str(json.loads(p)["k"]) for p in t["props"].to_pylist()]
+        return pa.table({"k_str": pa.array(ks, pa.string())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("k_str").aggregate(Count(alias_name="n"))
+            .sort("k_str"))
+
+
+_EVENTS_JSON_SQL = """
+SELECT json_extract_string(props, '$.k') AS k_str, COUNT(*) AS n
+FROM events GROUP BY k_str ORDER BY k_str
+"""
+
+
+def events_user_topk(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "value_cents": _cents(t["value"])})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("value_cents", alias_name="sum_value_cents"))
+            .sort(["sum_value_cents", "user_id"], descending=[True, False])
+            .limit(10))
+
+
+_EVENTS_TOPK_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events GROUP BY user_id
+ORDER BY sum_value_cents DESC, user_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis + dedup (system-prompt training-data operators)
+# --------------------------------------------------------------------------
+
+def docs_lang_count(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n")).sort("lang")
+
+
+_DOCS_LANG_SQL = \
+    "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+
+
+def docs_token_counts(sf_dir: str):
+    """Per-doc whitespace + BPE-ish subword token counts (integers)."""
+    from .functions.text import token_count_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: token_count_batch(t).select(
+            ["doc_id", "n_tokens", "n_subwords"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
+_DOCS_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+            AS BIGINT) AS n_subwords
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_quality_counts(sf_dir: str):
+    """Integer quality signals per lang (exact, SQL-checkable face of the
+    quality scorer; the float composite is tested in tests/)."""
+    from .functions.text import STOPWORDS, _WORD_RE
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_chars = [len(x or "") for x in texts]
+        n_punct = [sum((not c.isalnum()) and (not c.isspace()) for c in x)
+                   for x in texts]
+        n_stop = [sum(w.lower() in STOPWORDS
+                      for w in _WORD_RE.findall(x or "")) for x in texts]
+        return pa.table({
+            "lang": t["lang"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_chars", alias_name="sum_chars"),
+                       Sum("n_punct", alias_name="sum_punct"),
+                       Sum("n_stop", alias_name="sum_stop"))
+            .sort("lang"))
+
+
+_DOCS_QUALITY_SQL = r"""
+SELECT lang,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+  CAST(SUM(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
+      AS sum_punct,
+  CAST(SUM(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+      w -> w IN ('the','a','an','and','or','of','in','on','for','with',
+                 'to','is','was','at','by','it','as','be','are'))))
+      AS BIGINT) AS sum_stop
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def docs_fingerprint(sf_dir: str):
+    """Per-doc md5 content fingerprint (SQL-identical normalization)."""
+    from .functions.text import fingerprint_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: fingerprint_batch(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
+_DOCS_FP_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_exact_dedup(sf_dir: str):
+    """D1: exact dedup — min doc_id survivor per content fingerprint."""
+    from .functions.dedup import exact_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).sort("doc_id")
+
+
+_DOCS_DEDUP_SQL = r"""
+SELECT MIN(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint
+FROM documents GROUP BY fingerprint ORDER BY doc_id
+"""
+
+
+def docs_minhash_pairs(sf_dir: str):
+    """Near-dup pairs (MinHash+LSH) — rows-only (hash family not SQL)."""
+    from .functions.dedup import minhash_lsh_duplicates
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_duplicates(ds, num_perm=64, bands=32,
+                                  jaccard_threshold=0.5)
+
+
+def docs_simhash(sf_dir: str):
+    """Per-doc 64-bit SimHash — rows-only."""
+    from .functions.dedup import simhash_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def docs_langid(sf_dir: str):
+    """Heuristic language-ID agreement counts — rows-only."""
+    from .functions.text import langid_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return (ds.map_batches(langid_batch, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Count(alias_name="n"))
+            .sort(["lang", "lang_pred"]))
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search (system-prompt operators)
+# --------------------------------------------------------------------------
+
+def emb_label_count(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n")).sort("label")
+
+
+_EMB_LABEL_SQL = \
+    "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label"
+
+
+def emb_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-5 to the vec_id=0 vector (float64, round 4dp)."""
+    from .functions.similarity import knn_bruteforce
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+        .to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float64)
+    res = knn_bruteforce(
+        ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["vec_id"], pa.scalar(0))),
+            batch_format="pyarrow"),
+        q[None, :], k=5)
+    res = res.drop(columns=["query_id", "rank"])
+    res["cosine"] = res["cosine"].round(4)
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
+_EMB_KNN_SQL = """
+SELECT vec_id, cosine FROM (
+  SELECT e.vec_id AS vec_id,
+         round(list_cosine_similarity(e.embedding, q.embedding), 4)
+             AS cosine
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+  LIMIT 5
+) ORDER BY vec_id
+"""
+
+
+def emb_knn_ivf(sf_dir: str):
+    """Approximate ANN (IVF buckets) — rows-only (recall tested in tests/)."""
+    from .functions.similarity import knn_ivf
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .to_pandas()["embedding"].iloc[0], dtype=np.float32)
+    return knn_ivf(ds, q[None, :], k=10, num_centroids=8, nprobe=4)
+
+
+def emb_cosine_dup_pairs(sf_dir: str):
+    """Embedding near-dup pairs — rows-only."""
+    from .functions.dedup import embedding_cosine_duplicates
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_cosine_duplicates(ds, threshold=0.95, num_buckets=8)
+
+
+# --------------------------------------------------------------------------
+# flagship KG pipeline over synthesized pages — rows-only (real oracle =
+# refimpl goldens, tests/test_flagship.py)
+# --------------------------------------------------------------------------
+
+def _n_pages(sf_dir: str) -> int:
+    # scale the synthetic corpus with the driver's sf; lineitem rows track sf
+    # linearly (TESTDATA.md: 6k/60k/600k) → 2k/20k/200k pages
+    return max(64, pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+               // 3)
+
+
+def kg_extracted(sf_dir: str):
+    from .sources.pages import synth_pages
+    from .stages.strip import extract_text
+
+    pages = synth_pages(_n_pages(sf_dir))
+    ext = extract_text(pages, num_parts=16)
+    return ext.map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "sha_hex": pa.array([bytes(x).hex() if x is not None else ""
+                                 for x in t["text_sha256"].to_pylist()],
+                                pa.string())}),
+        batch_format="pyarrow").sort("url")
+
+
+def kg_triples(sf_dir: str):
+    from .pipelines.flagship import annotate
+    from .sources.pages import synth_pages
+    from .stages.graph import explode_list_struct
+
+    ann = annotate(synth_pages(_n_pages(sf_dir)), num_parts=16)
+    return ann.map_batches(
+        lambda t: explode_list_struct(t, "triples", ["url"]).select(
+            ["url", "subj", "pred", "obj", "subj_entity_id",
+             "obj_entity_id"]),
+        batch_format="pyarrow").sort(["url", "subj", "pred", "obj"])
+
+
+def kg_graph(sf_dir: str):
+    from .pipelines.flagship import run_flagship
+    from .sources.pages import synth_pages
+
+    res = run_flagship(synth_pages(_n_pages(sf_dir)), num_parts=16)
+    return res["edges"]
+
+
+def kg_nodes(sf_dir: str):
+    from .pipelines.flagship import run_flagship
+    from .sources.pages import synth_pages
+
+    res = run_flagship(synth_pages(_n_pages(sf_dir)), num_parts=16)
+    nodes = res["nodes"].to_pandas()
+    nodes["aliases"] = nodes["aliases"].map(
+        lambda xs: "|".join(xs))  # stable scalar encoding for hashing
+    return nodes
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries():
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q6_revenue_filter": q6_revenue_filter,
+        "q3_top_orders": q3_top_orders,
+        "join_customer_nation_region": join_customer_nation_region,
+        "sort_topk_orders": sort_topk_orders,
+        "distinct_segments": distinct_segments,
+        "group_nation_balance": group_nation_balance,
+        "dedup_orders_per_customer": dedup_orders_per_customer,
+        "union_key_sources": union_key_sources,
+        "part_type_stats": part_type_stats,
+        "events_hourly": events_hourly,
+        "events_json_extract": events_json_extract,
+        "events_user_topk": events_user_topk,
+        "docs_lang_count": docs_lang_count,
+        "docs_token_counts": docs_token_counts,
+        "docs_quality_counts": docs_quality_counts,
+        "docs_fingerprint": docs_fingerprint,
+        "docs_exact_dedup": docs_exact_dedup,
+        "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_simhash": docs_simhash,
+        "docs_langid": docs_langid,
+        "emb_label_count": emb_label_count,
+        "emb_knn_bruteforce": emb_knn_bruteforce,
+        "emb_knn_ivf": emb_knn_ivf,
+        "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
+        "kg_extracted": kg_extracted,
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_graph": kg_graph,
+    }
+
+
+def oracle_sql():
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q6_revenue_filter": _Q6_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "join_customer_nation_region": _JOIN_CNR_SQL,
+        "sort_topk_orders": _SORT_TOPK_SQL,
+        "distinct_segments": _DISTINCT_SQL,
+        "group_nation_balance": _GROUP_NATION_SQL,
+        "dedup_orders_per_customer": _DEDUP_ORDERS_SQL,
+        "union_key_sources": _UNION_SQL,
+        "part_type_stats": _PART_TYPE_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_json_extract": _EVENTS_JSON_SQL,
+        "events_user_topk": _EVENTS_TOPK_SQL,
+        "docs_lang_count": _DOCS_LANG_SQL,
+        "docs_token_counts": _DOCS_TOKENS_SQL,
+        "docs_quality_counts": _DOCS_QUALITY_SQL,
+        "docs_fingerprint": _DOCS_FP_SQL,
+        "docs_exact_dedup": _DOCS_DEDUP_SQL,
+        "emb_label_count": _EMB_LABEL_SQL,
+        "emb_knn_bruteforce": _EMB_KNN_SQL,
+        # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
+        # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
+        # oracles are refimpl goldens / recall tests under tests/.
+    }

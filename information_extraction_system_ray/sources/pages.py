@@ -1,0 +1,52 @@
+"""Pages source: Parquet reader + distributed deterministic synthesizer.
+
+The flagship input is a Common-Crawl-shaped Parquet table
+(url, warc_ts:timestamp[us], html:binary, text:string|null, lang) —
+BASELINE.json input_hint. ``read_pages`` is a pruned ``read_parquet``;
+``synth_pages`` generates the same corpus the refimpl oracle annotates,
+distributed: page *i* depends only on (seed, i) (refimpl.pagegen), so
+generation is a stateless ``map_batches`` over ``ray.data.range`` — no
+driver-side materialization at any scale.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from refimpl import SEED
+from refimpl.pagegen import gen_page
+
+
+def read_pages(path: str, columns: list[str] | None = None,
+               langs: list[str] | None = None) -> ray.data.Dataset:
+    """Read a pages Parquet table, pruning columns/rows at the read."""
+    import pyarrow.dataset as pads
+
+    filt = pads.field("lang").isin(langs) if langs else None
+    return ray.data.read_parquet(path, columns=columns, filter=filt)
+
+
+def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
+    ids = batch["id"].to_pylist()
+    pages = [gen_page(i, seed) for i in ids]
+    return pa.table({
+        "url": pa.array([p.url for p in pages], pa.string()),
+        "warc_ts": pa.array([p.warc_ts_us for p in pages],
+                            pa.timestamp("us")),
+        "html": pa.array([p.html for p in pages], pa.binary()),
+        "text": pa.array(
+            [p.text if p.text_provided else None for p in pages],
+            pa.string()),
+        "lang": pa.array([p.lang for p in pages], pa.string()),
+    })
+
+
+def synth_pages(n: int, seed: int = SEED, *,
+                override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Deterministic n-page corpus as a Dataset; parallel by construction."""
+    blocks = override_num_blocks or max(8, min(200, n // 250 or 1))
+    return ray.data.range(n, override_num_blocks=blocks).map_batches(
+        _gen_batch, fn_kwargs={"seed": seed},
+        batch_format="pyarrow", batch_size=256,
+    )

@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) column stages (system-prompt scope).
+
+Media travel as opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample are actor-pool ``map_batches``
+stages. The media codec libraries are NOT in this container, so the decode
+kernels are STUBBED: ``decoder="fake"`` (default) produces a deterministic
+fake decode from the byte content so the Ray-side plumbing — schema, batch
+size, actor signature, output layout — is real and tested
+(tests/test_multimodal.py); ``decoder="real"`` raises NotImplementedError
+until a codec library is available.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),            # image | audio | video
+    ("payload", pa.binary()),         # opaque encoded bytes
+    ("mime", pa.string()),
+    ("width", pa.int32()), ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in decode: bytes → pseudo-pixels (uint8 h×w×3)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class DecodeImage:
+    """Actor stage: payload bytes → fixed-size feature vector.
+
+    __init__ loads the (stubbed) codec once per actor; __call__ decodes,
+    resizes to (size, size) and emits a 64-d mean-pooled feature column —
+    the exact layout a real embedding model stage would produce."""
+
+    def __init__(self, size: int = 32, decoder: str = "fake") -> None:
+        if decoder != "fake":
+            raise NotImplementedError(
+                "no image codec library in this container; use decoder='fake'")
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            px = _fake_pixels(payload, self.size, self.size)
+            # 64-d feature: mean over an 8x8 grid of the gray channel
+            gray = px.mean(axis=2)
+            cell = self.size // 8
+            f = gray[:8 * cell, :8 * cell] \
+                .reshape(8, cell, 8, cell).mean(axis=(1, 3)).ravel()
+            feats.append((f / 255.0).astype(np.float32).tolist())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
+class SampleFrames:
+    """Actor stage: video payload → every-nth-frame pseudo-decode, one output
+    row per sampled frame (explode layout used by real frame pipelines)."""
+
+    def __init__(self, every_ms: int = 1000, decoder: str = "fake") -> None:
+        if decoder != "fake":
+            raise NotImplementedError(
+                "no video codec library in this container; use decoder='fake'")
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ts, frames = [], [], []
+        for mid, payload, dur in zip(batch["media_id"].to_pylist(),
+                                     batch["payload"].to_pylist(),
+                                     batch["duration_ms"].to_pylist()):
+            for t in range(0, max(int(dur or 0), 1), self.every_ms):
+                ids.append(mid)
+                ts.append(t)
+                frames.append(hashlib.sha256(
+                    payload + t.to_bytes(4, "big")).digest()[:16])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_ms": pa.array(ts, pa.int32()),
+            "frame_key": pa.array(frames, pa.binary()),
+        })
+
+
+def decode_images(media: ray.data.Dataset, *, size: int = 32,
+                  concurrency=(1, 4),
+                  batch_size: int = 64) -> ray.data.Dataset:
+    """Small batches: binary payloads are fat rows (SURVEY.md §4)."""
+    return media.map_batches(
+        DecodeImage, fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def sample_frames(media: ray.data.Dataset, *, every_ms: int = 1000,
+                  concurrency=(1, 4),
+                  batch_size: int = 32) -> ray.data.Dataset:
+    return media.map_batches(
+        SampleFrames, fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def synth_media(n: int, seed: int = 5) -> ray.data.Dataset:
+    """Deterministic fake media table in MEDIA_SCHEMA (tests/bench only)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {
+        "media_id": list(range(n)),
+        "kind": [kinds[i % 3] for i in range(n)],
+        "payload": [rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+                    for _ in range(n)],
+        "mime": ["application/octet-stream"] * n,
+        "width": [32] * n, "height": [32] * n,
+        "duration_ms": [int(rng.integers(1000, 8000)) for _ in range(n)],
+    }
+    t = pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "mime": pa.array(rows["mime"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+    })
+    return ray.data.from_arrow(t)

@@ -1,0 +1,99 @@
+"""Per-partition lineage manifest → checkpoint resume (SURVEY.md §2.1 S5, §4).
+
+Layout per stage output directory::
+
+    <out>/<stage>/part_id=<k>/*.parquet     # hive-partitioned data
+    <out>/_manifest/<stage>/part-<k>.json   # one commit record per partition
+
+A partition is COMPLETE iff its manifest record exists; records are written
+AFTER the partition's data lands (write-then-commit), so a killed run leaves
+missing/partial partitions uncommitted. Resume = the anti-join of the
+partition universe against committed records (driver-side set difference —
+the manifest is tiny, SURVEY.md §2.4 J4): stale uncommitted dirs are deleted,
+only pending part_ids are recomputed, and the pipeline filters its INPUT by
+part_id so the recompute is proportional to lost work. Exercised by
+tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+class Manifest:
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.dir = os.path.join(out_dir, "_manifest")
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.dir, stage)
+
+    def completed(self, stage: str) -> dict[int, dict]:
+        d = self._stage_dir(stage)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in os.listdir(d):
+            if f.startswith("part-") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    rec = json.load(fh)
+                out[int(rec["partition_id"])] = rec
+        return out
+
+    def pending(self, stage: str, num_parts: int) -> list[int]:
+        done = self.completed(stage)
+        return [p for p in range(num_parts) if p not in done]
+
+    def commit(self, stage: str, partition_id: int, *, n_rows: int,
+               wall_s: float, output_path: str,
+               input_fingerprint: str) -> None:
+        d = self._stage_dir(stage)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".part-{partition_id}.tmp")
+        rec = {"partition_id": partition_id, "stage": stage,
+               "n_rows": n_rows, "wall_s": round(wall_s, 3),
+               "output_path": output_path,
+               "input_fingerprint": input_fingerprint}
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, os.path.join(d, f"part-{partition_id}.json"))
+
+    def clean_uncommitted(self, stage: str, num_parts: int,
+                          data_dir: str) -> list[int]:
+        """Delete partition dirs whose commit record is missing; return the
+        list of pending partition ids to recompute."""
+        pend = self.pending(stage, num_parts)
+        for p in pend:
+            d = os.path.join(data_dir, f"part_id={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return pend
+
+    def stage_stats(self, stage: str) -> dict:
+        recs = self.completed(stage).values()
+        rows = sum(r["n_rows"] for r in recs)
+        wall = sum(r["wall_s"] for r in recs)
+        return {"stage": stage, "partitions": len(list(recs)) or len(recs),
+                "n_rows": rows, "wall_s": round(wall, 3),
+                "rows_per_s": round(rows / wall, 1) if wall else None}
+
+
+def commit_partitions_from_dir(manifest: Manifest, stage: str, data_dir: str,
+                               *, wall_s: float, input_fingerprint: str,
+                               part_ids: list[int]) -> None:
+    """Commit each written hive partition dir, reading row counts from
+    parquet footers only (no data scan)."""
+    import pyarrow.parquet as pq
+
+    per_part_wall = wall_s / max(1, len(part_ids))
+    for p in part_ids:
+        d = os.path.join(data_dir, f"part_id={p}")
+        n = 0
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(d, f)).num_rows
+        manifest.commit(stage, p, n_rows=n, wall_s=per_part_wall,
+                        output_path=d, input_fingerprint=input_fingerprint)

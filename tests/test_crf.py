@@ -1,0 +1,90 @@
+import os
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+from hypothesis import given, settings, strategies as st
+
+from refimpl.crf import (D, L, N_FEATS, FeatureHasher, hash_features,
+                         load_model, token_features, viterbi_batch)
+from refimpl.vocab import BIO_LABELS
+
+
+def _brute_force(feats, W, T):
+    """Enumerate all label paths — ground truth for Viterbi (SURVEY.md §5.2)."""
+    import itertools
+
+    em = W[feats].sum(axis=1)
+    best, best_s = None, -np.inf
+    for path in itertools.product(range(L), repeat=feats.shape[0]):
+        s = em[0, path[0]]
+        for t in range(1, len(path)):
+            s += T[path[t - 1], path[t]] + em[t, path[t]]
+        if s > best_s + 1e-9:
+            best, best_s = path, s
+    return np.array(best)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 5), st.integers(0, 10_000))
+def test_viterbi_matches_bruteforce(n, seed):
+    rng = np.random.default_rng(seed)
+    feats = rng.integers(0, 997, size=(n, N_FEATS)).astype(np.int32)
+    W = np.zeros((D, L), np.float32)
+    W[:1000] = rng.normal(size=(1000, L)).astype(np.float32)
+    T = rng.normal(size=(L, L)).astype(np.float32)
+    got = viterbi_batch([feats], W, T)[0]
+    want = _brute_force(feats, W, T)
+    em = W[feats].sum(axis=1)
+
+    def score(p):
+        s = em[0, p[0]]
+        for t in range(1, len(p)):
+            s += T[p[t - 1], p[t]] + em[t, p[t]]
+        return s
+
+    # ties are possible; require equal score, which implies equal argmax set
+    assert abs(score(got) - score(want)) < 1e-4
+
+
+def test_cached_hasher_equals_definition():
+    toks = ["Ada", "Lovelace", "founded", "Acme", ".", "A", "B2", "b2"]
+    ref = np.array(
+        [[zlib.crc32(s.encode()) & (D - 1) for s in row]
+         for row in token_features(toks)], dtype=np.int32)
+    assert np.array_equal(ref, FeatureHasher().hash_tokens(toks))
+    assert np.array_equal(ref, hash_features(toks))
+
+
+def test_tagger_matches_golden_decode(fixdir):
+    W, T = load_model(os.path.join(fixdir, "crf_weights.npz"))
+    corpus = pq.read_table(os.path.join(fixdir, "crf_corpus.parquet"))
+    gold = pq.read_table(os.path.join(fixdir, "tagged_gold.parquet"))
+    gold_by_id = dict(zip(gold["page_id"].to_pylist(),
+                          gold["tags"].to_pylist()))
+    h = FeatureHasher()
+    n_test = 0
+    for row in corpus.to_pylist():
+        if row["split"] != "test":
+            continue
+        n_test += 1
+        decoded = viterbi_batch([h.hash_tokens(row["tokens"])], W, T)[0]
+        labels = [BIO_LABELS[int(t)] for t in decoded]
+        assert labels == gold_by_id[row["page_id"]], row["page_id"]
+    assert n_test > 5
+
+
+def test_tag_accuracy_vs_gold(fixdir):
+    """CRF quality gate on held-out pages: token accuracy ≥ 0.99."""
+    W, T = load_model(os.path.join(fixdir, "crf_weights.npz"))
+    corpus = pq.read_table(os.path.join(fixdir, "crf_corpus.parquet"))
+    h = FeatureHasher()
+    tot = corr = 0
+    for row in corpus.to_pylist():
+        if row["split"] != "test":
+            continue
+        decoded = viterbi_batch([h.hash_tokens(row["tokens"])], W, T)[0]
+        gold = row["gold_tags"]
+        tot += len(gold)
+        corr += sum(BIO_LABELS[int(t)] == g for t, g in zip(decoded, gold))
+    assert tot > 0 and corr / tot >= 0.99

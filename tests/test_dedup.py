@@ -1,0 +1,110 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — correctness on constructed corpora with known duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_dups(ray_session):
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "completely different text about compilers and type systems here",
+        "a third document discussing harbors festivals and museums today",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        for variant in range(3):
+            words = b.split()
+            if variant == 1:
+                words[2] = words[2] + "x"        # near-dup: 1 word changed
+            elif variant == 2:
+                words = words                     # exact dup of variant 0
+            rows.append({"doc_id": did, "text": " ".join(words)})
+            did += 1
+    rows.append({"doc_id": did, "text": "unrelated singleton entry"})
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(ray_session):
+    from information_extraction_system_ray.functions.dedup import exact_dedup
+
+    docs = _docs_with_dups(ray_session)
+    kept = exact_dedup(docs).to_pandas()
+    # 3 bases × 2 distinct variants (v0==v2 exact) + singleton = 7 survivors
+    assert len(kept) == 7
+    # survivor is always the min doc_id of its group
+    assert set(kept["doc_id"]) == {0, 1, 3, 4, 6, 7, 9}
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    from information_extraction_system_ray.functions.dedup import \
+        minhash_lsh_duplicates
+
+    docs = _docs_with_dups(ray_session)
+    # 32 bands × 2 rows: collision prob for J≈0.4 pairs ≈ 1-(1-0.16)^32 ≈ 1;
+    # signature-agreement threshold below the smallest true J (0.4) minus
+    # estimator noise (64 perms ⇒ ±0.06)
+    pairs = minhash_lsh_duplicates(
+        docs, num_perm=64, bands=32, shingle_k=3,
+        jaccard_threshold=0.3).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # exact dups must be found; near-dups (1 word off) should be too
+    for a, b in [(0, 2), (3, 5), (6, 8)]:
+        assert (a, b) in got
+    for a, b in [(0, 1), (3, 4), (6, 7)]:
+        assert (a, b) in got
+    # no cross-base pairs
+    assert all(a // 3 == b // 3 for a, b in got if a <= 8 and b <= 8)
+
+
+def test_simhash_duplicates(ray_session):
+    from information_extraction_system_ray.functions.dedup import \
+        simhash_duplicates
+
+    docs = _docs_with_dups(ray_session)
+    pairs = simhash_duplicates(docs, max_hamming=8).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for a, b in [(0, 2), (3, 5), (6, 8)]:   # exact dups: hamming 0
+        assert (a, b) in got
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from information_extraction_system_ray.functions.dedup import \
+        ngram_jaccard_pairs
+
+    docs = _docs_with_dups(ray_session)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3,
+                                threshold=0.4).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
+    assert got.get((0, 2)) == 1.0          # exact dup → Jaccard exactly 1
+    assert (0, 1) in got and got[(0, 1)] < 1.0
+
+
+def test_embedding_cosine_duplicates(ray_session):
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.dedup import \
+        embedding_cosine_duplicates
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(5, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i in range(5):
+        for _ in range(2):  # two near-identical copies of each base vector
+            v = base[i] + rng.normal(scale=0.01, size=16).astype(np.float32)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = rd.from_items(rows)
+    pairs = embedding_cosine_duplicates(
+        ds, threshold=0.99, num_buckets=4).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(5):
+        assert (2 * i, 2 * i + 1) in got
+    # pairs only within a base (cosine of independent gaussians ≪ 0.99)
+    assert all(a // 2 == b // 2 for a, b in got)

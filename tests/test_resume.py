@@ -1,0 +1,64 @@
+"""Checkpoint/resume (SURVEY.md §5 item 4): kill-after-stage-N simulation —
+drop some committed partitions + the graph stage, rerun, require outputs
+identical to the uninterrupted run (== refimpl goldens)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _run(fixdir, out_dir):
+    import ray.data as rd
+
+    from information_extraction_system_ray.pipelines.flagship import \
+        run_flagship
+
+    pages = rd.read_parquet(os.path.join(fixdir, "pages_tiny.parquet"))
+    return run_flagship(pages, out_dir=out_dir, num_parts=8,
+                        concurrency=(1, 2))
+
+
+def test_resume_recomputes_only_missing_and_matches_gold(
+        ray_session, fixdir, out_dir):
+    res = _run(fixdir, out_dir)
+    assert all(m["partitions"] >= 1 for m in res["metrics"].values())
+
+    # simulate a crash: 2 annotated partitions and the graph stage lost
+    for p in (2, 6):
+        shutil.rmtree(os.path.join(out_dir, f"annotated/part_id={p}"))
+        os.remove(os.path.join(out_dir, f"_manifest/annotated/part-{p}.json"))
+    shutil.rmtree(os.path.join(out_dir, "nodes"))
+    shutil.rmtree(os.path.join(out_dir, "edges"))
+    os.remove(os.path.join(out_dir, "_manifest/graph/part-0.json"))
+
+    # extracted stage untouched → its files must not be rewritten
+    ext_mtime = {
+        f: os.path.getmtime(os.path.join(out_dir, "extracted", f))
+        for f in os.listdir(os.path.join(out_dir, "extracted"))
+    }
+    _run(fixdir, out_dir)
+    for f, m in ext_mtime.items():
+        assert os.path.getmtime(
+            os.path.join(out_dir, "extracted", f)) == m
+
+    edges = pq.read_table(os.path.join(out_dir, "edges")).to_pandas()
+    gold = pq.read_table(
+        os.path.join(fixdir, "gold_edges_tiny.parquet")).to_pandas()
+    edges["sample_urls"] = edges["sample_urls"].map(list)
+    gold["sample_urls"] = gold["sample_urls"].map(list)
+    assert edges.to_dict("records") == gold.to_dict("records")
+
+    nodes = pq.read_table(os.path.join(out_dir, "nodes")).to_pandas() \
+        .sort_values("entity_id").reset_index(drop=True)
+    goldn = pq.read_table(
+        os.path.join(fixdir, "gold_nodes_tiny.parquet")).to_pandas()
+    nodes["aliases"] = nodes["aliases"].map(list)
+    goldn["aliases"] = goldn["aliases"].map(list)
+    assert nodes.to_dict("records") == goldn.to_dict("records")
