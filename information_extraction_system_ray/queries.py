@@ -33,11 +33,23 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from .sources.tables import read_table
 
-_JOIN_PARTS = 8
+
+def _join_parts(sf_dir: str, table: str = "lineitem") -> int:
+    """Hash-join partition count sized from the probe side: ~250k rows per
+    partition, clamped to [2, 64]. Each partition is a shuffle-aggregator
+    actor (~0.5 s spawn), so small inputs must not pay 16 spawns; at 100 TB
+    the same rule yields the 64-partition ceiling and should be raised with
+    cluster size."""
+    rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    return max(2, min(64, rows // 250_000))
 
 
 def _cents(col):
-    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+    # half_towards_infinity == round-half-away-from-zero == DuckDB round();
+    # pyarrow's default is banker's rounding, which diverges on .5 boundaries
+    return pc.cast(pc.round(pc.multiply(col, 100.0),
+                            round_mode="half_towards_infinity"),
+                   pa.int64())
 
 
 # --------------------------------------------------------------------------
@@ -119,21 +131,21 @@ def q3_top_orders(sf_dir: str):
     grouped aggregate → top-k."""
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_mktsegment"])
-    keys = ray.put(set(
+    # broadcast small side ONCE as a ready-to-use Arrow value set (ray.put →
+    # plasma; per-batch ray.get is a local zero-copy read, no rebuild)
+    keys = ray.put(pa.array(sorted(set(
         cust.map_batches(
             lambda t: t.filter(
                 pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
             .select(["c_custkey"]),
-            batch_format="pyarrow").to_pandas()["c_custkey"]))
+            batch_format="pyarrow").to_pandas()["c_custkey"])), pa.int64()))
 
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filt_orders(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys)
         mask = pc.and_(
-            pc.is_in(t["o_custkey"],
-                     pa.array(sorted(ks), pa.int64())),
+            pc.is_in(t["o_custkey"], ray.get(keys)),
             pc.less(t["o_orderdate"],
                     pa.scalar(np.datetime64("1995-03-15", "us"))))
         return t.filter(mask).select(["o_orderkey", "o_orderdate"])
@@ -154,7 +166,7 @@ def q3_top_orders(sf_dir: str):
 
     li_f = li.map_batches(prep_li, batch_format="pyarrow")
     joined = li_f.join(orders_f, join_type="inner",
-                       num_partitions=_JOIN_PARTS,
+                       num_partitions=_join_parts(sf_dir),
                        on=("l_orderkey",), right_on=("o_orderkey",))
     agg = (joined.groupby("l_orderkey")
            .aggregate(Sum("rev_cents", alias_name="revenue_cents")))
@@ -327,6 +339,34 @@ SELECT p_type, COUNT(*) AS n, MAX(p_size) AS max_size,
        CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
            AS sum_price_cents
 FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
+def segment_order_revenue(sf_dir: str):
+    """J3: generic large-large hash equi-join (ds.join, no broadcast) —
+    orders ⋈ customer on custkey → grouped revenue per market segment."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "price_cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=_join_parts(sf_dir, "orders"),
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return (joined.groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("price_cents", alias_name="sum_price_cents"))
+            .sort("c_mktsegment"))
+
+
+_SEGMENT_REV_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
@@ -529,6 +569,23 @@ def docs_simhash(sf_dir: str):
         .sort("doc_id")
 
 
+def docs_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs, min-shingle co-bucketed —
+    rows-only (shingle hash family not SQL)."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, shingle_k=3, threshold=0.5)
+
+
+def docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3, prefix-bucketed) — rows-only."""
+    from .functions.dedup import simhash_duplicates
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_duplicates(ds, max_hamming=3)
+
+
 def docs_langid(sf_dir: str):
     """Heuristic language-ID agreement counts — rows-only."""
     from .functions.text import langid_batch
@@ -569,19 +626,27 @@ def emb_knn_bruteforce(sf_dir: str):
             batch_format="pyarrow"),
         q[None, :], k=5)
     res = res.drop(columns=["query_id", "rank"])
-    res["cosine"] = res["cosine"].round(4)
+    # integer basis points, float64 math + half-away-from-zero on BOTH
+    # engines → hash-stable (raw float round-trips differ in the last ulp)
+    c = res.pop("cosine").to_numpy(dtype=np.float64)
+    res["cosine_bp"] = (np.sign(c)
+                        * np.floor(np.abs(c) * 10000 + 0.5)).astype(np.int64)
     return res.sort_values("vec_id").reset_index(drop=True)
 
 
 _EMB_KNN_SQL = """
-SELECT vec_id, cosine FROM (
+SELECT vec_id, cosine_bp FROM (
   SELECT e.vec_id AS vec_id,
-         round(list_cosine_similarity(e.embedding, q.embedding), 4)
-             AS cosine
+         CAST(round(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])) * 10000) AS BIGINT)
+             AS cosine_bp
   FROM embeddings e,
        (SELECT embedding FROM embeddings WHERE vec_id = 0) q
   WHERE e.vec_id <> 0
-  ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC,
+           e.vec_id
   LIMIT 5
 ) ORDER BY vec_id
 """
@@ -604,6 +669,37 @@ def emb_cosine_dup_pairs(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_cosine_duplicates(ds, threshold=0.95, num_buckets=8)
+
+
+# --------------------------------------------------------------------------
+# multimodal (binary payload columns, stubbed codecs) — rows-only; the
+# Ray-side plumbing oracle is tests/test_multimodal.py
+# --------------------------------------------------------------------------
+
+def _n_media(sf_dir: str) -> int:
+    return max(64, pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+               // 100)
+
+
+def media_image_features(sf_dir: str):
+    """Actor-pool image decode → 64-d feature column (fake codec)."""
+    from .stages.multimodal import decode_images, synth_media
+
+    out = decode_images(synth_media(_n_media(sf_dir)), size=32).to_pandas()
+    # scalar encoding for the driver's value hash
+    out["feature"] = out["feature"].map(
+        lambda f: "|".join(f"{x:.6f}" for x in f))
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def media_frame_sample(sf_dir: str):
+    """Actor-pool video frame sampling (explode: one row per frame)."""
+    from .stages.multimodal import sample_frames, synth_media
+
+    out = sample_frames(synth_media(_n_media(sf_dir)),
+                        every_ms=1000).to_pandas()
+    out["frame_key"] = out["frame_key"].map(bytes.hex)
+    return out.sort_values(["media_id", "frame_ms"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -681,6 +777,7 @@ def queries():
         "dedup_orders_per_customer": dedup_orders_per_customer,
         "union_key_sources": union_key_sources,
         "part_type_stats": part_type_stats,
+        "segment_order_revenue": segment_order_revenue,
         "events_hourly": events_hourly,
         "events_json_extract": events_json_extract,
         "events_user_topk": events_user_topk,
@@ -691,11 +788,15 @@ def queries():
         "docs_exact_dedup": docs_exact_dedup,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
+        "docs_ngram_jaccard": docs_ngram_jaccard,
+        "docs_simhash_pairs": docs_simhash_pairs,
         "docs_langid": docs_langid,
         "emb_label_count": emb_label_count,
         "emb_knn_bruteforce": emb_knn_bruteforce,
         "emb_knn_ivf": emb_knn_ivf,
         "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
+        "media_image_features": media_image_features,
+        "media_frame_sample": media_frame_sample,
         "kg_extracted": kg_extracted,
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,
@@ -715,6 +816,7 @@ def oracle_sql():
         "dedup_orders_per_customer": _DEDUP_ORDERS_SQL,
         "union_key_sources": _UNION_SQL,
         "part_type_stats": _PART_TYPE_SQL,
+        "segment_order_revenue": _SEGMENT_REV_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "events_user_topk": _EVENTS_TOPK_SQL,

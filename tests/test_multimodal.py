@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests (SURVEY.md §2 / system-prompt scope).
+
+Codecs are stubbed (decoder="fake") — what's under test is the REAL Ray
+side: schema, actor-pool stage signatures, batch sizing, deterministic
+output layout, and the explode shape of frame sampling.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def media(ray_session):
+    from information_extraction_system_ray.stages.multimodal import synth_media
+
+    return synth_media(48)
+
+
+def test_media_schema(media):
+    from information_extraction_system_ray.stages.multimodal import MEDIA_SCHEMA
+
+    t = pa.Table.from_pandas(media.to_pandas(), schema=MEDIA_SCHEMA)
+    assert t.schema.equals(MEDIA_SCHEMA)
+
+
+def test_decode_images_layout_and_determinism(media):
+    from information_extraction_system_ray.stages.multimodal import decode_images
+
+    out = decode_images(media, size=32, batch_size=16).to_pandas()
+    assert list(out.columns) == ["media_id", "feature"]
+    assert len(out) == media.count()
+    feats = np.stack([np.asarray(f, np.float32) for f in out["feature"]])
+    assert feats.shape == (48, 64)
+    assert ((feats >= 0.0) & (feats <= 1.0)).all()
+
+    # deterministic across runs and across batch sizes (block-order free)
+    out2 = decode_images(media, size=32, batch_size=5).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (np.stack(a["feature"].map(np.asarray))
+            == np.stack(b["feature"].map(np.asarray))).all()
+
+
+def test_sample_frames_explode(media):
+    from information_extraction_system_ray.stages.multimodal import sample_frames
+
+    out = sample_frames(media, every_ms=1000).to_pandas()
+    assert list(out.columns) == ["media_id", "frame_ms", "frame_key"]
+    # one row per sampled frame, frame count = ceil(duration/1000) per media
+    durs = media.to_pandas().set_index("media_id")["duration_ms"]
+    counts = out.groupby("media_id").size()
+    for mid, n in counts.items():
+        assert n == max(int(durs[mid]), 1) // 1000 + (
+            1 if max(int(durs[mid]), 1) % 1000 else 0)
+    # frame keys deterministic: same media+ts ⇒ same key
+    out2 = sample_frames(media, every_ms=1000).to_pandas()
+    k1 = out.sort_values(["media_id", "frame_ms"])["frame_key"].tolist()
+    k2 = out2.sort_values(["media_id", "frame_ms"])["frame_key"].tolist()
+    assert k1 == k2
+
+
+def test_real_decoder_gated(media):
+    from information_extraction_system_ray.stages.multimodal import DecodeImage, \
+        SampleFrames
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(decoder="real")
+    with pytest.raises(NotImplementedError):
+        SampleFrames(decoder="real")

@@ -56,8 +56,10 @@ def test_query_matches_oracle(ray_session, con, name):
     assert list(got.columns) == list(want.columns), \
         (list(got.columns), list(want.columns))
     assert len(got) == len(want), (len(got), len(want))
+    # exact: the driver compares value HASHES, so rtol would hide real
+    # divergence (all oracle outputs are ints/strings by design)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=False, rtol=1e-6, atol=1e-6)
+                                  check_exact=True)
 
 
 def test_rows_only_queries_run(ray_session):
