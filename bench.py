@@ -66,7 +66,7 @@ def run_once() -> dict:
 
     t0 = time.time()
     ann = annotate(synth_pages(n_pages), num_parts=64,
-                   concurrency=(1, max(2, NUM_CPUS - 4)),
+                   concurrency=(max(1, NUM_CPUS // 4), max(2, NUM_CPUS - 4)),
                    batch_size=256).materialize()
     g = build_graph(ann)
     n_edges = _consume(g["edges"])

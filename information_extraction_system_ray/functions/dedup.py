@@ -37,6 +37,9 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id",
         .rename_columns({"keep_id": id_col})
 
 
+_PAIR_PARTS = 64  # hash partitions for bucket co-location; raise with cluster
+
+
 def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
                            id_col: str = "doc_id", text_col: str = "text",
                            num_perm: int = 64, bands: int = 16,
@@ -74,34 +77,39 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
             id_col: pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
             "bucket": pa.array(out_bucket, pa.int64()),
+            # partition key: same bucket → same partition; grouping by
+            # PARTITION (not per bucket) avoids one Ray group-task per
+            # bucket — thousands of tiny groups otherwise
+            "part": pa.array([b % _PAIR_PARTS for b in out_bucket],
+                             pa.int64()),
             "sig": pa.array([s.tolist() for s in out_sig],
                             pa.list_(pa.int64())),
         })
 
     banded = docs.map_batches(sig_batch, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "jaccard_sig": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.asarray(s) for s in g["sig"]])
+    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if ids[x] == ids[y]:
-                    continue
-                jac = float((sigs[x] == sigs[y]).mean())
-                if jac >= jaccard_threshold:
-                    out_a.append(int(ids[x]))
-                    out_b.append(int(ids[y]))
-                    out_j.append(jac)
+        for _, g in part.groupby(["band", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            sigs = np.stack([np.asarray(s) for s in g["sig"]])
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if ids[x] == ids[y]:
+                        continue
+                    jac = float((sigs[x] == sigs[y]).mean())
+                    if jac >= jaccard_threshold:
+                        out_a.append(int(ids[x]))
+                        out_b.append(int(ids[y]))
+                        out_j.append(jac)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b,
                              "jaccard_sig": out_j})
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    pairs = banded.groupby("part").map_groups(
+        pairs_in_part, batch_format="pandas")
     # same pair can surface from several bands → dedup (small shuffle)
     return (pairs.groupby(["id_a", "id_b"])
             .aggregate(Min("jaccard_sig", alias_name="jaccard_sig")))
@@ -133,23 +141,30 @@ def simhash_duplicates(docs: ray.data.Dataset, *, id_col: str = "doc_id",
     sh = docs.map_batches(simhash_batch,
                           fn_kwargs={"id_col": id_col, "text_col": text_col},
                           batch_format="pyarrow")
+    sh = sh.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array((t["sim_bucket"].to_numpy(zero_copy_only=False)
+                              % _PAIR_PARTS).astype(np.int64))),
+        batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = [int(h) & ((1 << 64) - 1) for h in g["simhash"]]
+    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
         oa, ob, oh = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = hamming64(hs[x], hs[y])
-                if d <= max_hamming and ids[x] != ids[y]:
-                    oa.append(int(ids[x])); ob.append(int(ids[y]))
-                    oh.append(d)
+        for _, g in part.groupby("sim_bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            hs = [int(h) & ((1 << 64) - 1) for h in g["simhash"]]
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    d = hamming64(hs[x], hs[y])
+                    if d <= max_hamming and ids[x] != ids[y]:
+                        oa.append(int(ids[x])); ob.append(int(ids[y]))
+                        oh.append(d)
         return pd.DataFrame({"id_a": oa, "id_b": ob, "hamming": oh})
 
-    return sh.groupby("sim_bucket").map_groups(pairs, batch_format="pandas")
+    return sh.groupby("part").map_groups(pairs_in_part,
+                                         batch_format="pandas")
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, *, id_col: str = "doc_id",

@@ -402,7 +402,8 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 
 def events_json_extract(sf_dir: str):
     """M8: per-row JSON parse + grouped count over the extracted value."""
-    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"],
+                    rows_per_block=25_000)
 
     def prep(t: pa.Table) -> pa.Table:
         ks = [str(json.loads(p)["k"]) for p in t["props"].to_pylist()]
@@ -459,7 +460,8 @@ def docs_token_counts(sf_dir: str):
     """Per-doc whitespace + BPE-ish subword token counts (integers)."""
     from .functions.text import token_count_batch
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
     return ds.map_batches(
         lambda t: token_count_batch(t).select(
             ["doc_id", "n_tokens", "n_subwords"]),
@@ -480,7 +482,8 @@ def docs_quality_counts(sf_dir: str):
     quality scorer; the float composite is tested in tests/)."""
     from .functions.text import STOPWORDS, _WORD_RE
 
-    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"],
+                    rows_per_block=500)
 
     def prep(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -521,7 +524,8 @@ def docs_fingerprint(sf_dir: str):
     """Per-doc md5 content fingerprint (SQL-identical normalization)."""
     from .functions.text import fingerprint_batch
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
     return ds.map_batches(
         lambda t: fingerprint_batch(t).select(["doc_id", "fingerprint"]),
         batch_format="pyarrow").sort("doc_id")
@@ -539,7 +543,8 @@ def docs_exact_dedup(sf_dir: str):
     """D1: exact dedup — min doc_id survivor per content fingerprint."""
     from .functions.dedup import exact_dedup
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
     return exact_dedup(ds).sort("doc_id")
 
 
@@ -555,7 +560,9 @@ def docs_minhash_pairs(sf_dir: str):
     """Near-dup pairs (MinHash+LSH) — rows-only (hash family not SQL)."""
     from .functions.dedup import minhash_lsh_duplicates
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # smallest blocks: per-doc signature cost dominates (64 perms x shingles)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=100)
     return minhash_lsh_duplicates(ds, num_perm=64, bands=32,
                                   jaccard_threshold=0.5)
 
@@ -564,7 +571,8 @@ def docs_simhash(sf_dir: str):
     """Per-doc 64-bit SimHash — rows-only."""
     from .functions.dedup import simhash_batch
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
     return ds.map_batches(simhash_batch, batch_format="pyarrow") \
         .sort("doc_id")
 
@@ -574,7 +582,8 @@ def docs_ngram_jaccard(sf_dir: str):
     rows-only (shingle hash family not SQL)."""
     from .functions.dedup import ngram_jaccard_pairs
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
     return ngram_jaccard_pairs(ds, shingle_k=3, threshold=0.5)
 
 
@@ -582,7 +591,8 @@ def docs_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3, prefix-bucketed) — rows-only."""
     from .functions.dedup import simhash_duplicates
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
     return simhash_duplicates(ds, max_hamming=3)
 
 
@@ -590,7 +600,8 @@ def docs_langid(sf_dir: str):
     """Heuristic language-ID agreement counts — rows-only."""
     from .functions.text import langid_batch
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"],
+                    rows_per_block=500)
     return (ds.map_batches(langid_batch, batch_format="pyarrow")
             .groupby(["lang", "lang_pred"])
             .aggregate(Count(alias_name="n"))
@@ -614,7 +625,8 @@ def emb_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 to the vec_id=0 vector (float64, round 4dp)."""
     from .functions.similarity import knn_bruteforce
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                    rows_per_block=2_000)
     q = np.array(
         pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -656,7 +668,8 @@ def emb_knn_ivf(sf_dir: str):
     """Approximate ANN (IVF buckets) — rows-only (recall tested in tests/)."""
     from .functions.similarity import knn_ivf
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                    rows_per_block=2_000)
     q = np.array(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .to_pandas()["embedding"].iloc[0], dtype=np.float32)
@@ -667,7 +680,8 @@ def emb_cosine_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs — rows-only."""
     from .functions.dedup import embedding_cosine_duplicates
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                    rows_per_block=2_000)
     return embedding_cosine_duplicates(ds, threshold=0.95, num_buckets=8)
 
 

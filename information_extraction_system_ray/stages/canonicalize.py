@@ -135,6 +135,7 @@ def connected_components(edges: ray.data.Dataset, *,
     ``driver_threshold`` distinct edges, else distributed label propagation
     (then collects the entity→cluster map, which is ≤ #entities rows — the
     small output of the wide computation)."""
+    edges = edges.materialize()  # count() + downstream reuse: shuffle ONCE
     n = edges.count()
     if n <= driver_threshold:
         return connected_components_driver(edges)

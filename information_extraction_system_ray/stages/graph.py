@@ -24,6 +24,15 @@ import ray.data
 from refimpl.vocab import BY_ID
 
 _SAMPLE_URLS = 5
+_MERGE_PARTS = 32  # hash partitions for the merge shuffle; raise with cluster
+
+
+def _part_of(key: pd.Series) -> pd.Series:
+    """Deterministic hash partition id for the merge groupby. Grouping by
+    partition (not by key) lets the merge run ONE vectorized pandas groupby
+    per partition instead of one Python call per key — same semantics, since
+    every row of a key lands in the same partition."""
+    return pd.util.hash_pandas_object(key, index=False) % _MERGE_PARTS
 
 
 def explode_list_struct(batch: pa.Table, col: str,
@@ -42,7 +51,8 @@ def explode_list_struct(batch: pa.Table, col: str,
 
 
 def _cluster_lookup(arr: pa.Array, cmap: dict[str, str]) -> pa.Array:
-    return pa.array([cmap.get(e, e) for e in arr.to_pylist()], pa.string())
+    s = pd.Series(arr.to_pandas())
+    return pa.array(s.map(cmap).fillna(s), pa.string())
 
 
 def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
@@ -63,26 +73,31 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
         g = g.reset_index()
         return pa.table({
             "entity_id": pa.array(g["entity_id"], pa.string()),
+            "part": pa.array(_part_of(g["entity_id"]), pa.int64()),
             "n_partial": pa.array(g["n_mentions"], pa.int64()),
             "aliases_partial": pa.array(list(g["aliases"]),
                                         pa.list_(pa.string())),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        eid = g["entity_id"].iloc[0]
-        aliases = sorted({a for lst in g["aliases_partial"] for a in lst})
-        e = BY_ID.get(eid)
-        canonical = e.canonical if e else eid.removeprefix("NIL:")
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("entity_id", sort=False)
+               .agg(n_mentions=("n_partial", "sum"),
+                    aliases=("aliases_partial",
+                             lambda s: sorted({a for lst in s for a in lst})))
+               .reset_index())
+        canon = [(BY_ID[e].canonical if e in BY_ID
+                  else e.removeprefix("NIL:")) for e in out["entity_id"]]
         return pd.DataFrame({
-            "entity_id": [eid], "canonical_surface": [canonical],
-            "aliases": [aliases],
-            "n_mentions": [int(g["n_partial"].sum())],
+            "entity_id": out["entity_id"],
+            "canonical_surface": canon,
+            "aliases": out["aliases"],
+            "n_mentions": out["n_mentions"].astype("int64"),
         })
 
     return (annotated
             .map_batches(partial, batch_format="pyarrow")
-            .groupby("entity_id")
-            .map_groups(merge, batch_format="pandas")
+            .groupby("part")
+            .map_groups(merge_part, batch_format="pandas")
             .sort("entity_id"))
 
 
@@ -105,27 +120,31 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
             n_partial=("url", "size"),
             urls_partial=("url", lambda s: sorted(set(s))[:_SAMPLE_URLS]))
         g = g.reset_index()
+        key = g["subj_id"] + "\x00" + g["pred"] + "\x00" + g["obj_id"]
         return pa.table({
             "subj_id": pa.array(g["subj_id"], pa.string()),
             "pred": pa.array(g["pred"], pa.string()),
             "obj_id": pa.array(g["obj_id"], pa.string()),
+            "part": pa.array(_part_of(key), pa.int64()),
             "n_partial": pa.array(g["n_partial"], pa.int64()),
             "urls_partial": pa.array(list(g["urls_partial"]),
                                      pa.list_(pa.string())),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         # sorted-min-k is associative: min-5 of unions == global min-5
-        urls = sorted({u for lst in g["urls_partial"] for u in lst})
-        return pd.DataFrame({
-            "subj_id": [g["subj_id"].iloc[0]], "pred": [g["pred"].iloc[0]],
-            "obj_id": [g["obj_id"].iloc[0]],
-            "n_support": [int(g["n_partial"].sum())],
-            "sample_urls": [urls[:_SAMPLE_URLS]],
-        })
+        out = (g.groupby(["subj_id", "pred", "obj_id"], sort=False)
+               .agg(n_support=("n_partial", "sum"),
+                    sample_urls=("urls_partial",
+                                 lambda s: sorted({u for lst in s
+                                                   for u in lst})
+                                 [:_SAMPLE_URLS]))
+               .reset_index())
+        out["n_support"] = out["n_support"].astype("int64")
+        return out
 
     return (annotated
             .map_batches(partial, batch_format="pyarrow")
-            .groupby(["subj_id", "pred", "obj_id"])
-            .map_groups(merge, batch_format="pandas")
+            .groupby("part")
+            .map_groups(merge_part, batch_format="pandas")
             .sort(["subj_id", "pred", "obj_id"]))

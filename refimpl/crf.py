@@ -150,6 +150,9 @@ def hash_features(tokens: list[str]) -> np.ndarray:
     return _GLOBAL_HASHER.hash_tokens(tokens)
 
 
+_BUCKET = 64
+
+
 def viterbi_batch(seq_feats: list[np.ndarray], W: np.ndarray,
                   T: np.ndarray) -> list[np.ndarray]:
     """Batched Viterbi decode.
@@ -157,9 +160,29 @@ def viterbi_batch(seq_feats: list[np.ndarray], W: np.ndarray,
     seq_feats: one (len_i, N_FEATS) int array per sequence. Returns one
     (len_i,) int label array per sequence. Ties break toward the lower label
     index (deterministic).
+
+    Sequences are decoded in length-sorted buckets of _BUCKET so the padded
+    time axis tracks each bucket's max length (web-page lengths are heavy
+    tailed; one straggler must not pad the whole batch). Per-sequence
+    results are position-independent, so bucketing is invisible to callers.
     """
     if not seq_feats:
         return []
+    all_lens = np.array([f.shape[0] for f in seq_feats])
+    if len(seq_feats) > _BUCKET:
+        order = np.argsort(all_lens, kind="stable")
+        out: list = [None] * len(seq_feats)
+        for s in range(0, len(order), _BUCKET):
+            idx = order[s:s + _BUCKET]
+            for i, p in zip(idx, _viterbi_padded(
+                    [seq_feats[i] for i in idx], W, T)):
+                out[i] = p
+        return out
+    return _viterbi_padded(seq_feats, W, T)
+
+
+def _viterbi_padded(seq_feats: list[np.ndarray], W: np.ndarray,
+                    T: np.ndarray) -> list[np.ndarray]:
     lens = np.array([f.shape[0] for f in seq_feats])
     B, M = len(seq_feats), int(lens.max(initial=1))
     # padded emissions: (B, M, L)
@@ -173,26 +196,27 @@ def viterbi_batch(seq_feats: list[np.ndarray], W: np.ndarray,
         pos += ln
     v = em[:, 0, :].copy()                              # (B, L)
     bp = np.zeros((B, M, L), dtype=np.int8)
+    ident = np.arange(L, dtype=np.int8)
     for t in range(1, M):
         # scores[b, i, j] = v[b, i] + T[i, j]
         s = v[:, :, None] + T[None, :, :]
-        bp[:, t] = s.argmax(axis=1)
         active = (t < lens)
+        # identity backpointers on padded steps keep the final label frozen
+        # through the vectorized backtrace below (== per-sequence backtrace)
+        bp[:, t] = np.where(active[:, None], s.argmax(axis=1), ident)
         v_new = s.max(axis=1) + em[:, t, :]
         v = np.where(active[:, None], v_new, v)
-    out: list[np.ndarray] = []
+    # vectorized backtrace: M steps of B-sized gathers instead of a Python
+    # loop per token (bit-identical paths; asserted vs brute force in tests)
     last = np.argmax(v, axis=1)
-    for b, ln in enumerate(lens):
-        ln = int(ln)
-        path = np.zeros(ln, dtype=np.int64)
-        if ln == 0:
-            out.append(path)
-            continue
-        path[ln - 1] = last[b]
-        for t in range(ln - 1, 0, -1):
-            path[t - 1] = bp[b, t, path[t]]
-        out.append(path)
-    return out
+    paths = np.zeros((B, M), dtype=np.int64)
+    rows = np.arange(B)
+    cur = last.copy()
+    paths[:, M - 1] = cur
+    for t in range(M - 1, 0, -1):
+        cur = bp[rows, t, cur].astype(np.int64)
+        paths[:, t - 1] = cur
+    return [paths[b, :int(ln)] for b, ln in enumerate(lens)]
 
 
 def viterbi(feats: np.ndarray, W: np.ndarray, T: np.ndarray) -> np.ndarray:
