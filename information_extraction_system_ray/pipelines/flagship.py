@@ -33,7 +33,7 @@ from ..stages.strip import extract_text
 from ..stages.tagger import tag_pages
 from ..stages.linker import link_pages
 from ..stages.triple_extract import extract_triples_stage
-from ..stages.canonicalize import connected_components, mention_entity_edges
+from ..stages.canonicalize import connected_components, partial_mention_edges
 from ..stages.graph import build_edges, build_nodes
 
 DEFAULT_LANGS = ("en",)
@@ -62,14 +62,113 @@ def _filter_parts(ds: ray.data.Dataset, parts: set[int]) -> ray.data.Dataset:
         batch_format="pyarrow")
 
 
+class FusedAnnotator:
+    """tag → link → triples in ONE actor pool and ONE Python pass per page.
+
+    The three per-page stages are each Python-loop-bound, so separate pools
+    would pay two extra block handoffs and 3× the actor processes for zero
+    pipelining benefit. Fusing in one loop also kills the dominant glue
+    cost: mentions never round-trip through Arrow structs between stages
+    (list-of-dicts → pa.array was ~half the unfused stage time), and the
+    output columns are built flat (StructArray/ListArray.from_arrays).
+    Semantics == unfused tag_pages→link_pages→extract_triples_stage chain
+    (same refimpl primitives; verified against goldens in
+    tests/test_flagship.py)."""
+
+    def __init__(self, model_ref, alias_ref=None) -> None:
+        import ray as _ray
+        from refimpl.crf import FeatureHasher
+        from refimpl.linker import Linker
+        import numpy as _np
+
+        W, T = _ray.get(model_ref) \
+            if isinstance(model_ref, _ray.ObjectRef) else model_ref
+        self.W = _np.ascontiguousarray(W, dtype=_np.float32)
+        self.T = _np.ascontiguousarray(T, dtype=_np.float32)
+        self.hasher = FeatureHasher()
+        self.linker = Linker()
+        if alias_ref is not None:
+            alias, profiles = _ray.get(alias_ref)
+            self.linker.alias = alias
+            self.linker.profiles = profiles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from refimpl.crf import viterbi_batch
+        from refimpl.linker import context_words
+        from refimpl.tokenizer import tokenize
+        from refimpl.triples import extract_triples, spans_from_tags
+
+        from ..stages.linker import MENTION_TYPE
+        from ..stages.triple_extract import TRIPLE_TYPE
+
+        texts = batch["text"].to_pylist()
+        toks = [tokenize(t) for t in texts]
+        feats = [self.hasher.hash_tokens(tk) for tk, _ in toks]
+        paths = viterbi_batch(feats, self.W, self.T)
+
+        m_cnt, m_flat = [], {k: [] for k in
+                             ("start", "end", "surface", "label",
+                              "entity_id", "link_score")}
+        t_cnt, t_flat = [], {f.name: [] for f in TRIPLE_TYPE}
+        for (tk, offs), text, tags in zip(toks, texts, paths):
+            spans = spans_from_tags(tk, offs, tags)
+            eid_by_span = {}
+            m_cnt.append(len(spans))
+            for (ts, te, cs, ce, ty) in spans:
+                surface = text[cs:ce]
+                eid, score = self.linker.link(
+                    surface, context_words(tk, ts, te))
+                eid_by_span[(cs, ce)] = eid
+                m_flat["start"].append(cs)
+                m_flat["end"].append(ce)
+                m_flat["surface"].append(surface)
+                m_flat["label"].append(ty)
+                m_flat["entity_id"].append(eid)
+                m_flat["link_score"].append(score)
+            trs = extract_triples(text, tk, offs, tags)
+            t_cnt.append(len(trs))
+            for t in trs:
+                t["subj_entity_id"] = eid_by_span.get(
+                    (t["subj_start"], t["subj_end"]),
+                    "NIL:" + t["subj"].lower())
+                t["obj_entity_id"] = eid_by_span.get(
+                    (t["obj_start"], t["obj_end"]),
+                    "NIL:" + t["obj"].lower())
+                for f in TRIPLE_TYPE:
+                    t_flat[f.name].append(t[f.name])
+
+        def list_struct(counts, flat, stype):
+            struct = pa.StructArray.from_arrays(
+                [pa.array(flat[f.name], f.type) for f in stype],
+                fields=list(stype))
+            offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                            struct)
+
+        return pa.table({
+            "url": batch["url"],
+            "part_id": batch["part_id"],
+            "lang": batch["lang"],
+            "mentions": list_struct(m_cnt, m_flat, MENTION_TYPE),
+            "triples": list_struct(t_cnt, t_flat, TRIPLE_TYPE),
+        })
+
+
 def annotate(pages: ray.data.Dataset, *, langs=DEFAULT_LANGS,
              num_parts: int = 32, concurrency=(1, 8),
-             batch_size: int = 256) -> ray.data.Dataset:
-    """pages → annotated(url, part_id, lang, mentions, triples): the fused
+             batch_size: int = 256, fused: bool = True) -> ray.data.Dataset:
+    """pages → annotated(url, part_id, lang, mentions, triples): the
     per-page half of the DAG (no shuffles; pure streaming)."""
     model_ref = put_once("crf_model", get_model)
     extracted = extract_text(pages, num_parts=num_parts, with_sha=False)
     en = _filter_langs(extracted, langs)
+    if fused:
+        return en.map_batches(
+            FusedAnnotator, fn_constructor_args=(model_ref,),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1.0)
     tagged = tag_pages(en, model_ref, concurrency=concurrency,
                        batch_size=batch_size)
     linked = link_pages(tagged, concurrency=concurrency,
@@ -82,8 +181,9 @@ def build_graph(annotated: ray.data.Dataset, *,
     """annotated → {cluster map, nodes Dataset, edges Dataset}."""
     import ray as _ray
 
-    edges_bi = mention_entity_edges(annotated)
-    cmap = connected_components(edges_bi, driver_threshold=driver_threshold)
+    edges_bi = partial_mention_edges(annotated)
+    cmap = connected_components(edges_bi, driver_threshold=driver_threshold,
+                                distinct=False)
     cref = _ray.put(cmap)
     return {
         "cluster": cmap,
@@ -132,11 +232,10 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
         src = _filter_langs(ext_ds, langs)
         if len(pend) < num_parts:
             src = _filter_parts(src, pend)
-        tagged = tag_pages(src, model_ref, concurrency=concurrency,
-                           batch_size=batch_size)
-        linked = link_pages(tagged, concurrency=concurrency,
-                            batch_size=batch_size)
-        ann = extract_triples_stage(linked)
+        ann = src.map_batches(
+            FusedAnnotator, fn_constructor_args=(model_ref,),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1.0)
         ann.write_parquet(ann_dir, partition_cols=["part_id"])
         commit_partitions_from_dir(
             man, "annotated", ann_dir, wall_s=time.time() - t0,

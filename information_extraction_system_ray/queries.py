@@ -443,6 +443,47 @@ ORDER BY sum_value_cents DESC, user_id LIMIT 10
 """
 
 
+def events_type_skew(sf_dir: str):
+    """O3 skew probe: heaviest group keys (groupby count → top-k)."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return (ds.groupby("event_type").aggregate(Count(alias_name="n"))
+            .sort(["n", "event_type"], descending=[True, False]).limit(5))
+
+
+_EVENTS_SKEW_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+"""
+
+
+def orders_kfold(sf_dir: str):
+    """S2/O3: deterministic k-fold assignment by key hash-bucket (the
+    train/test-split primitive; fold must be key-derived, never row-order)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        fold = pc.cast(
+            pc.subtract(t["o_orderkey"],
+                        pc.multiply(pc.divide(t["o_orderkey"], pa.scalar(5)),
+                                    pa.scalar(5))), pa.int32())
+        return pa.table({"fold": fold,
+                         "price_cents": _cents(t["o_totalprice"])})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("fold")
+            .aggregate(Count(alias_name="n"),
+                       Sum("price_cents", alias_name="sum_price_cents"))
+            .sort("fold"))
+
+
+_ORDERS_KFOLD_SQL = """
+SELECT CAST(o_orderkey % 5 AS INTEGER) AS fold, COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders GROUP BY fold ORDER BY fold
+"""
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis + dedup (system-prompt training-data operators)
 # --------------------------------------------------------------------------
@@ -795,6 +836,8 @@ def queries():
         "events_hourly": events_hourly,
         "events_json_extract": events_json_extract,
         "events_user_topk": events_user_topk,
+        "events_type_skew": events_type_skew,
+        "orders_kfold": orders_kfold,
         "docs_lang_count": docs_lang_count,
         "docs_token_counts": docs_token_counts,
         "docs_quality_counts": docs_quality_counts,
@@ -834,6 +877,8 @@ def oracle_sql():
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "events_user_topk": _EVENTS_TOPK_SQL,
+        "events_type_skew": _EVENTS_SKEW_SQL,
+        "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
         "docs_token_counts": _DOCS_TOKENS_SQL,
         "docs_quality_counts": _DOCS_QUALITY_SQL,

@@ -43,13 +43,24 @@ def _explode_mention_edges(batch: pa.Table) -> pa.Table:
     return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
 
 
+def partial_mention_edges(annotated: ray.data.Dataset) -> ray.data.Dataset:
+    """annotated(mentions=list<struct>) → per-batch-deduped (src, dst) edges.
+    NOT globally distinct — union-find tolerates duplicates, so the driver
+    path consumes this directly and skips a whole shuffle; only the
+    distributed label-propagation path needs the global distinct."""
+    return annotated.map_batches(_explode_mention_edges,
+                                 batch_format="pyarrow")
+
+
+def distinct_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Global distinct over (already partially-collapsed) edges (shuffle)."""
+    return (edges.groupby(["src", "dst"]).aggregate(Count())
+            .select_columns(["src", "dst"]))
+
+
 def mention_entity_edges(annotated: ray.data.Dataset) -> ray.data.Dataset:
     """annotated(mentions=list<struct>) → distinct (src, dst) edge Dataset."""
-    partial = annotated.map_batches(_explode_mention_edges,
-                                    batch_format="pyarrow")
-    # global distinct over the already-collapsed partials (shuffle #1)
-    return (partial.groupby(["src", "dst"]).aggregate(Count())
-            .select_columns(["src", "dst"]))
+    return distinct_edges(partial_mention_edges(annotated))
 
 
 def _uf_components_from_iter(edge_batches) -> dict[str, str]:
@@ -130,15 +141,24 @@ def connected_components_distributed(
 
 def connected_components(edges: ray.data.Dataset, *,
                          driver_threshold: int = 2_000_000,
-                         num_partitions: int = 16) -> dict[str, str]:
+                         num_partitions: int = 16,
+                         distinct: bool = True) -> dict[str, str]:
     """entity_id → cluster id. Uses the driver union-find under
-    ``driver_threshold`` distinct edges, else distributed label propagation
-    (then collects the entity→cluster map, which is ≤ #entities rows — the
-    small output of the wide computation)."""
-    edges = edges.materialize()  # count() + downstream reuse: shuffle ONCE
+    ``driver_threshold`` edge rows, else distributed label propagation (then
+    collects the entity→cluster map, which is ≤ #entities rows — the small
+    output of the wide computation).
+
+    ``edges`` may contain duplicate rows (pass distinct=False): the driver
+    union-find absorbs them for free, so the flagship feeds PARTIAL-deduped
+    edges straight in and skips the global-distinct shuffle entirely on the
+    driver path; the distributed path inserts it (label-prop cost scales
+    with edge rows, so there it pays for itself)."""
+    edges = edges.materialize()  # count() + downstream reuse: execute ONCE
     n = edges.count()
     if n <= driver_threshold:
         return connected_components_driver(edges)
+    if not distinct:
+        edges = distinct_edges(edges)
     labels = connected_components_distributed(
         edges, num_partitions=num_partitions)
     out: dict[str, str] = {}

@@ -101,6 +101,27 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
             .sort("entity_id"))
 
 
+_KEYS = ["subj_id", "pred", "obj_id"]
+_URL_COLS = [f"u{i}" for i in range(_SAMPLE_URLS)]
+
+
+def _min_k_wide(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """Per key: the ≤_SAMPLE_URLS lexicographically-smallest distinct urls,
+    as WIDE nullable columns u0..u4 — all vectorized pandas (the per-batch
+    combiner must not run one Python lambda per key). sorted-min-k is
+    associative, so partial min-k then merged min-k == global min-k."""
+    d = (df[keys + ["url"]].drop_duplicates()
+         .sort_values(keys + ["url"], kind="mergesort"))
+    d = d.groupby(keys, sort=False).head(_SAMPLE_URLS).copy()
+    d["rank"] = d.groupby(keys, sort=False).cumcount()
+    wide = d.set_index(keys + ["rank"])["url"].unstack("rank")
+    wide.columns = [f"u{int(c)}" for c in wide.columns]
+    for c in _URL_COLS:
+        if c not in wide.columns:
+            wide[c] = None
+    return wide[_URL_COLS].reset_index()
+
+
 def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     """annotated → edges(subj_id, pred, obj_id, n_support, sample_urls),
     sorted by (subj_id, pred, obj_id)."""
@@ -116,32 +137,31 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
             "obj_id": _cluster_lookup(flat["obj_entity_id"], cmap),
             "url": flat["url"],
         }).to_pandas()
-        g = df.groupby(["subj_id", "pred", "obj_id"], sort=False).agg(
-            n_partial=("url", "size"),
-            urls_partial=("url", lambda s: sorted(set(s))[:_SAMPLE_URLS]))
-        g = g.reset_index()
+        counts = (df.groupby(_KEYS, sort=False).size()
+                  .rename("n_partial").reset_index())
+        g = counts.merge(_min_k_wide(df, _KEYS), on=_KEYS, how="left")
         key = g["subj_id"] + "\x00" + g["pred"] + "\x00" + g["obj_id"]
-        return pa.table({
-            "subj_id": pa.array(g["subj_id"], pa.string()),
-            "pred": pa.array(g["pred"], pa.string()),
-            "obj_id": pa.array(g["obj_id"], pa.string()),
-            "part": pa.array(_part_of(key), pa.int64()),
-            "n_partial": pa.array(g["n_partial"], pa.int64()),
-            "urls_partial": pa.array(list(g["urls_partial"]),
-                                     pa.list_(pa.string())),
-        })
+        cols = {k: pa.array(g[k], pa.string()) for k in _KEYS}
+        cols["part"] = pa.array(_part_of(key), pa.int64())
+        cols["n_partial"] = pa.array(g["n_partial"], pa.int64())
+        for c in _URL_COLS:
+            cols[c] = pa.array(g[c], pa.string())
+        return pa.table(cols)
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        # sorted-min-k is associative: min-5 of unions == global min-5
-        out = (g.groupby(["subj_id", "pred", "obj_id"], sort=False)
-               .agg(n_support=("n_partial", "sum"),
-                    sample_urls=("urls_partial",
-                                 lambda s: sorted({u for lst in s
-                                                   for u in lst})
-                                 [:_SAMPLE_URLS]))
-               .reset_index())
+        n = (g.groupby(_KEYS, sort=False)
+             .agg(n_support=("n_partial", "sum")))
+        melted = g.melt(id_vars=_KEYS, value_vars=_URL_COLS,
+                        value_name="url").dropna(subset=["url"])
+        wide = _min_k_wide(melted, _KEYS).set_index(_KEYS)
+        # the only per-key Python step left: assembling the final ≤5-element
+        # list cells (runs once per OUTPUT key, not once per batch-key)
+        sample = wide.apply(
+            lambda r: [u for u in r[_URL_COLS] if isinstance(u, str)], axis=1)
+        out = n.copy()
+        out["sample_urls"] = sample
         out["n_support"] = out["n_support"].astype("int64")
-        return out
+        return out.reset_index()
 
     return (annotated
             .map_batches(partial, batch_format="pyarrow")

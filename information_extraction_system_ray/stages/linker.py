@@ -17,7 +17,6 @@ import ray
 import ray.data
 
 from refimpl.linker import Linker, context_words
-from refimpl.tokenizer import tokenize
 from refimpl.triples import spans_from_tags
 
 MENTION_TYPE = pa.struct([
@@ -40,9 +39,13 @@ class LinkMentions:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         tags_col = batch["tags"].to_pylist()
+        ss_col = batch["tok_start"].to_pylist()
+        ee_col = batch["tok_end"].to_pylist()
         out = []
-        for text, tags in zip(texts, tags_col):
-            tokens, offsets = tokenize(text)
+        for text, tags, ss, ee in zip(texts, tags_col, ss_col, ee_col):
+            # tokens restored by slicing: cheaper than re-running the regex
+            offsets = list(zip(ss, ee))
+            tokens = [text[s:e] for s, e in offsets]
             spans = spans_from_tags(tokens, offsets, tags)
             ments = []
             for (ts, te, cs, ce, ty) in spans:

@@ -10,7 +10,10 @@ Viterbi call per Arrow batch; feature hashing is memoized per actor
 
 Output keeps ``text`` (needed by downstream span logic) and adds
 ``tags: list<int8>`` — a compact encoding (≤7 labels) so the shuffle-bound
-stages downstream move small rows.
+stages downstream move small rows — plus ``tok_start``/``tok_end``
+(list<int32> char offsets) so the linker and triple stages slice tokens out
+of ``text`` instead of re-running the regex tokenizer (it would otherwise
+run 3× per page).
 """
 
 from __future__ import annotations
@@ -37,11 +40,18 @@ class CrfTagger:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        feats = [self.hasher.hash_tokens(tokenize(t)[0]) for t in texts]
+        toks = [tokenize(t) for t in texts]
+        feats = [self.hasher.hash_tokens(tk) for tk, _ in toks]
         paths = viterbi_batch(feats, self.W, self.T)
         tags = pa.array([p.astype(np.int8) for p in paths],
                         pa.list_(pa.int8()))
-        return batch.append_column("tags", tags)
+        starts = pa.array([[s for s, _ in offs] for _, offs in toks],
+                          pa.list_(pa.int32()))
+        ends = pa.array([[e for _, e in offs] for _, offs in toks],
+                        pa.list_(pa.int32()))
+        return (batch.append_column("tags", tags)
+                .append_column("tok_start", starts)
+                .append_column("tok_end", ends))
 
 
 def tag_pages(extracted: ray.data.Dataset, model_ref, *,

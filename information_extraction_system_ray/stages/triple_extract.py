@@ -16,7 +16,6 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from refimpl.tokenizer import tokenize
 from refimpl.triples import extract_triples
 
 TRIPLE_TYPE = pa.struct([
@@ -32,9 +31,13 @@ def _triples_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     tags_col = batch["tags"].to_pylist()
     mentions_col = batch["mentions"].to_pylist()
+    ss_col = batch["tok_start"].to_pylist()
+    ee_col = batch["tok_end"].to_pylist()
     out = []
-    for text, tags, mentions in zip(texts, tags_col, mentions_col):
-        tokens, offsets = tokenize(text)
+    for text, tags, mentions, ss, ee in zip(texts, tags_col, mentions_col,
+                                            ss_col, ee_col):
+        offsets = list(zip(ss, ee))
+        tokens = [text[s:e] for s, e in offsets]
         eid_by_span = {(m["start"], m["end"]): m["entity_id"]
                        for m in mentions}
         rows = []
@@ -47,7 +50,7 @@ def _triples_batch(batch: pa.Table) -> pa.Table:
         out.append(rows)
     result = batch.append_column(
         "triples", pa.array(out, pa.list_(TRIPLE_TYPE)))
-    return result.drop_columns(["text", "tags"])
+    return result.drop_columns(["text", "tags", "tok_start", "tok_end"])
 
 
 def extract_triples_stage(linked: ray.data.Dataset, *,

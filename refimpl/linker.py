@@ -63,6 +63,23 @@ class Linker:
     def __init__(self) -> None:
         self.alias = build_alias_index()
         self.profiles = build_entity_profiles()
+        self._wcache: dict[str, tuple[int, float]] = {}
+
+    def _embed(self, words: list[str]) -> np.ndarray:
+        """== embed_words, with the per-word (bucket, sign) crc32 pair
+        memoized — identical output, heavy-tailed word reuse."""
+        v = np.zeros(EMB_DIM, dtype=np.float32)
+        cache = self._wcache
+        for w in words:
+            lw = w.lower()
+            e = cache.get(lw)
+            if e is None:
+                e = (zlib.crc32(b"emb=" + lw.encode()) % EMB_DIM,
+                     1.0 if zlib.crc32(b"sgn=" + lw.encode()) & 1 else -1.0)
+                cache[lw] = e
+            v[e[0]] += e[1]
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
 
     def link(self, surface: str, context_words: list[str]
              ) -> tuple[str, float]:
@@ -70,7 +87,7 @@ class Linker:
         cands = self.alias.get(surface)
         if not cands:
             return "NIL:" + surface.lower(), 0.0
-        ctx = embed_words(context_words)
+        ctx = self._embed(context_words)
         best_id, best_score = "", -1e9
         for eid, prior in cands:
             cos = float(np.dot(ctx, self.profiles[eid]))
