@@ -66,7 +66,7 @@ def run_once() -> dict:
 
     t0 = time.time()
     ann = annotate(synth_pages(n_pages), num_parts=64,
-                   concurrency=(max(2, NUM_CPUS // 2), NUM_CPUS),
+                   concurrency=(max(2, NUM_CPUS * 3 // 4), NUM_CPUS),
                    batch_size=128).materialize()
     t_ann = time.time()
     g = build_graph(ann)

@@ -45,7 +45,7 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
 def synth_pages(n: int, seed: int = SEED, *,
                 override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Deterministic n-page corpus as a Dataset; parallel by construction."""
-    blocks = override_num_blocks or max(8, min(200, n // 250 or 1))
+    blocks = override_num_blocks or max(8, min(400, n // 500 or 1))
     return ray.data.range(n, override_num_blocks=blocks).map_batches(
         _gen_batch, fn_kwargs={"seed": seed},
         batch_format="pyarrow", batch_size=256,

@@ -94,8 +94,12 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
             "n_mentions": out["n_mentions"].astype("int64"),
         })
 
+    # coalesce before the shuffle: the partial output is tiny (one row per
+    # key per block), but sort-shuffle width follows input block count — a
+    # 200-block scan would pay a 200-wide shuffle for kilobytes of data
     return (annotated
             .map_batches(partial, batch_format="pyarrow")
+            .repartition(_MERGE_PARTS)
             .groupby("part")
             .map_groups(merge_part, batch_format="pandas")
             .sort("entity_id"))
@@ -165,6 +169,7 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
 
     return (annotated
             .map_batches(partial, batch_format="pyarrow")
+            .repartition(_MERGE_PARTS)  # narrow the shuffle (see build_nodes)
             .groupby("part")
             .map_groups(merge_part, batch_format="pandas")
             .sort(["subj_id", "pred", "obj_id"]))
