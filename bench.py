@@ -62,7 +62,7 @@ def run_once() -> dict:
     _consume(annotate(synth_pages(64), num_parts=4))
 
     n_pages = _n_pages(SF_DIR)
-    sf = n_pages / 2000 * 0.001  # pages corpus scales 2k/20k/200k with sf
+    sf = n_pages / 4000 * 0.001  # pages corpus scales 4k/40k/400k with sf
 
     t0 = time.time()
     ann = annotate(synth_pages(n_pages), num_parts=64,

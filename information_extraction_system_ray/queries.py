@@ -764,9 +764,28 @@ def media_frame_sample(sf_dir: str):
 
 def _n_pages(sf_dir: str) -> int:
     # scale the synthetic corpus with the driver's sf; lineitem rows track sf
-    # linearly (TESTDATA.md: 6k/60k/600k) → 2k/20k/200k pages
+    # linearly (TESTDATA.md: 6k/60k/600k) → 4k/40k/400k pages
     return max(64, pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
-               // 3)
+               * 2 // 3)
+
+
+# kg_triples / kg_nodes / kg_graph all consume the same annotate→graph run;
+# memoize per (sf_dir, n_pages) so the driver's per-query calls don't re-run
+# the whole pipeline three times in one process
+_KG_MEMO: dict = {}
+
+
+def _kg_run(sf_dir: str):
+    from .pipelines.flagship import run_flagship
+    from .sources.pages import synth_pages
+
+    key = (sf_dir, _n_pages(sf_dir))
+    if key not in _KG_MEMO:
+        res = run_flagship(synth_pages(key[1]), num_parts=16)
+        res["nodes"] = res["nodes"].materialize()
+        res["edges"] = res["edges"].materialize()
+        _KG_MEMO[key] = res
+    return _KG_MEMO[key]
 
 
 def kg_extracted(sf_dir: str):
@@ -785,11 +804,9 @@ def kg_extracted(sf_dir: str):
 
 
 def kg_triples(sf_dir: str):
-    from .pipelines.flagship import annotate
-    from .sources.pages import synth_pages
     from .stages.graph import explode_list_struct
 
-    ann = annotate(synth_pages(_n_pages(sf_dir)), num_parts=16)
+    ann = _kg_run(sf_dir)["annotated"]
     return ann.map_batches(
         lambda t: explode_list_struct(t, "triples", ["url"]).select(
             ["url", "subj", "pred", "obj", "subj_entity_id",
@@ -798,19 +815,11 @@ def kg_triples(sf_dir: str):
 
 
 def kg_graph(sf_dir: str):
-    from .pipelines.flagship import run_flagship
-    from .sources.pages import synth_pages
-
-    res = run_flagship(synth_pages(_n_pages(sf_dir)), num_parts=16)
-    return res["edges"]
+    return _kg_run(sf_dir)["edges"]
 
 
 def kg_nodes(sf_dir: str):
-    from .pipelines.flagship import run_flagship
-    from .sources.pages import synth_pages
-
-    res = run_flagship(synth_pages(_n_pages(sf_dir)), num_parts=16)
-    nodes = res["nodes"].to_pandas()
+    nodes = _kg_run(sf_dir)["nodes"].to_pandas()
     nodes["aliases"] = nodes["aliases"].map(
         lambda xs: "|".join(xs))  # stable scalar encoding for hashing
     return nodes

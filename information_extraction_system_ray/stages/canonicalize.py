@@ -71,6 +71,23 @@ def _uf_components_from_iter(edge_batches) -> dict[str, str]:
     return uf.components()
 
 
+_COMBINE_PARTS = 16
+
+
+def _distinct_batch(t: pa.Table) -> pa.Table:
+    return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+
+
+def second_level_dedup(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Coalesce (no shuffle) + per-block distinct: every block of the
+    partial edge stream repeats the same hot pairs, so this collapses the
+    driver-bound volume ~blocks/_COMBINE_PARTS× for the cost of a narrow
+    map — no sort-shuffle needed because union-find doesn't require GLOBAL
+    distinctness, just less duplication."""
+    return edges.repartition(_COMBINE_PARTS).map_batches(
+        _distinct_batch, batch_format="pyarrow")
+
+
 def connected_components_driver(edges: ray.data.Dataset) -> dict[str, str]:
     """Small-edge-set path: stream distinct edges to the driver union-find."""
     comp = _uf_components_from_iter(
@@ -156,6 +173,8 @@ def connected_components(edges: ray.data.Dataset, *,
     edges = edges.materialize()  # count() + downstream reuse: execute ONCE
     n = edges.count()
     if n <= driver_threshold:
+        if not distinct and n > 100_000:
+            edges = second_level_dedup(edges)
         return connected_components_driver(edges)
     if not distinct:
         edges = distinct_edges(edges)

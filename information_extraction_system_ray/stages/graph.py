@@ -24,7 +24,9 @@ import ray.data
 from refimpl.vocab import BY_ID
 
 _SAMPLE_URLS = 5
-_MERGE_PARTS = 32  # hash partitions for the merge shuffle; raise with cluster
+_MERGE_PARTS = 16  # hash partitions for the merge shuffle; raise with cluster
+# (partition count bounds merge/sort width: at 16 the whole graph phase is
+# ~64 tasks; a 256-node cluster would set this ~= number of worker slots)
 
 
 def _part_of(key: pd.Series) -> pd.Series:
