@@ -209,6 +209,37 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, *, id_col: str = "doc_id",
             .groupby("bucket").map_groups(pairs, batch_format="pandas"))
 
 
+def dedup_pages_by_url(pages: ray.data.Dataset, *,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """D4 (SURVEY.md §2.7): keep ONE row per url — the max ``warc_ts``
+    capture, ties broken by sha256(html) — so the byte-identity invariant is
+    keyed on a unique url.
+
+    Scale pattern: ONE hash-partitioned shuffle of the full rows (any
+    re-keying of the table pays this), then a vectorized winner pick per
+    partition — grouping by partition id, not per url, so no per-key Python
+    task overhead. Rows per url are few (re-captures), so no salt needed."""
+    import hashlib
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ts = t["warc_ts"].cast(pa.int64()).to_pylist()
+        rk = [f"{x:020d}|{hashlib.sha256(h.as_py()).hexdigest()}"
+              for x, h in zip(ts, t["html"])]
+        part = pd.util.hash_pandas_object(
+            pd.Series(t["url"].to_pandas()), index=False) % num_partitions
+        return (t.append_column("rank_key", pa.array(rk, pa.string()))
+                .append_column("part", pa.array(part.to_numpy(), pa.int64())))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "rank_key"], ascending=[True, False],
+                          kind="mergesort")
+        out = g.groupby("url", sort=False).head(1)
+        return out.drop(columns=["rank_key", "part"])
+
+    return (pages.map_batches(keyed, batch_format="pyarrow")
+            .groupby("part").map_groups(pick, batch_format="pandas"))
+
+
 def embedding_cosine_duplicates(emb: ray.data.Dataset, *,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",

@@ -456,6 +456,40 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
 """
 
 
+def events_salted_type_count(sf_dir: str):
+    """G + §4 skew defusal: SALTED two-phase grouped aggregate — result is
+    identical to the plain groupby (the SQL oracle), which is the point."""
+    from .functions.salted import salted_group_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return (salted_group_sum(ds, "event_type", value="user_id",
+                             num_salts=16)
+            .rename_columns({"sum_user_id": "sum_uid"})
+            .sort("event_type"))
+
+
+_EVENTS_SALTED_SQL = """
+SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def pages_url_dedup(sf_dir: str):
+    """D4: url-level dedup of a pages table with injected re-captures —
+    rows-only (synthetic pages corpus; exact semantics in tests)."""
+    from .functions.dedup import dedup_pages_by_url
+    from .sources.pages import synth_pages
+
+    n = max(64, _n_pages(sf_dir) // 20)
+    base = synth_pages(n)
+    # seed-43 corpus shares urls where langs coincide → genuine re-captures
+    dup = synth_pages(n // 4, seed=43)
+    out = dedup_pages_by_url(base.union(dup))
+    return out.map_batches(
+        lambda t: pa.table({"url": t["url"]}),
+        batch_format="pyarrow").sort("url")
+
+
 def orders_kfold(sf_dir: str):
     """S2/O3: deterministic k-fold assignment by key hash-bucket (the
     train/test-split primitive; fold must be key-derived, never row-order)."""
@@ -846,6 +880,8 @@ def queries():
         "events_json_extract": events_json_extract,
         "events_user_topk": events_user_topk,
         "events_type_skew": events_type_skew,
+        "events_salted_type_count": events_salted_type_count,
+        "pages_url_dedup": pages_url_dedup,
         "orders_kfold": orders_kfold,
         "docs_lang_count": docs_lang_count,
         "docs_token_counts": docs_token_counts,
@@ -887,6 +923,7 @@ def oracle_sql():
         "events_json_extract": _EVENTS_JSON_SQL,
         "events_user_topk": _EVENTS_TOPK_SQL,
         "events_type_skew": _EVENTS_SKEW_SQL,
+        "events_salted_type_count": _EVENTS_SALTED_SQL,
         "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
         "docs_token_counts": _DOCS_TOKENS_SQL,
