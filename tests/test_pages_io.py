@@ -1,0 +1,63 @@
+"""S1 — pages Parquet reader path: read_parquet with column/row pruning must
+feed the flagship identically to the in-memory synthesizer."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pages_path(ray_session, tmp_path_factory):
+    from information_extraction_system_ray.sources.pages import synth_pages
+
+    d = str(tmp_path_factory.mktemp("pages") / "pages_parquet")
+    synth_pages(256).write_parquet(d)
+    return d
+
+
+def test_read_pages_roundtrip(ray_session, pages_path):
+    from information_extraction_system_ray.sources.pages import (read_pages,
+                                                      synth_pages)
+
+    got = read_pages(pages_path).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    want = synth_pages(256).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    assert (got["url"] == want["url"]).all()
+    assert (got["html"] == want["html"]).all()
+    assert got["text"].isna().equals(want["text"].isna())
+
+
+def test_read_pages_lang_pruning(ray_session, pages_path):
+    from information_extraction_system_ray.sources.pages import read_pages
+
+    en = read_pages(pages_path, langs=["en"]).to_pandas()
+    assert (en["lang"] == "en").all()
+    allp = read_pages(pages_path).to_pandas()
+    assert len(en) == (allp["lang"] == "en").sum()
+    # column pruning
+    two = read_pages(pages_path, columns=["url", "lang"])
+    assert set(two.schema().names) == {"url", "lang"}
+
+
+def test_flagship_from_parquet_matches_synth(ray_session, pages_path):
+    from information_extraction_system_ray.pipelines.flagship import annotate
+    from information_extraction_system_ray.sources.pages import (read_pages,
+                                                      synth_pages)
+    from information_extraction_system_ray.stages.graph import explode_list_struct
+
+    def triples_of(src):
+        ann = annotate(src, num_parts=8)
+        t = ann.map_batches(
+            lambda b: explode_list_struct(b, "triples", ["url"]).select(
+                ["url", "subj", "pred", "obj"]),
+            batch_format="pyarrow").to_pandas()
+        return t.sort_values(["url", "subj", "pred", "obj"]) \
+            .reset_index(drop=True)
+
+    a = triples_of(read_pages(pages_path))
+    b = triples_of(synth_pages(256))
+    assert a.equals(b)
