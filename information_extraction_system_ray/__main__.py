@@ -1,0 +1,147 @@
+"""CLI entry points — the reference's train / extract / evaluate surface
+(SURVEY.md §3.1), re-expressed over Ray Data.
+
+    python -m information_extraction_system_ray train   --out /tmp/weights.npz
+    python -m information_extraction_system_ray extract --pages <parquet-dir> \\
+        --out /tmp/kg [--num-parts 64] [--resume]
+    python -m information_extraction_system_ray extract --synth 10000 --out /tmp/kg
+    python -m information_extraction_system_ray evaluate [--pages-n 200]
+
+This module OWNS a Ray session (guarded init) — the only places allowed to
+besides bench.py and the test fixture (driver contract, __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from .context import tune_context
+
+    tune_context()
+    return ray
+
+
+def cmd_train(args) -> int:
+    from refimpl.crf import save_model, train_perceptron
+    from refimpl.oracle import build_training_sequences
+
+    t0 = time.time()
+    W, T = train_perceptron(build_training_sequences(args.n_pages),
+                            epochs=args.epochs)
+    save_model(args.out, W, T)
+    print(json.dumps({"cmd": "train", "out": args.out,
+                      "n_pages": args.n_pages, "epochs": args.epochs,
+                      "wall_s": round(time.time() - t0, 2)}))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.flagship import run_flagship
+    from .sources.pages import read_pages, synth_pages
+
+    pages = synth_pages(args.synth) if args.synth else read_pages(args.pages)
+    t0 = time.time()
+    if args.resume and not args.out:
+        print("--resume requires --out", file=sys.stderr)
+        return 2
+    res = run_flagship(pages, out_dir=args.out or None,
+                       num_parts=args.num_parts,
+                       concurrency=(2, max(2, args.num_cpus or 8)),
+                       batch_size=args.batch_size)
+    if args.out:
+        print(json.dumps({"cmd": "extract", "out_dir": res["out_dir"],
+                          "metrics": res["metrics"],
+                          "wall_s": round(time.time() - t0, 2)}))
+    else:
+        n_nodes = res["nodes"].count()
+        n_edges = res["edges"].count()
+        print(json.dumps({"cmd": "extract", "nodes": n_nodes,
+                          "edges": n_edges,
+                          "wall_s": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .functions.evaluate import evaluate_tags
+    from refimpl.crf import hash_features, viterbi_batch
+    from refimpl.oracle import get_model, gold_tag_ids
+    from refimpl.pagegen import gen_pages
+    from refimpl.tokenizer import tokenize
+
+    W, T = get_model()
+    preds, golds = [], []
+    for page in gen_pages(args.pages_n, seed=args.seed):
+        toks, offs = tokenize(page.text)
+        if not toks:
+            continue
+        preds.append(viterbi_batch([hash_features(toks)], W, T)[0]
+                     .astype(np.int8).tolist())
+        golds.append(gold_tag_ids(page, toks, offs).astype(np.int8)
+                     .tolist())
+    ds = rd.from_arrow(pa.table({
+        "tags": pa.array(preds, pa.list_(pa.int8())),
+        "gold_tags": pa.array(golds, pa.list_(pa.int8())),
+    })).repartition(8)
+    out = evaluate_tags(ds)
+    print(out.to_string(index=False,
+                        float_format=lambda x: f"{x:.4f}"))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="information_extraction_system_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train CRF weights (deterministic)")
+    t.add_argument("--out", required=True)
+    t.add_argument("--n-pages", type=int, default=300)
+    t.add_argument("--epochs", type=int, default=5)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("extract", help="run the flagship KG pipeline")
+    src = e.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages Parquet path/dir")
+    src.add_argument("--synth", type=int,
+                     help="synthesize N deterministic pages instead")
+    e.add_argument("--out", help="checkpoint dir (enables manifest/resume)")
+    e.add_argument("--resume", action="store_true",
+                   help="skip partitions already committed in --out")
+    e.add_argument("--num-parts", type=int, default=64)
+    e.add_argument("--batch-size", type=int, default=128)
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_extract)
+
+    v = sub.add_parser("evaluate",
+                       help="per-label P/R/F1 of the tagger vs gold")
+    v.add_argument("--pages-n", type=int, default=200)
+    v.add_argument("--seed", type=int, default=99)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_evaluate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -225,6 +225,95 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def q5_local_supplier(sf_dir: str):
+    """J1+J3+G composition (TPC-H Q5 shape): 6-table join — dims
+    (region, nation, supplier, customer) broadcast once via ray.put, the
+    single LARGE⋈LARGE (lineitem ⋈ orders) as a hash join, grouped revenue
+    where supplier and customer share the nation. At real scale customer
+    stops being broadcastable and becomes a second hash join — same plan
+    shape, swap J1 for J3 (documented trade-off, SURVEY.md §2.4)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    asia_nations = nation[nation["n_regionkey"].isin(asia)]
+    nat_name = dict(zip(asia_nations["n_nationkey"],
+                        asia_nations["n_name"]))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    c_nat = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    nn_ref = ray.put(nat_name)
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        m = ray.get(c_nat)
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"],
+                                              pa.scalar(lo)),
+                             pc.less(t["o_orderdate"], pa.scalar(hi))))
+        cn = pd.Series(t["o_custkey"].to_pandas()).map(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_nat": pa.array(cn, pa.int32())})
+
+    orders_f = orders.map_batches(prep_orders, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        m = ray.get(s_nat)
+        names = ray.get(nn_ref)
+        sn = pd.Series(t["l_suppkey"].to_pandas()).map(m)
+        keep = sn.isin(names).to_numpy()
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "s_nat": pa.array(sn[keep], pa.int32()),
+                         "rev_cents": _cents(rev)})
+
+    li_f = li.map_batches(prep_li, batch_format="pyarrow")
+    joined = li_f.join(orders_f, join_type="inner",
+                       num_partitions=_join_parts(sf_dir),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local(t: pa.Table) -> pa.Table:
+        names = ray.get(nn_ref)
+        t = t.filter(pc.equal(t["s_nat"], t["c_nat"]))
+        nm = [names[x] for x in t["s_nat"].to_pylist()]
+        return pa.table({"n_name": pa.array(nm, pa.string()),
+                         "rev_cents": t["rev_cents"]})
+
+    return (joined.map_batches(local, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+            .sort("n_name"))
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+           AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def sort_topk_orders(sf_dir: str):
     """O1/O2/O4: sort-based top-k with unique tie-break key."""
     ds = read_table(sf_dir, "orders",
@@ -868,6 +957,7 @@ def queries():
         "q1_pricing_summary": q1_pricing_summary,
         "q6_revenue_filter": q6_revenue_filter,
         "q3_top_orders": q3_top_orders,
+        "q5_local_supplier": q5_local_supplier,
         "join_customer_nation_region": join_customer_nation_region,
         "sort_topk_orders": sort_topk_orders,
         "distinct_segments": distinct_segments,
@@ -911,6 +1001,7 @@ def oracle_sql():
         "q1_pricing_summary": _Q1_SQL,
         "q6_revenue_filter": _Q6_SQL,
         "q3_top_orders": _Q3_SQL,
+        "q5_local_supplier": _Q5_SQL,
         "join_customer_nation_region": _JOIN_CNR_SQL,
         "sort_topk_orders": _SORT_TOPK_SQL,
         "distinct_segments": _DISTINCT_SQL,
