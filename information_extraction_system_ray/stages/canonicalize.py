@@ -21,10 +21,11 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from refimpl.unionfind import UnionFind
 
@@ -95,65 +96,114 @@ def connected_components_driver(edges: ray.data.Dataset) -> dict[str, str]:
     return {k: v for k, v in comp.items() if not k.startswith("s::")}
 
 
-def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
-    return ds.rename_columns(mapping)
-
-
 def connected_components_distributed(
         edges: ray.data.Dataset, *, num_partitions: int = 16,
         max_rounds: int = 50) -> ray.data.Dataset:
     """Min-label propagation over (src, dst) edges → Dataset(node, label).
 
-    Each round:  L'[x] = min(L[x], min_{(x,y) in E} L[y])  for both edge
-    directions, via two hash joins + a groupby-min; stop when no label
-    changed. Deterministic (min is order-free).
+    Each round: L'[x] = min(L[x], min_{(x,y) in E} L[y]) for both edge
+    directions; stop when no label changed. Deterministic (min is
+    order-free).
+
+    JOIN-FREE formulation: Ray hash joins spawn aggregator actors per call,
+    which made a join-per-round design ~25 s/round regardless of data size.
+    Instead each round is a UNION of the bidirectional edge list with the
+    label list, co-partitioned by hash(node), where one vectorized pandas
+    pass per partition (a) resolves each node's current label and pushes it
+    along its edges, then (b) takes the per-node min of pushed candidates
+    and flags changes — two sort-shuffles of (node, cand) strings per
+    round, no actors, no joins. Rounds are bounded by component diameter.
+
+    This is the FALLBACK for edge sets too big for one machine: it re-ships
+    the edge list every round (Ray Data has no persistent partitioning), so
+    prefer raising ``driver_threshold`` as far as driver memory allows
+    (~50M distinct edges ≈ 10 GB heap ≈ tens of seconds of union-find) —
+    the mention-edge set after the partial-dedup combiner is ≤
+    #surfaces × #entities, orders of magnitude below the page count.
     """
-    edges = edges.materialize()
-    nodes = (edges.select_columns(["src"]).rename_columns({"src": "node"})
-             .union(edges.select_columns(["dst"])
-                    .rename_columns({"dst": "node"}))
-             .groupby("node").aggregate(Count())
-             .select_columns(["node"]))
-    labels = nodes.map_batches(
-        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-        batch_format="pyarrow").materialize()
+    import pandas as pd
+
+    P = num_partitions
+
+    def _with_part(col: str):
+        def add(t: pa.Table) -> pa.Table:
+            part = (pd.util.hash_pandas_object(
+                pd.Series(t[col].to_pandas()), index=False) % P).to_numpy()
+            return t.append_column("part", pa.array(part, pa.int64()))
+        return add
+
+    def bidir(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t["src"].combine_chunks(),
+                                 t["dst"].combine_chunks()])
+        other = pa.concat_arrays([t["dst"].combine_chunks(),
+                                  t["src"].combine_chunks()])
+        return pa.table({"node": node, "other": other})
+
+    bi = edges.map_batches(bidir, batch_format="pyarrow") \
+        .map_batches(_with_part("node"), batch_format="pyarrow") \
+        .materialize()
+
+    def init_labels(part: pd.DataFrame) -> pd.DataFrame:
+        nodes = part["node"].drop_duplicates()
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = (bi.groupby("part").map_groups(init_labels,
+                                            batch_format="pandas")
+              .map_batches(_with_part("node"), batch_format="pyarrow")
+              .materialize())
+
+    def push(part: pd.DataFrame) -> pd.DataFrame:
+        lab = part[part["other"].isna()]
+        ed = part[part["other"].notna()]
+        labmap = lab.groupby("node", sort=False)["label"].min()
+        # every node carries a label row (init covers all; each round
+        # re-emits all nodes), so .map never misses
+        out_node = pd.concat([ed["other"], lab["node"]], ignore_index=True)
+        out_cand = pd.concat([ed["node"].map(labmap),
+                              lab["node"].map(labmap)], ignore_index=True)
+        is_old = np.zeros(len(out_node), dtype=np.int8)
+        is_old[len(ed):] = 1
+        return pd.DataFrame({"node": out_node, "cand": out_cand,
+                             "is_old": is_old})
+
+    def mins(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", sort=False)
+        new = g["cand"].min()
+        old = part[part["is_old"] == 1].set_index("node")["cand"]
+        chg = (new < old.reindex(new.index)).astype("int64")
+        return pd.DataFrame({"node": new.index, "label": new.to_numpy(),
+                             "chg": chg.to_numpy()})
 
     for _ in range(max_rounds):
-        with_src = edges.join(
-            _rename(labels, {"node": "src", "label": "src_lbl"}),
-            join_type="inner", num_partitions=num_partitions, on=("src",))
-        both = with_src.join(
-            _rename(labels, {"node": "dst", "label": "dst_lbl"}),
-            join_type="inner", num_partitions=num_partitions, on=("dst",))
-        both = both.materialize()
-        msgs_to_dst = both.map_batches(
-            lambda b: pa.table({"node": b["dst"], "cand": b["src_lbl"]}),
+        lab_rows = labels.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "other": pa.nulls(len(t), pa.string()),
+                                "label": t["label"],
+                                "part": t["part"]}),
             batch_format="pyarrow")
-        msgs_to_src = both.map_batches(
-            lambda b: pa.table({"node": b["src"], "cand": b["dst_lbl"]}),
+        bi_rows = bi.map_batches(
+            lambda t: pa.table({"node": t["node"], "other": t["other"],
+                                "label": pa.nulls(len(t), pa.string()),
+                                "part": t["part"]}),
             batch_format="pyarrow")
-        self_msgs = labels.map_batches(
-            lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
-            batch_format="pyarrow")
-        new_labels = (msgs_to_dst.union(msgs_to_src, self_msgs)
-                      .groupby("node")
-                      .aggregate(Min("cand", alias_name="label"))
-                      .materialize())
-        changed = (new_labels.join(
-            _rename(labels, {"label": "old"}), join_type="inner",
-            num_partitions=num_partitions, on=("node",))
-            .map_batches(
-                lambda b: pa.table({"chg": pc.cast(
-                    pc.not_equal(b["label"], b["old"]), pa.int64())}),
-                batch_format="pyarrow")
-            .sum("chg"))
-        labels = new_labels
+        pushed = (bi_rows.union(lab_rows)
+                  .groupby("part").map_groups(push, batch_format="pandas")
+                  .map_batches(_with_part("node"), batch_format="pyarrow"))
+        st2 = (pushed.groupby("part").map_groups(mins,
+                                                 batch_format="pandas")
+               .materialize())
+        changed = st2.sum("chg")
+        labels = st2.map_batches(
+            lambda t: t.drop_columns(["chg"]), batch_format="pyarrow") \
+            .map_batches(_with_part("node"), batch_format="pyarrow") \
+            .materialize()
         if not changed:
             break
     else:
         raise RuntimeError("label propagation did not converge "
                            f"in {max_rounds} rounds")
-    return labels
+    return labels.map_batches(lambda t: t.drop_columns(["part"]),
+                              batch_format="pyarrow")
 
 
 def connected_components(edges: ray.data.Dataset, *,
