@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from .hashing import (hamming64, minhash_permutations, minhash_signature,
                       simhash64, stable_hash64)

@@ -12,7 +12,6 @@ import re
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .hashing import md5_hex, stable_hash64
 

@@ -1,10 +1,7 @@
 """S1 — pages Parquet reader path: read_parquet with column/row pruning must
 feed the flagship identically to the in-memory synthesizer."""
 
-import os
-
 import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
 
