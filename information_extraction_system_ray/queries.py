@@ -870,6 +870,16 @@ def media_image_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def media_audio_features(sf_dir: str):
+    """Actor-pool audio decode → mel-like feature rows (fake codec)."""
+    from .stages.multimodal import decode_audio, synth_media
+
+    out = decode_audio(synth_media(_n_media(sf_dir))).to_pandas()
+    out["mel"] = out["mel"].map(
+        lambda f: "|".join(f"{x:.6f}" for x in f))
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def media_frame_sample(sf_dir: str):
     """Actor-pool video frame sampling (explode: one row per frame)."""
     from .stages.multimodal import sample_frames, synth_media
@@ -988,6 +998,7 @@ def queries():
         "emb_knn_ivf": emb_knn_ivf,
         "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
         "media_image_features": media_image_features,
+        "media_audio_features": media_audio_features,
         "media_frame_sample": media_frame_sample,
         "kg_extracted": kg_extracted,
         "kg_triples": kg_triples,

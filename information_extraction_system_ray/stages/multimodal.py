@@ -64,6 +64,42 @@ class DecodeImage:
         })
 
 
+class DecodeAudio:
+    """Actor stage: audio payload → fixed-size log-mel-like feature matrix
+    flattened to one row (n_mels × n_frames), the layout a real audio
+    embedding stage would produce. Stubbed decode (no codec libs here);
+    framing math — duration → frame count at hop_ms — is real."""
+
+    def __init__(self, n_mels: int = 16, hop_ms: int = 250,
+                 max_frames: int = 32, decoder: str = "fake") -> None:
+        if decoder != "fake":
+            raise NotImplementedError(
+                "no audio codec library in this container; use decoder='fake'")
+        self.n_mels = n_mels
+        self.hop_ms = hop_ms
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats, nfr = [], [], []
+        for mid, payload, dur in zip(batch["media_id"].to_pylist(),
+                                     batch["payload"].to_pylist(),
+                                     batch["duration_ms"].to_pylist()):
+            frames = min(self.max_frames,
+                         max(1, int(dur or 0) // self.hop_ms))
+            seed = int.from_bytes(
+                hashlib.sha256(payload).digest()[8:16], "big")
+            rng = np.random.default_rng(seed)
+            mel = rng.random((self.n_mels, frames), dtype=np.float32)
+            ids.append(mid)
+            nfr.append(frames)
+            feats.append(mel.ravel().tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(nfr, pa.int32()),
+            "mel": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
 class SampleFrames:
     """Actor stage: video payload → every-nth-frame pseudo-decode, one output
     row per sampled frame (explode layout used by real frame pipelines)."""
@@ -97,6 +133,16 @@ def decode_images(media: ray.data.Dataset, *, size: int = 32,
     """Small batches: binary payloads are fat rows (SURVEY.md §4)."""
     return media.map_batches(
         DecodeImage, fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def decode_audio(media: ray.data.Dataset, *, n_mels: int = 16,
+                 hop_ms: int = 250, concurrency=(1, 4),
+                 batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(
+        DecodeAudio, fn_constructor_kwargs={"n_mels": n_mels,
+                                            "hop_ms": hop_ms},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

@@ -60,11 +60,31 @@ def test_sample_frames_explode(media):
     assert k1 == k2
 
 
+def test_decode_audio_layout(media):
+    from information_extraction_system_ray.stages.multimodal import decode_audio
+
+    out = decode_audio(media, n_mels=16, hop_ms=250).to_pandas()
+    assert list(out.columns) == ["media_id", "n_frames", "mel"]
+    assert len(out) == media.count()
+    durs = media.to_pandas().set_index("media_id")["duration_ms"]
+    for _, r in out.iterrows():
+        want = min(32, max(1, int(durs[r["media_id"]]) // 250))
+        assert r["n_frames"] == want
+        assert len(r["mel"]) == 16 * want
+    # deterministic across runs
+    out2 = decode_audio(media, n_mels=16, hop_ms=250).to_pandas()
+    a = out.sort_values("media_id")["mel"].map(tuple).tolist()
+    b = out2.sort_values("media_id")["mel"].map(tuple).tolist()
+    assert a == b
+
+
 def test_real_decoder_gated(media):
-    from information_extraction_system_ray.stages.multimodal import DecodeImage, \
-        SampleFrames
+    from information_extraction_system_ray.stages.multimodal import (
+        DecodeAudio, DecodeImage, SampleFrames)
 
     with pytest.raises(NotImplementedError):
         DecodeImage(decoder="real")
     with pytest.raises(NotImplementedError):
         SampleFrames(decoder="real")
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(decoder="real")
