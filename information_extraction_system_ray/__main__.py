@@ -58,9 +58,10 @@ def cmd_extract(args) -> int:
     if args.resume and not args.out:
         print("--resume requires --out", file=sys.stderr)
         return 2
+    ncpu = args.num_cpus or 8
     res = run_flagship(pages, out_dir=args.out or None,
                        num_parts=args.num_parts,
-                       concurrency=(2, max(2, args.num_cpus or 8)),
+                       concurrency=(max(2, ncpu * 3 // 4), max(2, ncpu)),
                        batch_size=args.batch_size)
     if args.out:
         print(json.dumps({"cmd": "extract", "out_dir": res["out_dir"],
