@@ -17,9 +17,9 @@ Layout: ``sources/`` readers+synthesizers, ``stages/`` flagship KG stages,
 ``functions/`` vectorized kernels (dedup, similarity, text analysis),
 ``pipelines/`` composed DAGs, ``state/`` broadcast + manifest/lineage.
 
-Nothing in this package calls ``ray.init()`` — sessions are owned by the
-driver, ``bench.py``, or the pytest fixture (driver contract,
-__ray_entry__.py:11-13).
+Library code never calls ``ray.init()`` — sessions are owned by the
+driver, ``bench.py``, the ``python -m information_extraction_system_ray`` CLI (guarded init),
+or the pytest fixture (driver contract, __ray_entry__.py:11-13).
 """
 
 __version__ = "0.1.0"

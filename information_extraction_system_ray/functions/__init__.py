@@ -1,3 +1,3 @@
-from . import dedup, hashing, similarity, text
+from . import dedup, evaluate, hashing, salted, similarity, text
 
-__all__ = ["dedup", "hashing", "similarity", "text"]
+__all__ = ["dedup", "evaluate", "hashing", "salted", "similarity", "text"]

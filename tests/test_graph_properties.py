@@ -1,0 +1,73 @@
+"""Property tests for graph materialization: the partial+merge edge build
+must be independent of how rows are split into blocks (the associativity
+claim the 100 TB design rests on)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _gold_edges(df: pd.DataFrame) -> pd.DataFrame:
+    """Single-process ground truth: counts + min-5 distinct urls per key."""
+    g = (df.groupby(["subj_id", "pred", "obj_id"], sort=True)
+         .agg(n_support=("url", "size"),
+              sample_urls=("url", lambda s: sorted(set(s))[:5]))
+         .reset_index())
+    return g
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3, 17])
+def test_build_edges_block_split_invariant(ray_session, n_blocks):
+    import ray
+    import ray.data as rd
+
+    from information_extraction_system_ray.stages.graph import build_edges
+    from information_extraction_system_ray.stages.triple_extract import TRIPLE_TYPE
+
+    rng = np.random.default_rng(7 + n_blocks)
+    n_pages = 120
+    rows_url, rows_triples = [], []
+    subj_pool = [f"E{i}" for i in range(6)]
+    pred_pool = ["founded", "acquired", "located_in"]
+    for i in range(n_pages):
+        url = f"https://x.example/p{i}"
+        trs = []
+        for _ in range(int(rng.integers(0, 6))):
+            t = {f.name: None for f in TRIPLE_TYPE}
+            t.update({
+                "subj": "s", "pred": str(rng.choice(pred_pool)),
+                "obj": "o", "subj_start": 0, "subj_end": 1,
+                "obj_start": 2, "obj_end": 3,
+                "subj_entity_id": str(rng.choice(subj_pool)),
+                "obj_entity_id": str(rng.choice(subj_pool)),
+                "conf": 1.0,
+            })
+            trs.append(t)
+        rows_url.append(url)
+        rows_triples.append(trs)
+
+    ann = pa.table({
+        "url": pa.array(rows_url, pa.string()),
+        "mentions": pa.array([[]] * n_pages, pa.list_(pa.struct(
+            [("start", pa.int32()), ("end", pa.int32()),
+             ("surface", pa.string()), ("label", pa.string()),
+             ("entity_id", pa.string()), ("link_score", pa.float64())]))),
+        "triples": pa.array(rows_triples, pa.list_(TRIPLE_TYPE)),
+    })
+    ds = rd.from_arrow(ann).repartition(n_blocks)
+    cref = ray.put({})  # identity cluster map
+    got = build_edges(ds, cref).to_pandas()
+    got["sample_urls"] = got["sample_urls"].map(list)
+
+    flat = []
+    for url, trs in zip(rows_url, rows_triples):
+        for t in trs:
+            flat.append({"subj_id": t["subj_entity_id"], "pred": t["pred"],
+                         "obj_id": t["obj_entity_id"], "url": url})
+    want = _gold_edges(pd.DataFrame(flat))
+    got = got.sort_values(["subj_id", "pred", "obj_id"]) \
+        .reset_index(drop=True)
+    want = want.sort_values(["subj_id", "pred", "obj_id"]) \
+        .reset_index(drop=True)
+    assert got.to_dict("records") == want.to_dict("records")
