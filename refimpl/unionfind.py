@@ -15,12 +15,17 @@ class UnionFind:
         self.parent: dict[str, str] = {}
 
     def find(self, x: str) -> str:
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            root = self.find(p)
-            self.parent[x] = root
-            return root
-        return x
+        # iterative with full path compression: chains can be thousands of
+        # links deep before compression (e.g. unions arriving in descending
+        # order along a path graph), and a recursive find would blow the
+        # interpreter stack long before the driver-side edge budget is hit
+        parent = self.parent
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
     def union(self, a: str, b: str) -> None:
         ra, rb = self.find(a), self.find(b)
