@@ -1,3 +1,4 @@
-from . import dedup, evaluate, hashing, salted, similarity, text
+from . import asof, dedup, evaluate, hashing, salted, similarity, text
 
-__all__ = ["dedup", "evaluate", "hashing", "salted", "similarity", "text"]
+__all__ = ["asof", "dedup", "evaluate", "hashing", "salted", "similarity",
+           "text"]

@@ -1,0 +1,87 @@
+"""As-of (nearest-prior) join — an operator Ray Data lacks (SURVEY.md §2.4).
+
+For each left row, attach the greatest right timestamp ≤ the left timestamp
+within the same key (backward as-of semantics, == DuckDB ``ASOF JOIN``).
+
+Distributed plan: both sides are projected onto one superset schema (nulls
+for the absent side's columns), tagged, and hash-partitioned by the join
+KEY — the partitioning assumption this operator relies on: all rows of a
+key land in one partition; no time-range partitioning is needed because the
+right side is re-sorted inside each partition. One vectorized
+``pandas.merge_asof`` runs per partition. Output values are the matched
+right TIMESTAMP (not an arbitrary right row id), so results are
+deterministic under timestamp ties. Left and right column names must be
+disjoint.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_RTS = "_asof_rts"
+
+
+def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                       left_by: str, right_by: str,
+                       left_ts: str, right_ts: str,
+                       out_col: str = "matched_ts",
+                       num_partitions: int = 32) -> ray.data.Dataset:
+    """Inner backward as-of join; returns the LEFT columns + ``out_col``
+    (matched right timestamp). Unmatched left rows are dropped."""
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+    ltypes = {n: lschema.base_schema.field(n).type for n in left_cols}
+    rts_type = right.schema().base_schema.field(right_ts).type
+    rby_type = right.schema().base_schema.field(right_by).type
+
+    def _part_of(col_vals: pd.Series) -> pa.Array:
+        return pa.array((pd.util.hash_pandas_object(col_vals, index=False)
+                         % num_partitions).to_numpy(), pa.int64())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_cols}
+        n = len(t)
+        cols[right_by] = pa.nulls(n, rby_type)
+        cols[_RTS] = pa.nulls(n, rts_type)
+        cols["part"] = _part_of(pd.Series(t[left_by].to_pandas()))
+        cols["side"] = pa.array([0] * n, pa.int8())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {c: pa.nulls(n, ltypes[c]) for c in left_cols}
+        cols[right_by] = t[right_by]
+        cols[_RTS] = t[right_ts]
+        cols["part"] = _part_of(pd.Series(t[right_by].to_pandas()))
+        cols["side"] = pa.array([1] * n, pa.int8())
+        return pa.table(cols)
+
+    left_t = left.map_batches(tag_left, batch_format="pyarrow")
+    # right side travels with only (key, ts) — payload never shuffles
+    right_t = right.map_batches(
+        lambda t: pa.table({right_by: t[right_by], right_ts: t[right_ts]}),
+        batch_format="pyarrow").map_batches(tag_right,
+                                            batch_format="pyarrow")
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        l = part[part["side"] == 0]
+        r = part[part["side"] == 1]
+        if not len(l) or not len(r):
+            # typed empty frame (block schemas must unify across partitions)
+            empty = part[left_cols].iloc[0:0].copy()
+            empty[out_col] = pd.Series([], dtype=part[_RTS].dtype)
+            return empty
+        l = l[left_cols].sort_values(left_ts, kind="mergesort")
+        r = (r[[right_by, _RTS]].rename(columns={_RTS: out_col})
+             .sort_values(out_col, kind="mergesort"))
+        m = pd.merge_asof(l, r, left_on=left_ts, right_on=out_col,
+                          left_by=left_by, right_by=right_by,
+                          direction="backward")
+        m = m.dropna(subset=[out_col])           # inner semantics
+        return m[left_cols + [out_col]]
+
+    return (left_t.union(right_t)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas"))

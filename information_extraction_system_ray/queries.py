@@ -545,6 +545,44 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
 """
 
 
+def events_asof_orders(sf_dir: str):
+    """Custom operator (as-of join, absent from Ray Data): for each event,
+    the latest order of the same user at or before the event time. Output is
+    the matched ORDER DATE (tie-deterministic), grouped per user for a
+    compact, hash-stable result."""
+    from .functions.asof import asof_join_backward
+
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "ts"],
+                        rows_per_block=50_000)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+    m = asof_join_backward(events, orders,
+                           left_by="user_id", right_by="o_custkey",
+                           left_ts="ts", right_ts="o_orderdate",
+                           out_col="last_order_date")
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["last_order_date"], unit="day"),
+                      pa.timestamp("us"))
+        return pa.table({"user_id": t["user_id"], "last_order_day": day})
+
+    return (m.map_batches(prep, batch_format="pyarrow")
+            .groupby(["user_id", "last_order_day"])
+            .aggregate(Count(alias_name="n_events"))
+            .sort(["user_id", "last_order_day"]))
+
+
+_EVENTS_ASOF_SQL = """
+SELECT user_id, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+           AS last_order_day,
+       COUNT(*) AS n_events
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY user_id, last_order_day ORDER BY user_id, last_order_day
+"""
+
+
 def events_salted_type_count(sf_dir: str):
     """G + §4 skew defusal: SALTED two-phase grouped aggregate — result is
     identical to the plain groupby (the SQL oracle), which is the point."""
@@ -980,6 +1018,7 @@ def queries():
         "events_json_extract": events_json_extract,
         "events_user_topk": events_user_topk,
         "events_type_skew": events_type_skew,
+        "events_asof_orders": events_asof_orders,
         "events_salted_type_count": events_salted_type_count,
         "pages_url_dedup": pages_url_dedup,
         "orders_kfold": orders_kfold,
@@ -1025,6 +1064,7 @@ def oracle_sql():
         "events_json_extract": _EVENTS_JSON_SQL,
         "events_user_topk": _EVENTS_TOPK_SQL,
         "events_type_skew": _EVENTS_SKEW_SQL,
+        "events_asof_orders": _EVENTS_ASOF_SQL,
         "events_salted_type_count": _EVENTS_SALTED_SQL,
         "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
