@@ -37,7 +37,7 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id",
         .rename_columns({"keep_id": id_col})
 
 
-_PAIR_PARTS = 64  # hash partitions for bucket co-location; raise with cluster
+_PAIR_PARTS = 16  # hash partitions for bucket co-location; raise with cluster
 
 
 def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
@@ -51,28 +51,49 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
     (Broder; used by C4/RefinedWeb — public).
 
     Returns Dataset(id_a, id_b, jaccard_sig) with id_a < id_b, deduplicated,
-    where jaccard_sig (signature agreement rate) ≥ threshold. Signatures
-    travel through the shuffle, not documents; candidate verification uses
-    the signatures (unbiased Jaccard estimator)."""
+    where jaccard_sig (signature agreement rate) ≥ threshold. Candidate
+    verification uses the signatures (unbiased Jaccard estimator).
+
+    Signature transport: one signature is 8·num_perm bytes but appears in
+    ``bands`` buckets, so shipping it on every band row multiplies shuffle
+    volume ×bands. The signature TABLE (id → sig) is instead broadcast once
+    via ``ray.put`` — it is the small side (512 B/doc vs multi-KB docs) —
+    and only (id, band, bucket) rows go through the shuffle. At corpus
+    sizes where even signatures outgrow one node (≳10^8 docs), shard the
+    broadcast or revert to sig-on-row; the LSH math is unchanged."""
+    import ray as _ray
+
     rows_per_band = num_perm // bands
     a, b = minhash_permutations(num_perm)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         sigs = [minhash_signature(shingle_hashes(t, shingle_k), a, b)
+                .astype(np.int64)
                 for t in batch[text_col].to_pylist()]
-        out_id, out_band, out_bucket, out_sig = [], [], [], []
-        for i, sig in zip(ids, sigs):
-            sig_i64 = sig.astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "sig": pa.array([s.tolist() for s in sigs],
+                            pa.list_(pa.int64())),
+        })
+
+    sig_ds = docs.map_batches(sig_batch,
+                              batch_format="pyarrow").materialize()
+    sig_pdf = sig_ds.to_pandas()
+    sig_ref = _ray.put({int(i): np.asarray(s, dtype=np.int64)
+                        for i, s in zip(sig_pdf[id_col], sig_pdf["sig"])})
+
+    def band_batch(batch: pa.Table) -> pa.Table:
+        out_id, out_band, out_bucket = [], [], []
+        for i, sig in zip(batch[id_col].to_pylist(),
+                          batch["sig"].to_pylist()):
             for band in range(bands):
-                chunk = sig_i64[band * rows_per_band:
-                                (band + 1) * rows_per_band]
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 bucket = stable_hash64(
-                    str(band) + ":" + ",".join(map(str, chunk.tolist())))
+                    str(band) + ":" + ",".join(map(str, chunk)))
                 out_id.append(i)
                 out_band.append(band)
                 out_bucket.append(bucket)
-                out_sig.append(sig_i64)
         return pa.table({
             id_col: pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
@@ -82,24 +103,28 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
             # bucket — thousands of tiny groups otherwise
             "part": pa.array([b % _PAIR_PARTS for b in out_bucket],
                              pa.int64()),
-            "sig": pa.array([s.tolist() for s in out_sig],
-                            pa.list_(pa.int64())),
         })
 
-    banded = docs.map_batches(sig_batch, batch_format="pyarrow")
+    banded = sig_ds.map_batches(band_batch, batch_format="pyarrow")
 
     def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets are the overwhelming majority — drop them with
+        # one vectorized mask instead of iterating every group in Python
+        part = part[part.duplicated(["band", "bucket"], keep=False)]
+        if not len(part):
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard_sig": pd.Series([],
+                                                          dtype="float64")})
+        sigmap = _ray.get(sig_ref)
         out_a, out_b, out_j = [], [], []
         for _, g in part.groupby(["band", "bucket"], sort=False):
             if len(g) < 2:
                 continue
-            g = g.sort_values(id_col)
-            ids = g[id_col].to_numpy()
-            sigs = np.stack([np.asarray(s) for s in g["sig"]])
+            ids = np.sort(g[id_col].unique())
+            sigs = np.stack([sigmap[int(i)] for i in ids])
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
-                    if ids[x] == ids[y]:
-                        continue
                     jac = float((sigs[x] == sigs[y]).mean())
                     if jac >= jaccard_threshold:
                         out_a.append(int(ids[x]))
@@ -110,8 +135,9 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
 
     pairs = banded.groupby("part").map_groups(
         pairs_in_part, batch_format="pandas")
-    # same pair can surface from several bands → dedup (small shuffle)
-    return (pairs.groupby(["id_a", "id_b"])
+    # same pair can surface from several bands → dedup; coalesce first so
+    # the tiny pair set doesn't pay a _PAIR_PARTS-wide shuffle
+    return (pairs.repartition(4).groupby(["id_a", "id_b"])
             .aggregate(Min("jaccard_sig", alias_name="jaccard_sig")))
 
 
