@@ -985,6 +985,18 @@ def kg_triples(sf_dir: str):
         batch_format="pyarrow").sort(["url", "subj", "pred", "obj"])
 
 
+def kg_mentions(sf_dir: str):
+    """A1+A3 stage output: linked mentions exploded to one row each —
+    rows-only (golden oracle: tests/test_flagship.py mentions test)."""
+    from .stages.graph import explode_list_struct
+
+    ann = _kg_run(sf_dir)["annotated"]
+    return ann.map_batches(
+        lambda t: explode_list_struct(t, "mentions", ["url"]).select(
+            ["url", "start", "end", "surface", "label", "entity_id"]),
+        batch_format="pyarrow").sort(["url", "start", "end"])
+
+
 def kg_graph(sf_dir: str):
     return _kg_run(sf_dir)["edges"]
 
@@ -1041,6 +1053,7 @@ def queries():
         "media_frame_sample": media_frame_sample,
         "kg_extracted": kg_extracted,
         "kg_triples": kg_triples,
+        "kg_mentions": kg_mentions,
         "kg_nodes": kg_nodes,
         "kg_graph": kg_graph,
     }
