@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _RTS = "_asof_rts"
@@ -65,23 +66,32 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
         batch_format="pyarrow").map_batches(tag_right,
                                             batch_format="pyarrow")
 
-    def merge(part: pd.DataFrame) -> pd.DataFrame:
-        l = part[part["side"] == 0]
-        r = part[part["side"] == 1]
-        if not len(l) or not len(r):
-            # typed empty frame (block schemas must unify across partitions)
-            empty = part[left_cols].iloc[0:0].copy()
-            empty[out_col] = pd.Series([], dtype=part[_RTS].dtype)
-            return empty
-        l = l[left_cols].sort_values(left_ts, kind="mergesort")
-        r = (r[[right_by, _RTS]].rename(columns={_RTS: out_col})
-             .sort_values(out_col, kind="mergesort"))
-        m = pd.merge_asof(l, r, left_on=left_ts, right_on=out_col,
+    # Every partition (including empty / one-sided ones) emits blocks of
+    # EXACTLY this schema — the union's typed-null padding must never leak
+    # into the output as pandas float64 / timestamp[s] drift.
+    out_schema = pa.schema([(c, ltypes[c]) for c in left_cols]
+                           + [(out_col, rts_type)])
+
+    def merge(part: pa.Table) -> pa.Table:
+        # Split sides in ARROW: the left slice has no nulls in its own
+        # columns, so the pandas conversion below keeps int64 int64.
+        side = part["side"]
+        l = part.filter(pc.equal(side, 0)).select(left_cols)
+        r = part.filter(pc.equal(side, 1)).select([right_by, _RTS])
+        if l.num_rows == 0 or r.num_rows == 0:
+            return out_schema.empty_table()
+        ldf = l.to_pandas().sort_values(left_ts, kind="mergesort")
+        rdf = (r.to_pandas().rename(columns={_RTS: out_col})
+               .sort_values(out_col, kind="mergesort"))
+        m = pd.merge_asof(ldf, rdf, left_on=left_ts, right_on=out_col,
                           left_by=left_by, right_by=right_by,
                           direction="backward")
         m = m.dropna(subset=[out_col])           # inner semantics
-        return m[left_cols + [out_col]]
+        m = m[left_cols + [out_col]]
+        return (pa.Table.from_pandas(m, schema=out_schema,
+                                     preserve_index=False)
+                .replace_schema_metadata(None))
 
     return (left_t.union(right_t)
             .groupby("part")
-            .map_groups(merge, batch_format="pandas"))
+            .map_groups(merge, batch_format="pyarrow"))

@@ -563,13 +563,23 @@ def events_asof_orders(sf_dir: str):
                            out_col="last_order_date")
 
     def prep(t: pa.Table) -> pa.Table:
+        # Group on an INT64 epoch-µs key: Ray's hash aggregate roundtrips
+        # keys through numpy, degrading day-floored timestamp[us] to [s].
         day = pc.cast(pc.floor_temporal(t["last_order_date"], unit="day"),
                       pa.timestamp("us"))
-        return pa.table({"user_id": t["user_id"], "last_order_day": day})
+        return pa.table({"user_id": t["user_id"],
+                         "day_us": pc.cast(day, pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "last_order_day": pc.cast(t["day_us"],
+                                                   pa.timestamp("us")),
+                         "n_events": t["n_events"]})
 
     return (m.map_batches(prep, batch_format="pyarrow")
-            .groupby(["user_id", "last_order_day"])
+            .groupby(["user_id", "day_us"])
             .aggregate(Count(alias_name="n_events"))
+            .map_batches(finish, batch_format="pyarrow")
             .sort(["user_id", "last_order_day"]))
 
 
