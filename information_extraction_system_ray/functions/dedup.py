@@ -12,9 +12,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
+from .arrowutil import to_arrow
 from .hashing import (hamming64, minhash_permutations, minhash_signature,
                       simhash64, stable_hash64)
 from .text import _WORD_RE, fingerprint_batch, shingle_hashes
@@ -54,17 +56,18 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
     where jaccard_sig (signature agreement rate) ≥ threshold. Candidate
     verification uses the signatures (unbiased Jaccard estimator).
 
-    Signature transport: one signature is 8·num_perm bytes but appears in
-    ``bands`` buckets, so shipping it on every band row multiplies shuffle
-    volume ×bands. The signature TABLE (id → sig) is instead broadcast once
-    via ``ray.put`` — it is the small side (512 B/doc vs multi-KB docs) —
-    and only (id, band, bucket) rows go through the shuffle. At corpus
-    sizes where even signatures outgrow one node (≳10^8 docs), shard the
-    broadcast or revert to sig-on-row; the LSH math is unchanged."""
-    import ray as _ray
-
+    Signature transport (fully streaming — nothing ever lands on the
+    driver): only skinny (id, band, bucket) rows pay the wide LSH shuffle;
+    candidate PAIRS come out of that shuffle sig-free and are deduplicated
+    across bands. Full signatures are then attached to the (tiny) candidate
+    set by a co-partitioned union+groupby on member id — each signature
+    ships once per candidate membership, never ×bands and never as a
+    whole-corpus broadcast — and a final pair-keyed pass computes the
+    estimator. Scales to corpora where the signature table alone exceeds
+    any single node."""
     rows_per_band = num_perm // bands
     a, b = minhash_permutations(num_perm)
+    sig_ty = pa.list_(pa.int64())
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -73,15 +76,14 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
                 for t in batch[text_col].to_pylist()]
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs],
-                            pa.list_(pa.int64())),
+            "sig": pa.array([s.tolist() for s in sigs], sig_ty),
         })
 
+    # materialized in the OBJECT STORE (spillable), not the driver — it is
+    # consumed twice (banding + signature attach) and shingling is the
+    # expensive part
     sig_ds = docs.map_batches(sig_batch,
                               batch_format="pyarrow").materialize()
-    sig_pdf = sig_ds.to_pandas()
-    sig_ref = _ray.put({int(i): np.asarray(s, dtype=np.int64)
-                        for i, s in zip(sig_pdf[id_col], sig_pdf["sig"])})
 
     def band_batch(batch: pa.Table) -> pa.Table:
         out_id, out_band, out_bucket = [], [], []
@@ -105,40 +107,108 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
                              pa.int64()),
         })
 
-    banded = sig_ds.map_batches(band_batch, batch_format="pyarrow")
+    banded = sig_ds.select_columns([id_col, "sig"]).map_batches(
+        band_batch, batch_format="pyarrow")
 
-    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
+    cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def cands_in_part(part: pd.DataFrame) -> pa.Table:
         # singleton buckets are the overwhelming majority — drop them with
         # one vectorized mask instead of iterating every group in Python
         part = part[part.duplicated(["band", "bucket"], keep=False)]
-        if not len(part):
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "jaccard_sig": pd.Series([],
-                                                          dtype="float64")})
-        sigmap = _ray.get(sig_ref)
-        out_a, out_b, out_j = [], [], []
+        oa, ob = [], []
         for _, g in part.groupby(["band", "bucket"], sort=False):
-            if len(g) < 2:
-                continue
             ids = np.sort(g[id_col].unique())
-            sigs = np.stack([sigmap[int(i)] for i in ids])
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
-                    jac = float((sigs[x] == sigs[y]).mean())
-                    if jac >= jaccard_threshold:
-                        out_a.append(int(ids[x]))
-                        out_b.append(int(ids[y]))
-                        out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "jaccard_sig": out_j})
+                    oa.append(int(ids[x]))
+                    ob.append(int(ids[y]))
+        return to_arrow(pd.DataFrame({"id_a": oa, "id_b": ob}), cand_schema)
 
-    pairs = banded.groupby("part").map_groups(
-        pairs_in_part, batch_format="pandas")
-    # same pair can surface from several bands → dedup; coalesce first so
-    # the tiny pair set doesn't pay a _PAIR_PARTS-wide shuffle
-    return (pairs.repartition(4).groupby(["id_a", "id_b"])
-            .aggregate(Min("jaccard_sig", alias_name="jaccard_sig")))
+    # dedup candidates ACROSS bands before any signature moves; coalesce
+    # first so the tiny pair set doesn't pay a _PAIR_PARTS-wide shuffle
+    cand = (banded.groupby("part")
+            .map_groups(cands_in_part, batch_format="pandas")
+            .repartition(4)
+            .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb"))
+            .select_columns(["id_a", "id_b"]))
+
+    # ---- signature attach: union(members, sigs) co-partitioned on the
+    # member id — the join Ray Data can't express without aggregator actors
+    mem_schema = pa.schema([("mid", pa.int64()), ("id_a", pa.int64()),
+                            ("id_b", pa.int64()), ("sig", sig_ty),
+                            ("part", pa.int64())])
+
+    def explode_members(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        mids = np.concatenate([ia, ib])
+        return pa.table({
+            "mid": pa.array(mids, pa.int64()),
+            "id_a": pa.array(np.concatenate([ia, ia]), pa.int64()),
+            "id_b": pa.array(np.concatenate([ib, ib]), pa.int64()),
+            "sig": pa.nulls(2 * len(t), sig_ty),
+            "part": pa.array(mids % _PAIR_PARTS, pa.int64()),
+        }).cast(mem_schema)
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        mids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "mid": pa.array(mids, pa.int64()),
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "sig": t["sig"],
+            "part": pa.array(mids % _PAIR_PARTS, pa.int64()),
+        }).cast(mem_schema)
+
+    att_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("mid", pa.int64()), ("sig", sig_ty),
+                            ("part", pa.int64())])
+
+    def attach(part: pa.Table) -> pa.Table:
+        is_sig = pc.is_null(part["id_a"])
+        sigs = part.filter(is_sig)
+        mems = part.filter(pc.invert(is_sig))
+        if mems.num_rows == 0:
+            return att_schema.empty_table()
+        # only this partition's own signatures — never the whole corpus
+        lut = dict(zip(sigs["mid"].to_pylist(), sigs["sig"].to_pylist()))
+        mid = mems["mid"].to_pylist()
+        ia = mems["id_a"].to_numpy(zero_copy_only=False)
+        ib = mems["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "mid": mems["mid"],
+            "sig": pa.array([lut.get(m) for m in mid], sig_ty),
+            "part": pa.array((ia ^ ib) % _PAIR_PARTS, pa.int64()),
+        }).cast(att_schema)
+
+    attached = (cand.map_batches(explode_members, batch_format="pyarrow")
+                .union(sig_ds.map_batches(tag_sigs, batch_format="pyarrow"))
+                .groupby("part")
+                .map_groups(attach, batch_format="pyarrow"))
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             ("jaccard_sig", pa.float64())])
+
+    def verify(part: pd.DataFrame) -> pa.Table:
+        oa, ob, oj = [], [], []
+        for (pa_id, pb_id), g in part.groupby(["id_a", "id_b"], sort=False):
+            by_mid = {int(m): np.asarray(s, dtype=np.int64)
+                      for m, s in zip(g["mid"], g["sig"]) if s is not None}
+            sa, sb = by_mid.get(int(pa_id)), by_mid.get(int(pb_id))
+            if sa is None or sb is None:
+                continue
+            jac = float((sa == sb).mean())
+            if jac >= jaccard_threshold:
+                oa.append(int(pa_id)); ob.append(int(pb_id)); oj.append(jac)
+        return to_arrow(pd.DataFrame({"id_a": oa, "id_b": ob,
+                                      "jaccard_sig": oj}), pair_schema)
+
+    return (attached.groupby("part")
+            .map_groups(verify, batch_format="pandas"))
 
 
 def simhash_batch(batch: pa.Table, *, id_col: str = "doc_id",
