@@ -33,7 +33,7 @@ from ..stages.strip import extract_text
 from ..stages.tagger import tag_pages
 from ..stages.linker import link_pages
 from ..stages.triple_extract import extract_triples_stage
-from ..stages.canonicalize import connected_components, partial_mention_edges
+from ..stages.canonicalize import cluster_labels, partial_mention_edges
 from ..stages.graph import build_edges, build_nodes
 
 DEFAULT_LANGS = ("en",)
@@ -178,15 +178,25 @@ def annotate(pages: ray.data.Dataset, *, langs=DEFAULT_LANGS,
 
 def build_graph(annotated: ray.data.Dataset, *,
                 driver_threshold: int = 2_000_000) -> dict:
-    """annotated → {cluster map, nodes Dataset, edges Dataset}."""
+    """annotated → {cluster map, nodes Dataset, edges Dataset}.
+
+    Under ``driver_threshold`` distinct edges the cluster map is a driver
+    dict broadcast once via ``ray.put`` (fast path); above it — or with
+    ``driver_threshold=0`` — it stays a ``Dataset(node, label)`` end to
+    end and nodes/edges attach cluster ids by co-partitioned shuffle
+    (stages/canonicalize.py attach_labels), so nothing entity-sized ever
+    lands on the driver."""
     import ray as _ray
 
     edges_bi = partial_mention_edges(annotated)
-    cmap = connected_components(edges_bi, driver_threshold=driver_threshold,
-                                distinct=False)
-    cref = _ray.put(cmap)
+    cm = cluster_labels(edges_bi, driver_threshold=driver_threshold,
+                        distinct=False)
+    if isinstance(cm, dict):
+        cref = _ray.put(cm)
+    else:
+        cref = cm.materialize()  # consumed by nodes + 2× edges attach
     return {
-        "cluster": cmap,
+        "cluster": cm,
         "nodes": build_nodes(annotated, cref),
         "edges": build_edges(annotated, cref),
     }

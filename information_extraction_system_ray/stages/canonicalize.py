@@ -206,14 +206,17 @@ def connected_components_distributed(
                               batch_format="pyarrow")
 
 
-def connected_components(edges: ray.data.Dataset, *,
-                         driver_threshold: int = 2_000_000,
-                         num_partitions: int = 16,
-                         distinct: bool = True) -> dict[str, str]:
-    """entity_id → cluster id. Uses the driver union-find under
-    ``driver_threshold`` edge rows, else distributed label propagation (then
-    collects the entity→cluster map, which is ≤ #entities rows — the small
-    output of the wide computation).
+def cluster_labels(edges: ray.data.Dataset, *,
+                   driver_threshold: int = 2_000_000,
+                   num_partitions: int = 16,
+                   distinct: bool = True
+                   ) -> "dict[str, str] | ray.data.Dataset":
+    """entity_id → cluster id, as a driver DICT under ``driver_threshold``
+    edge rows (union-find fast path; streamed, bounded memory), else as a
+    DATASET(node, label) from distributed label propagation — above the
+    threshold nothing entity-sized ever lands on the driver; downstream
+    attaches cluster ids with :func:`attach_labels` instead of a broadcast
+    dict (a KG at 10^12 pages can hold 10^9+ entities).
 
     ``edges`` may contain duplicate rows (pass distinct=False): the driver
     union-find absorbs them for free, so the flagship feeds PARTIAL-deduped
@@ -230,9 +233,82 @@ def connected_components(edges: ray.data.Dataset, *,
         edges = distinct_edges(edges)
     labels = connected_components_distributed(
         edges, num_partitions=num_partitions)
+    # drop surface nodes — only entity→cluster rows flow downstream
+    return labels.map_batches(
+        lambda t: t.filter(pc.invert(pc.starts_with(t["node"], "s::"))),
+        batch_format="pyarrow")
+
+
+def connected_components(edges: ray.data.Dataset, *,
+                         driver_threshold: int = 2_000_000,
+                         num_partitions: int = 16,
+                         distinct: bool = True) -> dict[str, str]:
+    """Dict-contract wrapper over :func:`cluster_labels` (tests / callers
+    that need the map in memory; the output is ≤ #entities rows — the small
+    output of the wide computation)."""
+    res = cluster_labels(edges, driver_threshold=driver_threshold,
+                         num_partitions=num_partitions, distinct=distinct)
+    if isinstance(res, dict):
+        return res
     out: dict[str, str] = {}
-    for b in labels.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for node, lbl in zip(b["node"].to_pylist(), b["label"].to_pylist()):
-            if not node.startswith("s::"):
-                out[node] = lbl
+    for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        out.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
     return out
+
+
+def attach_labels(ds: ray.data.Dataset, labels: ray.data.Dataset,
+                  key_col: str, *,
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """Replace ``ds[key_col]`` with its cluster label from
+    ``labels(node, label)`` — identity where no label exists — WITHOUT any
+    driver-side dict: both sides are hash-co-partitioned on the key and one
+    vectorized lookup runs per partition (the same union+groupby
+    co-partition trick label propagation uses; Ray hash joins would spawn
+    per-partition aggregator actors instead).
+
+    Output schema == input schema (key values rewritten), pinned explicitly
+    so empty / label-free partitions can't drift block schemas."""
+    import pandas as pd
+
+    schema = ds.schema().base_schema
+    names = list(schema.names)
+    out_schema = pa.schema([(n, schema.field(n).type) for n in names])
+    key_idx = names.index(key_col)
+
+    def _part(t: pa.Table, col: str) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[col].to_pandas()), index=False) % num_partitions
+        return pa.array(h.to_numpy(), pa.int64())
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in names}
+        cols["_lab"] = pa.nulls(len(t), pa.string())
+        cols["_apart"] = _part(t, key_col)
+        return pa.table(cols)
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {c: (t["node"] if c == key_col
+                    else pa.nulls(n, schema.field(c).type)) for c in names}
+        cols["_lab"] = t["label"]
+        cols["_apart"] = _part(t, "node")
+        return pa.table(cols)
+
+    def fix(part: pa.Table) -> pa.Table:
+        is_lab = pc.is_valid(part["_lab"])
+        lab = part.filter(is_lab)
+        data = part.filter(pc.invert(is_lab))
+        if data.num_rows == 0:
+            return out_schema.empty_table()
+        # only this partition's own labels — never the whole map
+        lut = dict(zip(lab[key_col].to_pylist(), lab["_lab"].to_pylist()))
+        mapped = pa.array([lut.get(k, k)
+                           for k in data[key_col].to_pylist()], pa.string())
+        out = data.drop_columns(["_lab", "_apart"]) \
+            .set_column(key_idx, key_col, mapped)
+        return out.cast(out_schema)
+
+    return (ds.map_batches(tag_data, batch_format="pyarrow")
+            .union(labels.map_batches(tag_lab, batch_format="pyarrow"))
+            .groupby("_apart")
+            .map_groups(fix, batch_format="pyarrow"))

@@ -23,6 +23,9 @@ import ray.data
 
 from refimpl.vocab import BY_ID
 
+from ..functions.arrowutil import to_arrow
+from .canonicalize import attach_labels
+
 _SAMPLE_URLS = 5
 _MERGE_PARTS = 16  # hash partitions for the merge shuffle; raise with cluster
 # (partition count bounds merge/sort width: at 16 the whole graph phase is
@@ -57,16 +60,34 @@ def _cluster_lookup(arr: pa.Array, cmap: dict[str, str]) -> pa.Array:
     return pa.array(s.map(cmap).fillna(s), pa.string())
 
 
+_NODES_SCHEMA = pa.schema([
+    ("entity_id", pa.string()), ("canonical_surface", pa.string()),
+    ("aliases", pa.list_(pa.string())), ("n_mentions", pa.int64()),
+])
+
+
 def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     """annotated → nodes(entity_id, canonical_surface, aliases, n_mentions),
-    sorted by entity_id."""
+    sorted by entity_id.
+
+    ``cluster_ref`` is either an ObjectRef/dict (small-map fast path:
+    broadcast once, looked up per batch) or a ``Dataset(node, label)`` —
+    the scale path, where cluster ids are attached to the PARTIALLY
+    AGGREGATED rows (≤ one row per raw entity per block, not the raw
+    mention stream) by a co-partitioned shuffle and the merge re-groups by
+    cluster id. Merge semantics are associative, so partial-on-raw-id then
+    merge-on-cluster-id == partial-on-cluster-id then merge."""
     cmap_ref = cluster_ref
+    ds_mode = isinstance(cluster_ref, ray.data.Dataset)
 
     def partial(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) \
-            else cmap_ref
         flat = explode_list_struct(batch, "mentions", [])
-        cl = _cluster_lookup(flat["entity_id"], cmap)
+        if ds_mode:
+            cl = pc.cast(flat["entity_id"], pa.string())
+        else:
+            cmap = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) \
+                else cmap_ref
+            cl = _cluster_lookup(flat["entity_id"], cmap)
         df = pa.table({"entity_id": cl, "surface": flat["surface"]}) \
             .to_pandas()
         g = df.groupby("entity_id", sort=False).agg(
@@ -81,7 +102,7 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
                                         pa.list_(pa.string())),
         })
 
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_part(g: pd.DataFrame) -> pa.Table:
         out = (g.groupby("entity_id", sort=False)
                .agg(n_mentions=("n_partial", "sum"),
                     aliases=("aliases_partial",
@@ -89,20 +110,30 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
                .reset_index())
         canon = [(BY_ID[e].canonical if e in BY_ID
                   else e.removeprefix("NIL:")) for e in out["entity_id"]]
-        return pd.DataFrame({
+        return to_arrow(pd.DataFrame({
             "entity_id": out["entity_id"],
             "canonical_surface": canon,
             "aliases": out["aliases"],
             "n_mentions": out["n_mentions"].astype("int64"),
-        })
+        }), _NODES_SCHEMA)
 
     # coalesce before the shuffle: the partial output is tiny (one row per
     # key per block), but sort-shuffle width follows input block count — a
     # 200-block scan would pay a 200-wide shuffle for kilobytes of data
-    return (annotated
-            .map_batches(partial, batch_format="pyarrow")
-            .repartition(_MERGE_PARTS)
-            .groupby("part")
+    parts = annotated.map_batches(partial, batch_format="pyarrow")
+    if ds_mode:
+        parts = attach_labels(parts, cluster_ref, "entity_id",
+                              num_partitions=_MERGE_PARTS)
+        # part is stale after key rewrite — recompute from the cluster id
+        parts = parts.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("part"), "part",
+                pa.array(_part_of(pd.Series(t["entity_id"].to_pandas())),
+                         pa.int64())),
+            batch_format="pyarrow")
+    else:
+        parts = parts.repartition(_MERGE_PARTS)
+    return (parts.groupby("part")
             .map_groups(merge_part, batch_format="pandas")
             .sort("entity_id"))
 
@@ -128,19 +159,35 @@ def _min_k_wide(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
     return wide[_URL_COLS].reset_index()
 
 
+_EDGES_SCHEMA = pa.schema([
+    ("subj_id", pa.string()), ("pred", pa.string()),
+    ("obj_id", pa.string()), ("n_support", pa.int64()),
+    ("sample_urls", pa.list_(pa.string())),
+])
+
+
 def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     """annotated → edges(subj_id, pred, obj_id, n_support, sample_urls),
-    sorted by (subj_id, pred, obj_id)."""
+    sorted by (subj_id, pred, obj_id). ``cluster_ref`` semantics as in
+    :func:`build_nodes`; the Dataset path attaches cluster ids to the
+    partials with TWO co-partitioned passes (subj then obj)."""
     cmap_ref = cluster_ref
+    ds_mode = isinstance(cluster_ref, ray.data.Dataset)
 
     def partial(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) \
-            else cmap_ref
         flat = explode_list_struct(batch, "triples", ["url"])
+        if ds_mode:
+            subj = pc.cast(flat["subj_entity_id"], pa.string())
+            obj = pc.cast(flat["obj_entity_id"], pa.string())
+        else:
+            cmap = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) \
+                else cmap_ref
+            subj = _cluster_lookup(flat["subj_entity_id"], cmap)
+            obj = _cluster_lookup(flat["obj_entity_id"], cmap)
         df = pa.table({
-            "subj_id": _cluster_lookup(flat["subj_entity_id"], cmap),
+            "subj_id": subj,
             "pred": flat["pred"],
-            "obj_id": _cluster_lookup(flat["obj_entity_id"], cmap),
+            "obj_id": obj,
             "url": flat["url"],
         }).to_pandas()
         counts = (df.groupby(_KEYS, sort=False).size()
@@ -154,7 +201,7 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
             cols[c] = pa.array(g[c], pa.string())
         return pa.table(cols)
 
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_part(g: pd.DataFrame) -> pa.Table:
         n = (g.groupby(_KEYS, sort=False)
              .agg(n_support=("n_partial", "sum")))
         melted = g.melt(id_vars=_KEYS, value_vars=_URL_COLS,
@@ -167,11 +214,25 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
         out = n.copy()
         out["sample_urls"] = sample
         out["n_support"] = out["n_support"].astype("int64")
-        return out.reset_index()
+        return to_arrow(out.reset_index(), _EDGES_SCHEMA)
 
-    return (annotated
-            .map_batches(partial, batch_format="pyarrow")
-            .repartition(_MERGE_PARTS)  # narrow the shuffle (see build_nodes)
-            .groupby("part")
+    parts = annotated.map_batches(partial, batch_format="pyarrow")
+    if ds_mode:
+        parts = attach_labels(parts, cluster_ref, "subj_id",
+                              num_partitions=_MERGE_PARTS)
+        parts = attach_labels(parts, cluster_ref, "obj_id",
+                              num_partitions=_MERGE_PARTS)
+
+        def repart(t: pa.Table) -> pa.Table:
+            key = (pd.Series(t["subj_id"].to_pandas()) + "\x00"
+                   + pd.Series(t["pred"].to_pandas()) + "\x00"
+                   + pd.Series(t["obj_id"].to_pandas()))
+            return t.set_column(t.schema.get_field_index("part"), "part",
+                                pa.array(_part_of(key), pa.int64()))
+
+        parts = parts.map_batches(repart, batch_format="pyarrow")
+    else:
+        parts = parts.repartition(_MERGE_PARTS)  # narrow the shuffle
+    return (parts.groupby("part")
             .map_groups(merge_part, batch_format="pandas")
             .sort(["subj_id", "pred", "obj_id"]))

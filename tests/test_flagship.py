@@ -109,3 +109,31 @@ def test_distributed_cc_matches_driver_uf(ray_session, flagship_result):
     want = connected_components_driver(edges)
     got = connected_components(edges, driver_threshold=0, num_partitions=4)
     assert got == want
+
+
+def test_dataset_cluster_path_matches_golden(ray_session, flagship_result,
+                                             fixdir):
+    """driver_threshold=0 forces the full Dataset path — cluster labels stay
+    a Dataset and nodes/edges attach them by co-partitioned shuffle, never a
+    driver dict — and the outputs must equal the broadcast-dict path's
+    goldens exactly."""
+    import ray.data as rd
+
+    from information_extraction_system_ray.pipelines.flagship import \
+        build_graph
+
+    ann = flagship_result["annotated"]
+    g = build_graph(ann, driver_threshold=0)
+    assert isinstance(g["cluster"], rd.Dataset)
+
+    nodes = _norm_nodes(g["nodes"].to_pandas())
+    gold_nodes = _norm_nodes(pq.read_table(
+        os.path.join(fixdir, "gold_nodes_tiny.parquet")).to_pandas())
+    assert nodes.to_dict("records") == gold_nodes.to_dict("records")
+
+    edges = g["edges"].to_pandas()
+    edges["sample_urls"] = edges["sample_urls"].map(list)
+    gold_edges = pq.read_table(
+        os.path.join(fixdir, "gold_edges_tiny.parquet")).to_pandas()
+    gold_edges["sample_urls"] = gold_edges["sample_urls"].map(list)
+    assert edges.to_dict("records") == gold_edges.to_dict("records")
