@@ -52,17 +52,25 @@ def cmd_extract(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .pipelines.flagship import run_flagship
     from .sources.pages import read_pages, synth_pages
+    from .state.manifest import Manifest, corpus_fingerprint
 
     pages = synth_pages(args.synth) if args.synth else read_pages(args.pages)
     t0 = time.time()
     if args.resume and not args.out:
         print("--resume requires --out", file=sys.stderr)
         return 2
+    fp = corpus_fingerprint(args.pages, synth_n=args.synth)
+    if args.out and not args.resume and Manifest(args.out).has_records():
+        print(f"{args.out} already holds committed results; pass --resume "
+              "to reuse them (stale-input partitions are recomputed) or "
+              "remove the directory", file=sys.stderr)
+        return 2
     ncpu = args.num_cpus or 8
     res = run_flagship(pages, out_dir=args.out or None,
                        num_parts=args.num_parts,
                        concurrency=(max(2, ncpu * 3 // 4), max(2, ncpu)),
-                       batch_size=args.batch_size)
+                       batch_size=args.batch_size,
+                       input_fingerprint=fp)
     if args.out:
         print(json.dumps({"cmd": "extract", "out_dir": res["out_dir"],
                           "metrics": res["metrics"],

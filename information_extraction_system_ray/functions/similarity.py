@@ -42,10 +42,12 @@ def knn_bruteforce(emb: ray.data.Dataset, queries: np.ndarray, k: int, *,
         v = _normalize(_as_matrix(batch[vec_col]))
         sim = v @ q.T                     # (n, Q)
         kk = min(k, sim.shape[0])
-        top = np.argpartition(-sim, kk - 1, axis=0)[:kk]  # (kk, Q)
         out_q, out_id, out_c = [], [], []
         for qi in range(q.shape[0]):
-            idx = top[:, qi]
+            # survivors must follow the SAME (cosine desc, id asc) order as
+            # the global merge: a cosine tie at the k-th boundary (duplicate
+            # vectors) would otherwise drop the id the merge/oracle keeps
+            idx = np.lexsort((ids, -sim[:, qi]))[:kk]
             out_q.extend([qi] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_c.extend(sim[idx, qi].tolist())

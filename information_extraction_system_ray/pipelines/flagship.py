@@ -219,7 +219,8 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
 
     # ---- stage 1: extracted (all langs; the byte-identity deliverable) ----
     ext_dir = os.path.join(out_dir, "extracted")
-    pend = set(man.clean_uncommitted("extracted", num_parts, ext_dir))
+    pend = set(man.clean_uncommitted("extracted", num_parts, ext_dir,
+                                     input_fingerprint))
     if pend:
         t0 = time.time()
         ext = extract_text(pages, num_parts=num_parts, with_sha=True)
@@ -233,7 +234,8 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
 
     # ---- stage 2: annotated (en-only; tagger→linker→triples) ----
     ann_dir = os.path.join(out_dir, "annotated")
-    pend = set(man.clean_uncommitted("annotated", num_parts, ann_dir))
+    pend = set(man.clean_uncommitted("annotated", num_parts, ann_dir,
+                                     input_fingerprint))
     if pend:
         t0 = time.time()
         model_ref = put_once("crf_model", get_model)
@@ -255,7 +257,14 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
     # ---- stage 3: graph (wide shuffles; committed as one unit) ----
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
-    if man.pending("graph", 1):
+    if man.pending("graph", 1, input_fingerprint):
+        # write-then-commit: a crash after write_parquet but before
+        # commit('graph') leaves uncommitted files — appending to them on
+        # resume would duplicate every node/edge row, so clear first
+        import shutil
+        for d in (nodes_dir, edges_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         t0 = time.time()
         annotated = _normalize_part_id(ray.data.read_parquet(ann_dir))
         g = build_graph(annotated, driver_threshold=driver_threshold)

@@ -42,9 +42,30 @@ class Manifest:
                 out[int(rec["partition_id"])] = rec
         return out
 
-    def pending(self, stage: str, num_parts: int) -> list[int]:
+    def pending(self, stage: str, num_parts: int,
+                input_fingerprint: str | None = None) -> list[int]:
+        """Partitions to (re)compute. A committed record only counts as done
+        if its recorded input_fingerprint matches the current run's (when
+        one is provided) — rerunning against a DIFFERENT corpus must not
+        silently return stale checkpointed results."""
         done = self.completed(stage)
-        return [p for p in range(num_parts) if p not in done]
+
+        def ok(rec: dict) -> bool:
+            return (input_fingerprint is None
+                    or rec.get("input_fingerprint", "") == input_fingerprint)
+
+        return [p for p in range(num_parts)
+                if p not in done or not ok(done[p])]
+
+    def has_records(self) -> bool:
+        """True if ANY stage has committed partitions (used by the CLI to
+        require an explicit --resume before reusing an output dir)."""
+        if not os.path.isdir(self.dir):
+            return False
+        return any(f.startswith("part-") and f.endswith(".json")
+                   for stage in os.listdir(self.dir)
+                   if os.path.isdir(self._stage_dir(stage))
+                   for f in os.listdir(self._stage_dir(stage)))
 
     def commit(self, stage: str, partition_id: int, *, n_rows: int,
                wall_s: float, output_path: str,
@@ -60,15 +81,19 @@ class Manifest:
             json.dump(rec, fh)
         os.replace(tmp, os.path.join(d, f"part-{partition_id}.json"))
 
-    def clean_uncommitted(self, stage: str, num_parts: int,
-                          data_dir: str) -> list[int]:
-        """Delete partition dirs whose commit record is missing; return the
-        list of pending partition ids to recompute."""
-        pend = self.pending(stage, num_parts)
+    def clean_uncommitted(self, stage: str, num_parts: int, data_dir: str,
+                          input_fingerprint: str | None = None) -> list[int]:
+        """Delete partition dirs whose commit record is missing (or whose
+        recorded input fingerprint is stale); return the list of pending
+        partition ids to recompute."""
+        pend = self.pending(stage, num_parts, input_fingerprint)
         for p in pend:
             d = os.path.join(data_dir, f"part_id={p}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
+            rec = os.path.join(self._stage_dir(stage), f"part-{p}.json")
+            if os.path.exists(rec):       # stale-fingerprint record
+                os.remove(rec)
         return pend
 
     def stage_stats(self, stage: str) -> dict:
@@ -78,6 +103,32 @@ class Manifest:
         return {"stage": stage, "partitions": len(list(recs)) or len(recs),
                 "n_rows": rows, "wall_s": round(wall, 3),
                 "rows_per_s": round(rows / wall, 1) if wall else None}
+
+
+def corpus_fingerprint(path: str | None = None, *,
+                       synth_n: int | None = None) -> str:
+    """Cheap, deterministic fingerprint of the INPUT corpus: sha256 over the
+    sorted (relative name, byte size) of its parquet files — no data scan,
+    changes whenever the input file set changes. For synthetic corpora the
+    generator is deterministic, so the page count IS the fingerprint."""
+    import hashlib
+
+    if synth_n is not None:
+        return f"synth:{synth_n}"
+    if path is None:
+        return ""
+    h = hashlib.sha256()
+    if os.path.isfile(path):
+        files = [(os.path.basename(path), os.path.getsize(path))]
+    else:
+        files = sorted(
+            (os.path.relpath(os.path.join(root, f), path),
+             os.path.getsize(os.path.join(root, f)))
+            for root, _, fs in os.walk(path)
+            for f in fs if f.endswith(".parquet"))
+    for name, size in files:
+        h.update(f"{name}:{size}\n".encode())
+    return h.hexdigest()[:16]
 
 
 def commit_partitions_from_dir(manifest: Manifest, stage: str, data_dir: str,

@@ -62,3 +62,55 @@ def test_resume_recomputes_only_missing_and_matches_gold(
     nodes["aliases"] = nodes["aliases"].map(list)
     goldn["aliases"] = goldn["aliases"].map(list)
     assert nodes.to_dict("records") == goldn.to_dict("records")
+
+
+def test_graph_crash_between_write_and_commit_no_duplicates(
+        ray_session, fixdir, out_dir):
+    """Crash AFTER nodes/edges write_parquet but BEFORE commit('graph'):
+    the resumed run must clear the uncommitted files, not append to them
+    (appending would duplicate every node/edge row)."""
+    _run(fixdir, out_dir)
+    # simulate: graph data landed but the commit record was lost
+    os.remove(os.path.join(out_dir, "_manifest/graph/part-0.json"))
+    _run(fixdir, out_dir)
+
+    edges = pq.read_table(os.path.join(out_dir, "edges")).to_pandas()
+    gold = pq.read_table(
+        os.path.join(fixdir, "gold_edges_tiny.parquet")).to_pandas()
+    assert len(edges) == len(gold)          # no row duplication
+    nodes = pq.read_table(os.path.join(out_dir, "nodes")).to_pandas()
+    goldn = pq.read_table(
+        os.path.join(fixdir, "gold_nodes_tiny.parquet")).to_pandas()
+    assert len(nodes) == len(goldn)
+
+
+def test_stale_input_fingerprint_forces_recompute(ray_session, fixdir,
+                                                  out_dir):
+    """A committed partition whose recorded input_fingerprint differs from
+    the current run's is treated as pending — different corpus, no stale
+    checkpoint reuse."""
+    import ray.data as rd
+
+    from information_extraction_system_ray.pipelines.flagship import \
+        run_flagship
+
+    pages = rd.read_parquet(os.path.join(fixdir, "pages_tiny.parquet"))
+    run_flagship(pages, out_dir=out_dir, num_parts=8, concurrency=(1, 2),
+                 input_fingerprint="fp-A")
+    ext = os.path.join(out_dir, "extracted")
+    mtimes = {f: os.path.getmtime(os.path.join(ext, f))
+              for f in os.listdir(ext)}
+
+    # same fingerprint → nothing recomputed
+    run_flagship(pages, out_dir=out_dir, num_parts=8, concurrency=(1, 2),
+                 input_fingerprint="fp-A")
+    assert {f: os.path.getmtime(os.path.join(ext, f))
+            for f in os.listdir(ext)} == mtimes
+
+    # different fingerprint → every partition recomputed
+    run_flagship(pages, out_dir=out_dir, num_parts=8, concurrency=(1, 2),
+                 input_fingerprint="fp-B")
+    changed = {f: os.path.getmtime(os.path.join(ext, f))
+               for f in os.listdir(ext)}
+    assert all(changed[f] != m for f, m in mtimes.items()
+               if f in changed) or set(changed) != set(mtimes)
