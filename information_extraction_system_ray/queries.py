@@ -611,6 +611,61 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_latest_per_user(sf_dir: str):
+    """Window operator (row_number per key, absent from Ray Data): the 3
+    most recent events per user with their rank — one hash-partitioned
+    shuffle, one vectorized sort+cumcount pass per partition."""
+    from .functions.window import topk_per_key
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    out = topk_per_key(ds, 3, keys=["user_id"],
+                       order_by=["ts", "event_id"],
+                       descending=[True, False])
+    return out.sort(["user_id", "rn"])
+
+
+_EVENTS_LATEST_SQL = """
+SELECT event_id, user_id, ts, event_type, rn FROM (
+  SELECT event_id, user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) AS rn
+  FROM events) t WHERE rn <= 3 ORDER BY user_id, rn
+"""
+
+
+def events_user_cumspend(sf_dir: str):
+    """Window operator (running aggregate): per-user cumulative spend in
+    (ts, event_id) order, in integer cents so the result is bit-exact
+    across engines."""
+    from .functions.window import running_sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ts": t["ts"], "cents": cents})
+
+    out = running_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                      "cents", keys=["user_id"],
+                      order_by=["ts", "event_id"], out_col="cum_cents")
+    return (out.select_columns(["user_id", "event_id", "cum_cents"])
+            .sort(["user_id", "event_id"]))
+
+
+_EVENTS_CUMSPEND_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def pages_url_dedup(sf_dir: str):
     """D4: url-level dedup of a pages table with injected re-captures —
     rows-only (synthetic pages corpus; exact semantics in tests)."""
@@ -1045,6 +1100,8 @@ def queries():
         "events_type_skew": events_type_skew,
         "events_asof_orders": events_asof_orders,
         "events_salted_type_count": events_salted_type_count,
+        "events_latest_per_user": events_latest_per_user,
+        "events_user_cumspend": events_user_cumspend,
         "pages_url_dedup": pages_url_dedup,
         "orders_kfold": orders_kfold,
         "docs_lang_count": docs_lang_count,
@@ -1092,6 +1149,8 @@ def oracle_sql():
         "events_type_skew": _EVENTS_SKEW_SQL,
         "events_asof_orders": _EVENTS_ASOF_SQL,
         "events_salted_type_count": _EVENTS_SALTED_SQL,
+        "events_latest_per_user": _EVENTS_LATEST_SQL,
+        "events_user_cumspend": _EVENTS_CUMSPEND_SQL,
         "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
         "docs_token_counts": _DOCS_TOKENS_SQL,
