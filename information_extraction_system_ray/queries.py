@@ -682,6 +682,44 @@ def pages_url_dedup(sf_dir: str):
         batch_format="pyarrow").sort("url")
 
 
+def raw_docs_ingest(sf_dir: str):
+    """S1 second half: raw on-disk documents (.txt/.html/.pdf) →
+    read_binary_files → actor-pool decode → pages schema → the flagship
+    text stripper. Rows-only (no SQL over a file tree); byte-level
+    semantics are golden-tested in tests/test_rawdocs.py."""
+    import os
+
+    from .sources.rawdocs import ingest_documents
+    from .stages.strip import extract_text
+    from refimpl import SEED
+    from refimpl.pagegen import gen_page
+
+    n = max(60, _n_pages(sf_dir) // 200)
+    root = f"/tmp/information_extraction_system_ray_rawdocs_{SEED}_{n}"
+    if not os.path.exists(os.path.join(root, "_complete")):
+        os.makedirs(root, exist_ok=True)
+        for i in range(n):
+            p = gen_page(i, SEED)
+            if i % 3 == 0:
+                path, data = f"doc{i:04d}.txt", p.text.encode()
+            elif i % 3 == 1:
+                path, data = f"doc{i:04d}.html", p.html
+            else:
+                path, data = f"doc{i:04d}.pdf", p.html  # opaque stub bytes
+            with open(os.path.join(root, path), "wb") as fh:
+                fh.write(data)
+        open(os.path.join(root, "_complete"), "w").close()
+
+    pages = ingest_documents(root, concurrency=(1, 2))
+    ext = extract_text(pages, num_parts=8, with_sha=False)
+    return ext.map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "lang": t["lang"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        }), batch_format="pyarrow").sort("url")
+
+
 def orders_kfold(sf_dir: str):
     """S2/O3: deterministic k-fold assignment by key hash-bucket (the
     train/test-split primitive; fold must be key-derived, never row-order)."""
@@ -1103,6 +1141,7 @@ def queries():
         "events_latest_per_user": events_latest_per_user,
         "events_user_cumspend": events_user_cumspend,
         "pages_url_dedup": pages_url_dedup,
+        "raw_docs_ingest": raw_docs_ingest,
         "orders_kfold": orders_kfold,
         "docs_lang_count": docs_lang_count,
         "docs_token_counts": docs_token_counts,
