@@ -87,6 +87,14 @@ def cmd_extract(args) -> int:
 
 def cmd_evaluate(args) -> int:
     ray = _ray_session(args.num_cpus)
+    if args.kfold:
+        from .pipelines.kfold import kfold_evaluate
+
+        out = kfold_evaluate(args.pages_n, args.kfold, seed=args.seed)
+        print(out.to_string(index=False,
+                            float_format=lambda x: f"{x:.4f}"))
+        ray.shutdown()
+        return 0
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -145,6 +153,9 @@ def main(argv=None) -> int:
                        help="per-label P/R/F1 of the tagger vs gold")
     v.add_argument("--pages-n", type=int, default=200)
     v.add_argument("--seed", type=int, default=99)
+    v.add_argument("--kfold", type=int, default=0,
+                   help="k-fold cross-validation: train k fold models, "
+                        "score each held-out fold distributed")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_evaluate)
 
