@@ -108,3 +108,48 @@ def test_embedding_cosine_duplicates(ray_session):
         assert (2 * i, 2 * i + 1) in got
     # pairs only within a base (cosine of independent gaussians ≪ 0.99)
     assert all(a // 2 == b // 2 for a, b in got)
+
+
+def test_pages_url_dedup_exact_vs_duckdb_window(ray_session, tmp_path):
+    """D4 exact check (VERDICT r1 #10): the url-dedup winner per url equals
+    a DuckDB ROW_NUMBER() window oracle over the same corpus written to
+    Parquet (the driver can't see synthetic tables; this test can)."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from information_extraction_system_ray.functions.dedup import \
+        dedup_pages_by_url
+    from information_extraction_system_ray.sources.pages import synth_pages
+
+    base = synth_pages(120)
+    dup = synth_pages(30, seed=43)     # shares urls where langs coincide
+    merged = base.union(dup).materialize()
+
+    pq_path = str(tmp_path / "pages.parquet")
+    pdf = merged.to_pandas()
+    # duckdb's sha256() is VARCHAR-only; precompute the BLOB hash as a column
+    pdf["sha"] = [hashlib.sha256(bytes(h)).hexdigest() for h in pdf["html"]]
+    pdf.to_parquet(pq_path)
+
+    got = dedup_pages_by_url(merged).to_pandas()
+    got["sha"] = [hashlib.sha256(bytes(h)).hexdigest()
+                  for h in got["html"]]
+    got = got[["url", "warc_ts", "sha"]] \
+        .sort_values("url").reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT url, warc_ts, sha FROM (
+          SELECT url, warc_ts, sha,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY url
+                   ORDER BY warc_ts DESC, sha DESC) AS rn
+          FROM read_parquet('{pq_path}')) t
+        WHERE rn = 1 ORDER BY url
+    """).fetchdf()
+    assert len(got) == len(want)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["sha"]) == list(want["sha"])
+    assert list(got["warc_ts"]) == list(want["warc_ts"])
