@@ -77,16 +77,16 @@ class FusedAnnotator:
 
     def __init__(self, model_ref, alias_ref=None) -> None:
         import ray as _ray
-        from refimpl.crf import FeatureHasher
-        from refimpl.linker import Linker
         import numpy as _np
+
+        from ..stages.fastpath import BatchLinker, FastHasher
 
         W, T = _ray.get(model_ref) \
             if isinstance(model_ref, _ray.ObjectRef) else model_ref
         self.W = _np.ascontiguousarray(W, dtype=_np.float32)
         self.T = _np.ascontiguousarray(T, dtype=_np.float32)
-        self.hasher = FeatureHasher()
-        self.linker = Linker()
+        self.hasher = FastHasher()
+        self.linker = BatchLinker()
         if alias_ref is not None:
             alias, profiles = _ray.get(alias_ref)
             self.linker.alias = alias
@@ -95,10 +95,10 @@ class FusedAnnotator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
         from refimpl.crf import viterbi_batch
-        from refimpl.linker import context_words
         from refimpl.tokenizer import tokenize
-        from refimpl.triples import extract_triples, spans_from_tags
 
+        from ..stages.fastpath import (spans_from_tags_fast,
+                                       triples_from_spans)
         from ..stages.linker import MENTION_TYPE
         from ..stages.triple_extract import TRIPLE_TYPE
 
@@ -112,13 +112,12 @@ class FusedAnnotator:
                               "entity_id", "link_score")}
         t_cnt, t_flat = [], {f.name: [] for f in TRIPLE_TYPE}
         for (tk, offs), text, tags in zip(toks, texts, paths):
-            spans = spans_from_tags(tk, offs, tags)
+            spans = spans_from_tags_fast(offs, tags)
+            links = self.linker.link_page(text, tk, spans)
             eid_by_span = {}
             m_cnt.append(len(spans))
-            for (ts, te, cs, ce, ty) in spans:
+            for (ts, te, cs, ce, ty), (eid, score) in zip(spans, links):
                 surface = text[cs:ce]
-                eid, score = self.linker.link(
-                    surface, context_words(tk, ts, te))
                 eid_by_span[(cs, ce)] = eid
                 m_flat["start"].append(cs)
                 m_flat["end"].append(ce)
@@ -126,7 +125,7 @@ class FusedAnnotator:
                 m_flat["label"].append(ty)
                 m_flat["entity_id"].append(eid)
                 m_flat["link_score"].append(score)
-            trs = extract_triples(text, tk, offs, tags)
+            trs = triples_from_spans(text, tk, spans)
             t_cnt.append(len(trs))
             for t in trs:
                 t["subj_entity_id"] = eid_by_span.get(
