@@ -1,0 +1,78 @@
+"""Semi / anti equi-join — membership joins Ray Data lacks (the flagship's
+resume anti-join at state/manifest.py is driver-side because manifests are
+tiny; THIS is the data-plane version for big-×-big membership).
+
+Distributed plan: the probe side is collapsed to DISTINCT keys per batch
+(combiner — a hot key costs one row per batch, not its row count), then
+both sides hash-co-partition on the key through one union+groupby and a
+vectorized ``pyarrow.compute.is_in`` filter runs per partition. No
+aggregator-actor hash join, no requirement that either side fit in memory
+anywhere (each partition sees only its own key slice).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              *, left_key: str, right_key: str, anti: bool = False,
+              num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows of ``left`` whose key does (``anti=False``) / does not
+    (``anti=True``) appear in ``right``. Output schema == left schema."""
+    schema = left.schema().base_schema
+    names = list(schema.names)
+    out_schema = pa.schema([(n, schema.field(n).type) for n in names])
+    key_type = schema.field(left_key).type
+
+    def _part(t: pa.Table, col: str) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[col].to_pandas()), index=False) % num_partitions
+        return pa.array(h.to_numpy(), pa.int64())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in names}
+        cols["_probe"] = pa.array([False] * len(t), pa.bool_())
+        cols["_jpart"] = _part(t, left_key)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # combiner: distinct keys per batch before the shuffle
+        keys = pc.cast(pc.unique(t[right_key]), key_type)
+        kt = pa.table({left_key: keys})
+        n = len(kt)
+        cols = {c: (kt[left_key] if c == left_key
+                    else pa.nulls(n, schema.field(c).type))
+                for c in names}
+        cols["_probe"] = pa.array([True] * n, pa.bool_())
+        cols["_jpart"] = _part(kt, left_key)
+        return pa.table(cols)
+
+    def filter_part(part: pa.Table) -> pa.Table:
+        probe = part.filter(part["_probe"])
+        data = part.filter(pc.invert(part["_probe"]))
+        if data.num_rows == 0:
+            return out_schema.empty_table()
+        keys = pc.unique(probe[left_key])
+        hit = pc.is_in(data[left_key], value_set=keys)
+        keep = pc.invert(hit) if anti else hit
+        return (data.filter(keep)
+                .drop_columns(["_probe", "_jpart"]).cast(out_schema))
+
+    right_keys = right.select_columns([right_key])
+    return (left.map_batches(tag_left, batch_format="pyarrow")
+            .union(right_keys.map_batches(tag_right,
+                                          batch_format="pyarrow"))
+            .groupby("_jpart")
+            .map_groups(filter_part, batch_format="pyarrow"))
+
+
+def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              *, left_key: str, right_key: str,
+              num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows of ``left`` with NO match in ``right`` (SQL NOT EXISTS)."""
+    return semi_join(left, right, left_key=left_key, right_key=right_key,
+                     anti=True, num_partitions=num_partitions)

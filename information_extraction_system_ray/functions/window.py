@@ -86,6 +86,43 @@ def topk_per_key(ds: ray.data.Dataset, k: int, *, keys: list[str],
         batch_format="pyarrow")
 
 
+def sessionize(ds: ray.data.Dataset, *, keys: list[str], ts_col: str,
+               order_by: list[str], gap,
+               out_col: str = "session_id",
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-key session assignment (the classic event-stream windowed
+    operator): a new session starts at a key's first event or when the gap
+    from the previous event exceeds ``gap`` (a ``pd.Timedelta`` for
+    timestamp columns, a number otherwise). ``out_col`` is the 1-based
+    per-key session counter — identical to SQL
+    ``SUM(new_session) OVER (PARTITION BY keys ORDER BY order_by)`` over a
+    ``LAG(ts)`` gap test. ``order_by`` must start with ``ts_col`` and
+    include a unique tie-break column."""
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.int64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def assign(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(order_by, kind="mergesort")
+        grp = part.groupby(keys, sort=False)
+        prev = grp[ts_col].shift(1)
+        new_sess = prev.isna() | ((part[ts_col] - prev) > gap)
+        part[out_col] = new_sess.astype("int64") \
+            .groupby([part[k] for k in keys], sort=False).cumsum()
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(assign, batch_format="pandas"))
+
+
 def running_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
                 order_by: list[str], out_col: str = "running",
                 num_partitions: int = 32) -> ray.data.Dataset:

@@ -682,6 +682,158 @@ def pages_url_dedup(sf_dir: str):
         batch_format="pyarrow").sort("url")
 
 
+def events_sessionize(sf_dir: str):
+    """Windowed streaming-style operator: per-user session ids with a
+    7-day inactivity gap — LAG + conditional cumulative sum, partition-local
+    after one hash shuffle."""
+    from .functions.window import sessionize
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, keys=["user_id"], ts_col="ts",
+                     order_by=["ts", "event_id"],
+                     gap=pd.Timedelta(days=7))
+    return (out.select_columns(["user_id", "event_id", "session_id"])
+            .sort(["user_id", "event_id"]))
+
+
+_EVENTS_SESSION_SQL = """
+SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (
+  SELECT user_id, event_id,
+         SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events) a) b
+ORDER BY user_id, event_id
+"""
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles (combiner histogram → groupby → driver
+    rank selection over the SMALL distinct-value table), quantile_disc
+    semantics, integer cents."""
+    from .functions.quantiles import exact_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"cents": pc.cast(
+            pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())}),
+        batch_format="pyarrow")
+    df = exact_quantiles(cents, "cents", [0.25, 0.5, 0.75, 0.9, 0.99])
+    df["cents"] = df["value"].astype("int64")
+    return df[["q", "cents"]]
+
+
+_EVENTS_QUANTILES_SQL = """
+WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT 0.25 AS q, quantile_disc(cents, 0.25) AS cents FROM c
+UNION ALL SELECT 0.5, quantile_disc(cents, 0.5) FROM c
+UNION ALL SELECT 0.75, quantile_disc(cents, 0.75) FROM c
+UNION ALL SELECT 0.9, quantile_disc(cents, 0.9) FROM c
+UNION ALL SELECT 0.99, quantile_disc(cents, 0.99) FROM c
+ORDER BY q
+"""
+
+
+def custs_without_events(sf_dir: str):
+    """ANTI join (NOT EXISTS): customers with no event activity, counted
+    per segment — co-partitioned union+groupby membership filter, probe
+    side collapsed to distinct keys per batch before the shuffle."""
+    from .functions.joins import anti_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    events = read_table(sf_dir, "events", columns=["user_id"])
+    left = anti_join(cust, events,
+                     left_key="c_custkey", right_key="user_id")
+    return (left.groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n")).sort("c_mktsegment"))
+
+
+_CUSTS_NO_EVENTS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def parts_with_lineitems(sf_dir: str):
+    """SEMI join (EXISTS) against the BIG side: parts that appear in any
+    lineitem, counted per type — same membership-join plan, probe side is
+    the large table."""
+    from .functions.joins import semi_join
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    kept = semi_join(part, li, left_key="p_partkey", right_key="l_partkey")
+    return (kept.groupby("p_type")
+            .aggregate(Count(alias_name="n")).sort("p_type"))
+
+
+_PARTS_SEMI_SQL = """
+SELECT p_type, COUNT(*) AS n FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_type ORDER BY p_type
+"""
+
+
+def orders_hash_sample(sf_dir: str):
+    """Deterministic content-hash sampling (the reproducible train/eval
+    subset primitive): keep orders whose md5(o_orderkey) ends in '0'
+    (1/16 sample), aggregated per status. Key-derived — identical sample
+    on any engine, any row order."""
+    import hashlib
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        keep = pa.array([hashlib.md5(str(k).encode()).hexdigest()[-1] == "0"
+                         for k in keys], pa.bool_())
+        t = t.filter(keep)
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    return (ds.map_batches(samp, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n"),
+                       Sum("cents", alias_name="sum_cents"))
+            .sort("o_orderstatus"))
+
+
+_ORDERS_SAMPLE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) = '0'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def docs_top_terms(sf_dir: str):
+    """Distributed vocabulary build: global term frequencies with a
+    per-batch value_counts combiner (head terms cost one row per batch),
+    top 50 by (n desc, term asc)."""
+    from .functions.terms import top_terms
+
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    rows_per_block=500)
+    return top_terms(ds, 50)
+
+
+_DOCS_TOP_TERMS_SQL = """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents) t
+GROUP BY term ORDER BY n DESC, term LIMIT 50
+"""
+
+
 def raw_docs_ingest(sf_dir: str):
     """S1 second half: raw on-disk documents (.txt/.html/.pdf) →
     read_binary_files → actor-pool decode → pages schema → the flagship
@@ -1140,6 +1292,12 @@ def queries():
         "events_salted_type_count": events_salted_type_count,
         "events_latest_per_user": events_latest_per_user,
         "events_user_cumspend": events_user_cumspend,
+        "events_sessionize": events_sessionize,
+        "events_value_quantiles": events_value_quantiles,
+        "custs_without_events": custs_without_events,
+        "parts_with_lineitems": parts_with_lineitems,
+        "orders_hash_sample": orders_hash_sample,
+        "docs_top_terms": docs_top_terms,
         "pages_url_dedup": pages_url_dedup,
         "raw_docs_ingest": raw_docs_ingest,
         "orders_kfold": orders_kfold,
@@ -1190,6 +1348,12 @@ def oracle_sql():
         "events_salted_type_count": _EVENTS_SALTED_SQL,
         "events_latest_per_user": _EVENTS_LATEST_SQL,
         "events_user_cumspend": _EVENTS_CUMSPEND_SQL,
+        "events_sessionize": _EVENTS_SESSION_SQL,
+        "events_value_quantiles": _EVENTS_QUANTILES_SQL,
+        "custs_without_events": _CUSTS_NO_EVENTS_SQL,
+        "parts_with_lineitems": _PARTS_SEMI_SQL,
+        "orders_hash_sample": _ORDERS_SAMPLE_SQL,
+        "docs_top_terms": _DOCS_TOP_TERMS_SQL,
         "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
         "docs_token_counts": _DOCS_TOKENS_SQL,

@@ -1,0 +1,110 @@
+"""Semi/anti join, term counting, exact quantiles, sessionize — unit
+correctness on constructed corpora (the driver checks the SQL-oracle face;
+these cover edge cases the fixed tables don't hit)."""
+
+import collections
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rd(df):
+    import ray.data as rd
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(5)
+
+
+def test_semi_and_anti_join(ray_session):
+    from information_extraction_system_ray.functions.joins import (anti_join,
+                                                      semi_join)
+
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "payload": [f"p{i}" for i in range(50)]})
+    # probe side with duplicates and keys outside the left range
+    right = pd.DataFrame({"rk": np.array(
+        [3, 3, 3, 7, 11, 11, 49, 60, 70], dtype=np.int64)})
+
+    semi = semi_join(_rd(left), _rd(right), left_key="k",
+                     right_key="rk").to_pandas()
+    assert sorted(semi["k"]) == [3, 7, 11, 49]
+    assert list(semi.columns) == ["k", "payload"]
+    assert semi["k"].dtype == np.int64          # no float drift from nulls
+
+    anti = anti_join(_rd(left), _rd(right), left_key="k",
+                     right_key="rk").to_pandas()
+    assert sorted(anti["k"]) == sorted(set(range(50)) - {3, 7, 11, 49})
+
+
+def test_semi_join_empty_probe(ray_session):
+    from information_extraction_system_ray.functions.joins import semi_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([], dtype=np.int64)})
+    out = semi_join(_rd(left), _rd(right), left_key="k",
+                    right_key="rk").to_pandas()
+    assert len(out) == 0
+
+
+def test_term_counts_matches_counter(ray_session):
+    from information_extraction_system_ray.functions.terms import (term_counts,
+                                                      top_terms)
+
+    texts = ["The cat SAT on the mat", "a cat and a dog", "", None,
+             "dog dog dog!  mat?"]
+    df = pd.DataFrame({"text": pd.array(texts, dtype="string")})
+    want = collections.Counter()
+    import re
+    for t in texts:
+        if t:
+            want.update(re.findall(r"[a-z0-9]+", t.lower()))
+
+    got = term_counts(_rd(df)).to_pandas()
+    assert dict(zip(got["term"], got["n"])) == dict(want)
+
+    top = top_terms(_rd(df), 3).to_pandas()
+    # order: n desc, term asc
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(top["term"], top["n"])) == ranked
+
+
+def test_exact_quantiles_matches_numpy_disc(ray_session):
+    from information_extraction_system_ray.functions.quantiles import \
+        exact_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(-50, 50, 777).astype(np.int64)
+    df = pd.DataFrame({"v": vals})
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = exact_quantiles(_rd(df), "v", qs)
+    sv = np.sort(vals)
+    for q, v in zip(got["q"], got["value"]):
+        rank = max(1, math.ceil(q * len(sv)))
+        assert v == sv[rank - 1], q
+
+
+def test_sessionize_matches_pandas(ray_session):
+    from information_extraction_system_ray.functions.window import sessionize
+
+    rng = np.random.default_rng(4)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 100, n) * 3600, unit="s")
+        .astype("datetime64[us]"),
+    })
+    gap = pd.Timedelta(hours=5)
+    got = sessionize(_rd(df), keys=["user_id"], ts_col="ts",
+                     order_by=["ts", "event_id"], gap=gap).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    want = df.sort_values(["ts", "event_id"], kind="mergesort")
+    prev = want.groupby("user_id", sort=False)["ts"].shift(1)
+    new = prev.isna() | ((want["ts"] - prev) > gap)
+    want = want.assign(session_id=new.astype("int64")
+                       .groupby(want["user_id"], sort=False).cumsum()) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(got["session_id"]) == list(want["session_id"])
