@@ -149,10 +149,12 @@ class FastHasher(FeatureHasher):
     come from FeatureHasher._token_entry ⇒ hashes identical by
     construction."""
 
+    _ENTRY_W = 14          # token-local entry width (== len(_token_entry))
+
     def __init__(self) -> None:
         super().__init__()
         self._ids: dict[str, int] = {}
-        self._E = np.empty((1024, 12), dtype=np.int32)
+        self._E = np.empty((1024, self._ENTRY_W), dtype=np.int32)
         self._h_bos_pv = _h("pv=<BOS>")
         self._h_eos_nx = _h("nx=<EOS>")
         self._h_bos_psh = _h("psh=<BOS>")
@@ -183,6 +185,7 @@ class FastHasher(FeatureHasher):
         out[:-1, 10] = E[ids[1:], 10]          # nx=<next lower>
         out[0, 11] = self._h_bos_psh
         out[1:, 11] = E[ids[:-1], 11]          # psh=<prev shape>
+        out[:, 13:15] = E[ids, 12:14]          # pos=, gaz= (token-local)
         big = self._big
         bigram = self._bigram
         out[0, 12] = _h("big=<BOS>|" + tokens[0].lower())

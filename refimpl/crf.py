@@ -27,7 +27,47 @@ from .vocab import BIO_LABELS
 D = 1 << 18                 # hashed feature space
 L = len(BIO_LABELS)         # 7
 _PAD_FEAT = 0               # hash bucket 0 doubles as padding; harmless bias
-N_FEATS = 13                # fixed features per token (padded template)
+N_FEATS = 15                # fixed features per token (padded template)
+
+# --- POS + gazetteer features (the reference's template includes NLTK POS
+# tags and gazetteer hits, SURVEY.md §2.2 M3 / §2.3 A5; no tagger library
+# exists in this sandbox, so the POS is a tiny deterministic rule guesser —
+# same template SHAPE, fully reproducible) ---
+_POS_DETS = frozenset("the a an this that these those".split())
+_POS_PREPS = frozenset(
+    "in on at of to for with by from as into over under".split())
+
+
+def _pos(w: str) -> str:
+    lw = w.lower()
+    if w.isdigit():
+        return "CD"
+    if lw in _POS_DETS:
+        return "DT"
+    if lw in _POS_PREPS:
+        return "IN"
+    if not w[:1].isalnum():
+        return "PU"
+    if w[:1].isupper():
+        return "NP"
+    if lw.endswith("ing"):
+        return "VG"
+    if lw.endswith("ed"):
+        return "VD"
+    if lw.endswith("s"):
+        return "NS"
+    return "NN"
+
+
+def _gazetteer() -> frozenset:
+    """Lowercased word set of every alias surface (the A5 gazetteer)."""
+    from .vocab import alias_rows
+
+    return frozenset(w for surface, _eid, _prior in alias_rows()
+                     for w in surface.lower().split())
+
+
+_GAZ = _gazetteer()
 
 
 def _shape(w: str) -> str:
@@ -66,6 +106,8 @@ def token_features(tokens: list[str]) -> list[list[str]]:
             "nx=" + nw,
             "psh=" + (shapes[i - 1] if i > 0 else "<BOS>"),
             "big=" + pw + "|" + lw,
+            "pos=" + _pos(w),
+            "gaz=" + ("1" if lw in _GAZ else "0"),
         ])
     return feats
 
@@ -102,6 +144,8 @@ class FeatureHasher:
                 _h("p1=" + lw[:1]), _h("p2=" + lw[:2]),
                 _h("s1=" + lw[-1:]), _h("s2=" + lw[-2:]),
                 _h("pv=" + lw), _h("nx=" + lw), _h("psh=" + sh),
+                _h("pos=" + _pos(w)),
+                _h("gaz=" + ("1" if lw in _GAZ else "0")),
             )
             self._tok[w] = e
         return e
@@ -138,6 +182,8 @@ class FeatureHasher:
                 out[i, 10] = self._token_entry(tokens[i + 1])[10]
             else:
                 out[i, 10] = h_eos_nx
+            out[i, 13] = e[12]                       # pos=<tag>
+            out[i, 14] = e[13]                       # gaz=<0|1>
             prev_entry, prev_tok = e, w
         return out
 
