@@ -85,6 +85,22 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Raw documents (.txt/.html/.pdf/...) → pages-schema Parquet, ready
+    for ``extract --pages``."""
+    ray = _ray_session(args.num_cpus)
+    from .sources.rawdocs import ingest_documents
+
+    t0 = time.time()
+    pages = ingest_documents(args.docs, decoder=args.decoder)
+    pages.write_parquet(args.out)
+    n = ray.data.read_parquet(args.out).count()
+    print(json.dumps({"cmd": "ingest", "docs": args.docs, "out": args.out,
+                      "pages": n, "wall_s": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     ray = _ray_session(args.num_cpus)
     if args.kfold:
@@ -148,6 +164,16 @@ def main(argv=None) -> int:
     e.add_argument("--batch-size", type=int, default=128)
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_extract)
+
+    g = sub.add_parser("ingest",
+                       help="raw documents dir → pages-schema Parquet")
+    g.add_argument("--docs", required=True, help="directory of raw files")
+    g.add_argument("--out", required=True, help="output Parquet dir")
+    g.add_argument("--decoder", default="fake",
+                   help="'fake' (deterministic stub; only option in this "
+                        "container) or 'real'")
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.set_defaults(fn=cmd_ingest)
 
     v = sub.add_parser("evaluate",
                        help="per-label P/R/F1 of the tagger vs gold")
