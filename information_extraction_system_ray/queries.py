@@ -738,6 +738,19 @@ ORDER BY q
 """
 
 
+def events_type_approx_users(sf_dir: str):
+    """G6 approximate aggregate: HLL approx COUNT(DISTINCT user_id) per
+    event_type — mergeable register sketches, one per (group, batch).
+    Rows-only for the driver (HLL estimates are engine-specific);
+    tests/test_new_ops.py gates the estimate within the sketch's error
+    bound against the exact distinct."""
+    from .functions.sketches import approx_distinct_by_key
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_by_key(ds, "event_type", "user_id") \
+        .sort("event_type")
+
+
 def custs_without_events(sf_dir: str):
     """ANTI join (NOT EXISTS): customers with no event activity, counted
     per segment — co-partitioned union+groupby membership filter, probe
@@ -1294,6 +1307,7 @@ def queries():
         "events_user_cumspend": events_user_cumspend,
         "events_sessionize": events_sessionize,
         "events_value_quantiles": events_value_quantiles,
+        "events_type_approx_users": events_type_approx_users,
         "custs_without_events": custs_without_events,
         "parts_with_lineitems": parts_with_lineitems,
         "orders_hash_sample": orders_hash_sample,

@@ -108,3 +108,26 @@ def test_sessionize_matches_pandas(ray_session):
                        .groupby(want["user_id"], sort=False).cumsum()) \
         .sort_values("event_id").reset_index(drop=True)
     assert list(got["session_id"]) == list(want["session_id"])
+
+
+def test_hll_approx_distinct_within_error(ray_session):
+    from information_extraction_system_ray.functions.sketches import \
+        approx_distinct_by_key
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n).astype(np.int64),
+        "v": rng.integers(0, 5000, n).astype(np.int64),
+    })
+    got = approx_distinct_by_key(_rd(df), "k", "v").to_pandas() \
+        .set_index("k")["approx_distinct"]
+    exact = df.groupby("k")["v"].nunique()
+    for k in exact.index:
+        rel = abs(got[k] - exact[k]) / exact[k]
+        assert rel < 0.05, (k, got[k], exact[k])   # ~3σ of 1.6% error
+
+    # determinism: same input → same estimates
+    again = approx_distinct_by_key(_rd(df), "k", "v").to_pandas() \
+        .set_index("k")["approx_distinct"]
+    assert got.to_dict() == again.to_dict()
