@@ -45,7 +45,11 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
 def synth_pages(n: int, seed: int = SEED, *,
                 override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Deterministic n-page corpus as a Dataset; parallel by construction."""
-    blocks = override_num_blocks or max(8, min(400, n // 500 or 1))
+    # ~2000 pages per block: enough blocks for full-width parallelism at
+    # bench scale, but not so many that every downstream coalescing
+    # repartition pays a 400-wide barrier (profiled: the graph phase's
+    # repartitions were block-count-bound, not data-bound)
+    blocks = override_num_blocks or max(8, min(400, n // 2000 or 1))
     return ray.data.range(n, override_num_blocks=blocks).map_batches(
         _gen_batch, fn_kwargs={"seed": seed},
         batch_format="pyarrow", batch_size=256,
