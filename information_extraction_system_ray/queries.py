@@ -1279,6 +1279,27 @@ def kg_nodes(sf_dir: str):
     return nodes
 
 
+def kg_pagerank(sf_dir: str):
+    """Graph analytics over the materialized KG: distributed PageRank on
+    the (subj_id → obj_id) edge table (join-free co-partitioned rounds,
+    stages/pagerank.py). Rows-only; numerics gated vs a dense numpy
+    reference in tests/test_pagerank.py."""
+    from .stages.pagerank import pagerank
+
+    edges = _kg_run(sf_dir)["edges"].map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        batch_format="pyarrow")
+    pr = pagerank(edges, max_iters=10, tol=1e-9, num_partitions=8)
+
+    def r6(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "rank6": pc.round(pc.multiply(
+                             t["rank"], 1e6), ndigits=2)})
+
+    return (pr.map_batches(r6, batch_format="pyarrow")
+            .sort(["rank6", "node"], descending=[True, False]).limit(25))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1337,6 +1358,7 @@ def queries():
         "kg_mentions": kg_mentions,
         "kg_nodes": kg_nodes,
         "kg_graph": kg_graph,
+        "kg_pagerank": kg_pagerank,
     }
 
 
