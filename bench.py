@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "events_hourly",
     "docs_token_counts", "docs_exact_dedup", "docs_minhash_pairs",
     "emb_knn_bruteforce",
+    # round-2 operators
+    "events_sessionize", "events_latest_per_user", "docs_top_terms",
+    "parts_with_lineitems",
 ]
 
 
