@@ -847,6 +847,23 @@ GROUP BY term ORDER BY n DESC, term LIMIT 50
 """
 
 
+def docs_tfidf_knn(sf_dir: str):
+    """Composed retrieval pipeline: hashed TF-IDF document vectors
+    (df aggregate → broadcast idf → per-batch vectorize) + brute-force
+    cosine kNN. Rows-only; numerics gated vs a numpy reference in
+    tests/test_new_ops.py."""
+    from .functions.tfidf import tfidf_knn
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
+    qdocs = (ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 3)),
+        batch_format="pyarrow").to_pandas().sort_values("doc_id"))
+    out = tfidf_knn(ds, list(qdocs["text"]), 5)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 def raw_docs_ingest(sf_dir: str):
     """S1 second half: raw on-disk documents (.txt/.html/.pdf) →
     read_binary_files → actor-pool decode → pages schema → the flagship
@@ -1333,6 +1350,7 @@ def queries():
         "parts_with_lineitems": parts_with_lineitems,
         "orders_hash_sample": orders_hash_sample,
         "docs_top_terms": docs_top_terms,
+        "docs_tfidf_knn": docs_tfidf_knn,
         "pages_url_dedup": pages_url_dedup,
         "raw_docs_ingest": raw_docs_ingest,
         "orders_kfold": orders_kfold,

@@ -131,3 +131,44 @@ def test_hll_approx_distinct_within_error(ray_session):
     again = approx_distinct_by_key(_rd(df), "k", "v").to_pandas() \
         .set_index("k")["approx_distinct"]
     assert got.to_dict() == again.to_dict()
+
+
+def test_tfidf_knn_matches_numpy(ray_session):
+    import re
+    import zlib
+
+    from information_extraction_system_ray.functions.tfidf import tfidf_knn
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "compilers translate source code into machine code",
+        "a quick dog runs past the brown fox",
+        "machine learning models compile training data",
+        "harbors and festivals in coastal towns",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    dim = 64
+    got = tfidf_knn(_rd(df), [texts[0]], 3, dim=dim)
+
+    # dense numpy reference with the same hashing + smoothing
+    def vec(t):
+        v = np.zeros(dim)
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            v[zlib.crc32(w.encode()) % dim] += 1
+        return v
+    tf = np.stack([vec(t) for t in texts])
+    dfreq = (tf > 0).sum(axis=0)
+    idf = np.where(dfreq > 0, np.log(6.0 / (dfreq + 1.0)) + 1.0, 1.0)
+    m = tf * idf
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    q = vec(texts[0]) * idf
+    sims = m.astype(np.float32) @ (q / np.linalg.norm(q)).astype(np.float32)
+    order = np.lexsort((np.arange(5), -sims))[:3]
+
+    assert list(got["doc_id"]) == list(order)
+    for got_c, want_c in zip(got["cosine"], sims[order]):
+        assert abs(got_c - want_c) < 1e-4
+    # doc 0 is its own best match; doc 2 (fox/dog overlap) beats compilers
+    assert got["doc_id"].iloc[0] == 0
+    assert 2 in set(got["doc_id"])
