@@ -828,6 +828,105 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def part_brand_number(sf_dir: str):
+    """§2.8 scalar-function face: regex extraction (brand number out of
+    'Brand#NN') + arithmetic + grouped aggregate, all pyarrow.compute."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.struct_field(pc.extract_regex(
+            t["p_brand"], r"Brand#(?P<bn>\d+)"), "bn"), pa.int64())
+        return pa.table({"brand_num": num,
+                         "price_cents": _cents(t["p_retailprice"])})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("brand_num")
+            .aggregate(Count(alias_name="n"),
+                       Sum("price_cents", alias_name="sum_price_cents"))
+            .sort("brand_num"))
+
+
+_PART_BRAND_SQL = r"""
+SELECT CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)
+           AS brand_num,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM part GROUP BY brand_num ORDER BY brand_num
+"""
+
+
+def events_type_median_value(sf_dir: str):
+    """Grouped exact quantiles: median + p90 spend per event type in
+    integer cents — per-key rank selection over a per-partition value
+    histogram (hash-partitioned by key; one vectorized pass per
+    partition)."""
+    from .functions.arrowutil import to_arrow
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        part_ids = pd.util.hash_pandas_object(
+            pd.Series(t["event_type"].to_pandas()), index=False) % 8
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+            "part": pa.array(part_ids.to_numpy(), pa.int64()),
+        })
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("median_cents", pa.int64()),
+                            ("p90_cents", pa.int64())])
+
+    def quants(g: pd.DataFrame) -> pa.Table:
+        import math
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp["cents"].to_numpy())
+            med = v[max(1, math.ceil(0.5 * len(v))) - 1]
+            p90 = v[max(1, math.ceil(0.9 * len(v))) - 1]
+            rows.append({"event_type": et, "median_cents": int(med),
+                         "p90_cents": int(p90)})
+        return to_arrow(pd.DataFrame(rows), out_schema)
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(quants, batch_format="pandas")
+            .sort("event_type"))
+
+
+_EVENTS_MEDIAN_SQL = """
+SELECT event_type,
+       quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5)
+           AS median_cents,
+       quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.9)
+           AS p90_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_rollup(sf_dir: str):
+    """ROLLUP-style aggregate: per-type counts plus a grand-total row
+    (event_type NULL), built as groupby + a union'd global aggregate —
+    the partial-counts pattern means the total costs one extra tiny
+    reduce, not a second scan."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    per = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n")).materialize())
+    total = int(per.sum("n") or 0)
+    total_t = pa.table({"event_type": pa.array([None], pa.string()),
+                        "n": pa.array([total], pa.int64())})
+    # no final sort: Ray's sort can't order a null-bearing key column, and
+    # the driver's value hash is row-order-insensitive
+    return per.union(ray.data.from_arrow(total_t))
+
+
+_EVENTS_ROLLUP_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY ROLLUP (event_type) ORDER BY event_type
+"""
+
+
 def docs_top_terms(sf_dir: str):
     """Distributed vocabulary build: global term frequencies with a
     per-batch value_counts combiner (head terms cost one row per batch),
@@ -1349,6 +1448,9 @@ def queries():
         "custs_without_events": custs_without_events,
         "parts_with_lineitems": parts_with_lineitems,
         "orders_hash_sample": orders_hash_sample,
+        "part_brand_number": part_brand_number,
+        "events_type_median_value": events_type_median_value,
+        "events_rollup": events_rollup,
         "docs_top_terms": docs_top_terms,
         "docs_tfidf_knn": docs_tfidf_knn,
         "pages_url_dedup": pages_url_dedup,
@@ -1407,6 +1509,9 @@ def oracle_sql():
         "custs_without_events": _CUSTS_NO_EVENTS_SQL,
         "parts_with_lineitems": _PARTS_SEMI_SQL,
         "orders_hash_sample": _ORDERS_SAMPLE_SQL,
+        "part_brand_number": _PART_BRAND_SQL,
+        "events_type_median_value": _EVENTS_MEDIAN_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
         "docs_top_terms": _DOCS_TOP_TERMS_SQL,
         "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
