@@ -1,0 +1,81 @@
+"""Property tests (hypothesis) for the round-2 operators: structural
+invariants that hold for ANY input, complementing the fixed-corpus oracle
+checks."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+
+def _rd(df, parts=3):
+    import ray.data as rd
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(parts)
+
+
+_keys = st.lists(st.integers(0, 5), min_size=1, max_size=40)
+
+
+@settings(max_examples=12, deadline=None)
+@given(keys=_keys)
+def test_row_number_is_permutation_per_key(ray_session, keys):
+    from information_extraction_system_ray.functions.window import row_number
+
+    df = pd.DataFrame({
+        "k": np.array(keys, dtype=np.int64),
+        "o": np.arange(len(keys), dtype=np.int64),
+    })
+    got = row_number(_rd(df), keys=["k"], order_by=["o"],
+                     num_partitions=3).to_pandas()
+    assert len(got) == len(df)
+    for k, g in got.groupby("k"):
+        # per key: rn is exactly {1..n} and increases with the order col
+        assert sorted(g["rn"]) == list(range(1, len(g) + 1))
+        assert list(g.sort_values("o")["rn"]) == \
+            sorted(g["rn"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=st.lists(st.integers(0, 9), min_size=0, max_size=30,
+                     unique=True),
+       right=st.lists(st.integers(0, 9), min_size=0, max_size=30))
+def test_semi_anti_partition_left(ray_session, left, right):
+    """semi(L,R) ∪ anti(L,R) == L exactly, disjointly — for any key sets
+    including empty sides and duplicate probe keys."""
+    from information_extraction_system_ray.functions.joins import (anti_join,
+                                                      semi_join)
+
+    ldf = pd.DataFrame({"k": np.array(left, dtype=np.int64)})
+    rdf = pd.DataFrame({"rk": np.array(right, dtype=np.int64)})
+    if len(ldf) == 0:
+        return
+
+    def keyset(ds):
+        # Ray's to_pandas on an all-empty result drops columns (the
+        # Dataset-level schema is still correct) — treat as empty set
+        df = ds.to_pandas()
+        return set(df["k"]) if "k" in df.columns else set()
+
+    semi = keyset(semi_join(_rd(ldf), _rd(rdf), left_key="k",
+                            right_key="rk"))
+    anti = keyset(anti_join(_rd(ldf), _rd(rdf), left_key="k",
+                            right_key="rk"))
+    assert semi | anti == set(left)
+    assert semi & anti == set()
+    assert semi == set(left) & set(right)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(-100, 100), min_size=1, max_size=200))
+def test_exact_quantiles_rank_semantics(ray_session, vals):
+    import math
+
+    from information_extraction_system_ray.functions.quantiles import \
+        exact_quantiles
+
+    df = pd.DataFrame({"v": np.array(vals, dtype=np.int64)})
+    got = exact_quantiles(_rd(df), "v", [0.0, 0.37, 0.5, 1.0])
+    sv = np.sort(np.array(vals))
+    for q, v in zip(got["q"], got["value"]):
+        assert v == sv[max(1, math.ceil(q * len(sv))) - 1]
