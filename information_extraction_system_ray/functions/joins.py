@@ -20,9 +20,34 @@ import ray.data
 
 def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
               *, left_key: str, right_key: str, anti: bool = False,
-              num_partitions: int = 32) -> ray.data.Dataset:
+              num_partitions: int = 32,
+              bloom_bits: "int | None" = None) -> ray.data.Dataset:
     """Rows of ``left`` whose key does (``anti=False``) / does not
-    (``anti=True``) appear in ``right``. Output schema == left schema."""
+    (``anti=True``) appear in ``right``. Output schema == left schema.
+
+    ``bloom_bits`` enables a Bloom pre-filter over the probe keys
+    (functions/bloom.py): for SEMI, left rows that definitely have no match
+    never enter the shuffle; for ANTI, they bypass the shuffle straight
+    into the output. No false negatives ⇒ results are bit-identical to the
+    unfiltered join (tested); false positives only cost shuffle rows."""
+    import ray as _ray
+
+    if bloom_bits:
+        from .bloom import bloom_prefilter, build_bloom
+
+        bits_ref = _ray.put(build_bloom(
+            right.select_columns([right_key]), right_key,
+            num_bits=bloom_bits))
+        if anti:
+            # definite non-matches ARE the answer for their rows — only
+            # the bloom-positive "maybes" need the exact membership shuffle
+            hit = bloom_prefilter(left, bits_ref, left_key)
+            definite = _bloom_reject(left, bits_ref, left_key)
+            exact = semi_join(hit, right, left_key=left_key,
+                              right_key=right_key, anti=True,
+                              num_partitions=num_partitions)
+            return definite.union(exact)
+        left = bloom_prefilter(left, bits_ref, left_key)
     schema = left.schema().base_schema
     names = list(schema.names)
     out_schema = pa.schema([(n, schema.field(n).type) for n in names])
@@ -70,9 +95,28 @@ def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
             .map_groups(filter_part, batch_format="pyarrow"))
 
 
+def _bloom_reject(ds: ray.data.Dataset, bits_ref, col: str
+                  ) -> ray.data.Dataset:
+    """Rows whose key is DEFINITELY absent from the bloom."""
+    import ray as _ray
+
+    from .bloom import bloom_contains
+
+    def filt(t: pa.Table) -> pa.Table:
+        bits = _ray.get(bits_ref)
+        vals = t[col].to_pylist()
+        if not vals:
+            return t
+        return t.filter(pa.array(~bloom_contains(bits, vals)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
               *, left_key: str, right_key: str,
-              num_partitions: int = 32) -> ray.data.Dataset:
+              num_partitions: int = 32,
+              bloom_bits: "int | None" = None) -> ray.data.Dataset:
     """Rows of ``left`` with NO match in ``right`` (SQL NOT EXISTS)."""
     return semi_join(left, right, left_key=left_key, right_key=right_key,
-                     anti=True, num_partitions=num_partitions)
+                     anti=True, num_partitions=num_partitions,
+                     bloom_bits=bloom_bits)

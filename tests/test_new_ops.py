@@ -172,3 +172,38 @@ def test_tfidf_knn_matches_numpy(ray_session):
     # doc 0 is its own best match; doc 2 (fox/dog overlap) beats compilers
     assert got["doc_id"].iloc[0] == 0
     assert 2 in set(got["doc_id"])
+
+
+def test_bloom_prefilter_join_identical_results(ray_session):
+    """Bloom-prefiltered semi/anti joins must be BIT-IDENTICAL to the
+    unfiltered joins (no false negatives), for both sparse and dense
+    match rates."""
+    from information_extraction_system_ray.functions.joins import (anti_join,
+                                                      semi_join)
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({"k": np.arange(2000, dtype=np.int64),
+                         "w": rng.integers(0, 9, 2000).astype(np.int64)})
+    right = pd.DataFrame({"rk": rng.choice(
+        np.arange(0, 6000, dtype=np.int64), 300, replace=False)})
+
+    for anti in (False, True):
+        plain = semi_join(_rd(left), _rd(right), left_key="k",
+                          right_key="rk", anti=anti).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        bloom = semi_join(_rd(left), _rd(right), left_key="k",
+                          right_key="rk", anti=anti,
+                          bloom_bits=1 << 14).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert plain.equals(bloom), f"anti={anti}"
+
+
+def test_bloom_no_false_negatives_small_m(ray_session):
+    """Even a saturated (tiny) bloom must keep every true match."""
+    from information_extraction_system_ray.functions.bloom import (
+        bloom_contains, build_bloom)
+
+    keys = pd.DataFrame({"rk": np.arange(5000, dtype=np.int64)})
+    bits = build_bloom(_rd(keys), "rk", num_bits=256)   # hopelessly full
+    mask = bloom_contains(bits, list(range(5000)))
+    assert mask.all()
