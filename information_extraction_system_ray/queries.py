@@ -946,6 +946,58 @@ GROUP BY term ORDER BY n DESC, term LIMIT 50
 """
 
 
+def docs_training_prep(sf_dir: str):
+    """The composed LLM-training-data-prep flow in one oracle-checked
+    pipeline: exact dedup (min-id survivor per content fingerprint) →
+    bloom-prefiltered SEMI JOIN back to the full rows → quality gate
+    (≥5 tokens, punct ≤ 10% of chars, ASCII semantics) → per-lang corpus
+    stats."""
+    from .functions.dedup import exact_dedup
+    from .functions.joins import semi_join
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      rows_per_block=500)
+    survivors = exact_dedup(docs).select_columns(["doc_id"])
+    kept = semi_join(docs, survivors, left_key="doc_id",
+                     right_key="doc_id", bloom_bits=1 << 16)
+
+    def gate(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                           pa.int64())
+        n_punct = pc.count_substring_regex(t["text"], r"[^A-Za-z0-9\s]")
+        n_chars = pc.utf8_length(t["text"])
+        keep = pc.and_(pc.greater_equal(n_tokens, 5),
+                       pc.less_equal(pc.multiply(n_punct, 10), n_chars))
+        return pa.table({"lang": t["lang"],
+                         "n_tokens": n_tokens}).filter(keep)
+
+    return (kept.map_batches(gate, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="sum_tokens"))
+            .sort("lang"))
+
+
+_DOCS_PREP_SQL = r"""
+WITH survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+), scored AS (
+  SELECT d.lang,
+         CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT)
+             AS n_tokens,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9\s]')) AS n_punct,
+         length(d.text) AS n_chars
+  FROM documents d
+  WHERE EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = d.doc_id)
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM scored WHERE n_tokens >= 5 AND n_punct * 10 <= n_chars
+GROUP BY lang ORDER BY lang
+"""
+
+
 def docs_tfidf_knn(sf_dir: str):
     """Composed retrieval pipeline: hashed TF-IDF document vectors
     (df aggregate → broadcast idf → per-batch vectorize) + brute-force
@@ -1452,6 +1504,7 @@ def queries():
         "events_type_median_value": events_type_median_value,
         "events_rollup": events_rollup,
         "docs_top_terms": docs_top_terms,
+        "docs_training_prep": docs_training_prep,
         "docs_tfidf_knn": docs_tfidf_knn,
         "pages_url_dedup": pages_url_dedup,
         "raw_docs_ingest": raw_docs_ingest,
@@ -1513,6 +1566,7 @@ def oracle_sql():
         "events_type_median_value": _EVENTS_MEDIAN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "docs_top_terms": _DOCS_TOP_TERMS_SQL,
+        "docs_training_prep": _DOCS_PREP_SQL,
         "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
         "docs_token_counts": _DOCS_TOKENS_SQL,
