@@ -228,39 +228,83 @@ def simhash_batch(batch: pa.Table, *, id_col: str = "doc_id",
     })
 
 
+_SIMHASH_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                  ("hamming", pa.int64())])
+
+
 def simhash_duplicates(docs: ray.data.Dataset, *, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_hamming: int = 3) -> ray.data.Dataset:
-    """Near-dup pairs whose SimHash Hamming distance ≤ max_hamming, candidate
-    generation by 16-bit prefix bucket (documented partitioning assumption:
-    near-dups share the prefix; rotate the hash for higher recall)."""
+                       max_hamming: int = 3,
+                       num_tables: int = 4) -> ray.data.Dataset:
+    """Near-dup pairs whose SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation uses ``num_tables`` block tables (Manku et al.,
+    WWW'07 block-permutation scheme, public): the 64-bit hash is split into
+    ``num_tables`` contiguous blocks and a pair is a candidate if ANY block
+    matches. By pigeonhole, a pair at Hamming distance d < num_tables has
+    ≥1 untouched block — so recall is EXACT (100%) for
+    max_hamming ≤ num_tables − 1 with the default 4 tables.
+
+    Cross-table dedup is local (no extra shuffle): a pair found in table t
+    is emitted only if no earlier table s < t also matched — decidable from
+    the two hashes carried on the rows. Shuffle cost is num_tables skinny
+    (id, hash, block) rows per doc."""
+    bits_per = 64 // num_tables
+    mask = (1 << bits_per) - 1
+
     sh = docs.map_batches(simhash_batch,
                           fn_kwargs={"id_col": id_col, "text_col": text_col},
                           batch_format="pyarrow")
-    sh = sh.map_batches(
-        lambda t: t.append_column(
-            "part", pa.array((t["sim_bucket"].to_numpy(zero_copy_only=False)
-                              % _PAIR_PARTS).astype(np.int64))),
-        batch_format="pyarrow")
 
-    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
+    def banded(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hs = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        out_id, out_h, out_tbl, out_blk = [], [], [], []
+        for tbl in range(num_tables):
+            blk = (hs >> np.uint64(bits_per * tbl)) & np.uint64(mask)
+            out_id.append(ids)
+            out_h.append(hs.view(np.int64))
+            out_tbl.append(np.full(len(ids), tbl, dtype=np.int64))
+            out_blk.append(blk.view(np.int64))
+        tbl_a = np.concatenate(out_tbl)
+        blk_a = np.concatenate(out_blk)
+        # same (table, block) → same partition
+        part = ((tbl_a << bits_per) | blk_a) % _PAIR_PARTS
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "simhash": pa.array(np.concatenate(out_h), pa.int64()),
+            "tbl": pa.array(tbl_a, pa.int64()),
+            "blk": pa.array(blk_a, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def pairs_in_part(part: pd.DataFrame) -> pa.Table:
         oa, ob, oh = [], [], []
-        for _, g in part.groupby("sim_bucket", sort=False):
-            if len(g) < 2:
-                continue
+        part = part[part.duplicated(["tbl", "blk"], keep=False)]
+        for (tbl, _), g in part.groupby(["tbl", "blk"], sort=False):
             g = g.sort_values(id_col)
             ids = g[id_col].to_numpy()
             hs = [int(h) & ((1 << 64) - 1) for h in g["simhash"]]
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
+                    if ids[x] == ids[y]:
+                        continue
                     d = hamming64(hs[x], hs[y])
-                    if d <= max_hamming and ids[x] != ids[y]:
-                        oa.append(int(ids[x])); ob.append(int(ids[y]))
-                        oh.append(d)
-        return pd.DataFrame({"id_a": oa, "id_b": ob, "hamming": oh})
+                    if d > max_hamming:
+                        continue
+                    # cross-table dedup: an earlier table already emitted it
+                    if any(((hs[x] >> (bits_per * s)) & mask) ==
+                           ((hs[y] >> (bits_per * s)) & mask)
+                           for s in range(tbl)):
+                        continue
+                    oa.append(int(ids[x])); ob.append(int(ids[y]))
+                    oh.append(d)
+        return to_arrow(pd.DataFrame({"id_a": oa, "id_b": ob,
+                                      "hamming": oh}), _SIMHASH_PAIR_SCHEMA)
 
-    return sh.groupby("part").map_groups(pairs_in_part,
-                                         batch_format="pandas")
+    return (sh.map_batches(banded, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(pairs_in_part, batch_format="pandas"))
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, *, id_col: str = "doc_id",
@@ -285,7 +329,10 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, *, id_col: str = "doc_id",
             "shingles": pa.array(shs, pa.list_(pa.int64())),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    jac_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
         oa, ob, oj = [], [], []
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
@@ -299,7 +346,8 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, *, id_col: str = "doc_id",
                 if j >= threshold and ids[x] != ids[y]:
                     oa.append(int(ids[x])); ob.append(int(ids[y]))
                     oj.append(j)
-        return pd.DataFrame({"id_a": oa, "id_b": ob, "jaccard": oj})
+        return to_arrow(pd.DataFrame({"id_a": oa, "id_b": ob, "jaccard": oj}),
+                        jac_schema)
 
     return (docs.map_batches(keyed, batch_format="pyarrow")
             .groupby("bucket").map_groups(pairs, batch_format="pandas"))
@@ -336,46 +384,81 @@ def dedup_pages_by_url(pages: ray.data.Dataset, *,
             .groupby("part").map_groups(pick, batch_format="pandas"))
 
 
+_COS_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                              ("cosine", pa.float64())])
+
+
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return (np.random.default_rng(seed)
+            .normal(size=(dim, n_planes)).astype(np.float32))
+
+
 def embedding_cosine_duplicates(emb: ray.data.Dataset, *,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 threshold: float = 0.95,
                                 num_buckets: int = 8,
-                                lsh_seed: int = 7) -> ray.data.Dataset:
+                                lsh_seed: int = 7,
+                                num_tables: int = 2) -> ray.data.Dataset:
     """Near-dup pairs by embedding cosine ≥ threshold; candidates co-bucketed
-    by a random-hyperplane LSH sign bucket (log2(num_buckets) hyperplanes —
+    by random-hyperplane LSH sign buckets (log2(num_buckets) hyperplanes —
     Charikar SimHash for angles, public). Exact cosine verified per pair
-    inside each bucket with one numpy matmul."""
+    inside each bucket with one numpy matmul.
+
+    Multi-probe via ``num_tables`` independent hyperplane tables (different
+    seeds): a pair missed by one table's sign split (miss prob per plane ≈
+    θ/π) is caught by another — recall 1−(miss)^num_tables. Cross-table
+    dedup is local: table t emits a pair only if no earlier table s < t
+    co-bucketed it (recomputed from the vectors carried on the rows; no
+    extra shuffle). Shuffle cost is num_tables copies of each vector —
+    bound num_tables by vector width at scale."""
     n_planes = max(1, int(np.log2(num_buckets)))
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
-        rng = np.random.default_rng(lsh_seed)
-        planes = rng.normal(size=(vecs.shape[1], n_planes)).astype(np.float32)
-        signs = (vecs @ planes) > 0
-        bucket = signs @ (1 << np.arange(n_planes))
+        weights = (1 << np.arange(n_planes))
+        out_id, out_tbl, out_bkt, out_vec = [], [], [], []
+        for tbl in range(num_tables):
+            planes = _lsh_planes(vecs.shape[1], n_planes, lsh_seed + tbl)
+            bucket = ((vecs @ planes) > 0) @ weights
+            out_id.append(ids)
+            out_tbl.append(np.full(len(ids), tbl, dtype=np.int64))
+            out_bkt.append(bucket.astype(np.int64))
+            out_vec.append(vecs)
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "bucket": pa.array(bucket.astype(np.int64)),
-            "vec": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "tbl": pa.array(np.concatenate(out_tbl), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_bkt), pa.int64()),
+            "vec": pa.array(np.concatenate(out_vec).tolist(),
+                            pa.list_(pa.float32())),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return to_arrow(empty, _COS_PAIR_SCHEMA)
+        tbl = int(g["tbl"].iloc[0])
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         v = np.stack([np.asarray(x, dtype=np.float32) for x in g["vec"]])
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sim = v @ v.T
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sim = vn @ vn.T
+        # earlier tables' buckets for cross-table dedup (local recompute)
+        prev = [(((v @ _lsh_planes(v.shape[1], n_planes, lsh_seed + s)) > 0)
+                 @ (1 << np.arange(n_planes))) for s in range(tbl)]
         oa, ob, oc = [], [], []
         xs, ys = np.where(np.triu(sim >= threshold, k=1))
         for x, y in zip(xs, ys):
-            if ids[x] != ids[y]:
-                oa.append(int(ids[x])); ob.append(int(ids[y]))
-                oc.append(float(sim[x, y]))
-        return pd.DataFrame({"id_a": oa, "id_b": ob, "cosine": oc})
+            if ids[x] == ids[y]:
+                continue
+            if any(p[x] == p[y] for p in prev):
+                continue
+            oa.append(int(ids[x])); ob.append(int(ids[y]))
+            oc.append(float(sim[x, y]))
+        return to_arrow(pd.DataFrame({"id_a": oa, "id_b": ob, "cosine": oc}),
+                        _COS_PAIR_SCHEMA)
 
     return (emb.map_batches(keyed, batch_format="pyarrow")
-            .groupby("bucket").map_groups(pairs, batch_format="pandas"))
+            .groupby(["tbl", "bucket"])
+            .map_groups(pairs, batch_format="pandas"))

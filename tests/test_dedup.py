@@ -153,3 +153,67 @@ def test_pages_url_dedup_exact_vs_duckdb_window(ray_session, tmp_path):
     assert list(got["url"]) == list(want["url"])
     assert list(got["sha"]) == list(want["sha"])
     assert list(got["warc_ts"]) == list(want["warc_ts"])
+
+
+def test_simhash_block_recall_exact(ray_session):
+    """Manku block-table guarantee: with 4 tables of 16 bits, the operator's
+    output is EXACTLY the brute-force pair set at max_hamming <= 3 —
+    recall 1.0 (pigeonhole: <=3 flipped bits leave >=1 block intact) and
+    precision 1.0 (every candidate is hamming-verified), no duplicate rows
+    from the multi-table union."""
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.dedup import (
+        simhash_batch, simhash_duplicates)
+    from information_extraction_system_ray.functions.hashing import hamming64
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(30):
+        words = list(rng.choice(vocab, size=40))
+        rows.append({"doc_id": 2 * i, "text": " ".join(words)})
+        mut = list(words)
+        mut[int(rng.integers(len(mut)))] = str(rng.choice(vocab))
+        rows.append({"doc_id": 2 * i + 1, "text": " ".join(mut)})
+
+    # brute-force truth over the same simhash values
+    tbl = simhash_batch(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+    }))
+    hs = {int(i): int(h) & ((1 << 64) - 1)
+          for i, h in zip(tbl["doc_id"].to_pylist(),
+                          tbl["simhash"].to_pylist())}
+    ids = sorted(hs)
+    want = {(a, b) for xi, a in enumerate(ids) for b in ids[xi + 1:]
+            if hamming64(hs[a], hs[b]) <= 3}
+
+    pairs = simhash_duplicates(rd.from_items(rows), max_hamming=3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == want
+    assert len(pairs) == len(got)  # cross-table dedup: no duplicate rows
+
+
+def test_embedding_multitable_no_dup_rows(ray_session):
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.dedup import \
+        embedding_cosine_duplicates
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=16).astype(np.float32)
+        rows.append({"vec_id": 2 * i, "embedding": v.tolist()})
+        rows.append({"vec_id": 2 * i + 1,
+                     "embedding": (v + 0.01 * rng.normal(size=16)
+                                   .astype(np.float32)).tolist()})
+    pairs = embedding_cosine_duplicates(
+        rd.from_items(rows), threshold=0.98, num_tables=3).to_pandas()
+    # multi-table union must not emit the same pair twice
+    assert not pairs.duplicated(["id_a", "id_b"]).any()
+    # every planted pair that any single table could find is present
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    found_planted = sum((2 * i, 2 * i + 1) in got for i in range(20))
+    assert found_planted >= 18  # 3 tables x 8 buckets: near-total recall
