@@ -123,6 +123,35 @@ def sessionize(ds: ray.data.Dataset, *, keys: list[str], ts_col: str,
             .map_groups(assign, batch_format="pandas"))
 
 
+def lag_column(ds: ray.data.Dataset, col: str, *, keys: list[str],
+               order_by: list[str], periods: int = 1,
+               out_col: str = "lag",
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-key lagged value of ``col`` in ``order_by`` order — SQL
+    ``LAG(col, periods) OVER (PARTITION BY keys ORDER BY ...)``; the first
+    ``periods`` rows of each key get a typed null. ``order_by`` must include
+    a unique tie-break column for deterministic output."""
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, schema.field(col).type)])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def shift(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(order_by, kind="mergesort")
+        part[out_col] = part.groupby(keys, sort=False)[col].shift(periods)
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(shift, batch_format="pandas"))
+
+
 def running_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
                 order_by: list[str], out_col: str = "running",
                 num_partitions: int = 32) -> ray.data.Dataset:

@@ -1468,6 +1468,142 @@ def kg_pagerank(sf_dir: str):
             .sort(["rank6", "node"], descending=[True, False]).limit(25))
 
 
+def events_user_gap(sf_dir: str):
+    """LAG window (W4): per-user inter-event gap totals — lag_column
+    (one hash shuffle, partition-local shift) then an integer-exact
+    groupby; gaps summed in microseconds so no float crosses the oracle."""
+    from .functions.window import lag_column
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    lagged = lag_column(ds, "ts", keys=["user_id"],
+                        order_by=["ts", "event_id"], out_col="prev_ts")
+
+    def gaps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev_ts"]))
+        return pa.table({
+            "user_id": t["user_id"],
+            "gap_us": pc.subtract(t["ts"].cast(pa.int64()),
+                                  t["prev_ts"].cast(pa.int64())),
+        })
+
+    return (lagged.map_batches(gaps, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("gap_us", alias_name="sum_gap_us"),
+                       Count(alias_name="n_gaps"))
+            .sort("user_id"))
+
+
+_EVENTS_GAP_SQL = """
+SELECT user_id,
+       CAST(SUM(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS sum_gap_us,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM (SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events) t
+WHERE prev_ts IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def orders_repeat_30d(sf_dir: str):
+    """Range (interval) join — custom operator Ray Data lacks
+    (functions/rangejoin.py): per order, how many orders the same customer
+    placed within the next 30 days (self range join, includes itself so
+    every count ≥ 1). The right side ships only (key, ts) through the
+    shuffle; counts come from per-key searchsorted, never materialized
+    pairs."""
+    from .functions.rangejoin import range_join_count
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    right = read_table(sf_dir, "orders",
+                       columns=["o_custkey", "o_orderdate"]) \
+        .rename_columns({"o_custkey": "p_custkey",
+                         "o_orderdate": "p_orderdate"})
+    out = range_join_count(orders, right,
+                           left_by="o_custkey", right_by="p_custkey",
+                           left_ts="o_orderdate", right_ts="p_orderdate",
+                           lo=pd.Timedelta(0), hi=pd.Timedelta(days=30),
+                           count_col="n_orders")
+    return out.select_columns(["o_orderkey", "n_orders"]).sort("o_orderkey")
+
+
+_ORDERS_REPEAT_SQL = """
+SELECT o.o_orderkey, CAST(COUNT(p.o_orderdate) AS BIGINT) AS n_orders
+FROM orders o LEFT JOIN orders p
+  ON p.o_custkey = o.o_custkey
+ AND p.o_orderdate >= o.o_orderdate
+ AND p.o_orderdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+"""
+
+
+def events_hour_pivot(sf_dir: str):
+    """Pivot (wide conditional aggregate): event counts per type ×
+    6-hour-of-day quarter as four columns. Partial crosstab per batch
+    (the combiner), then one tiny groupby-sum over (types × batches)
+    rows — the full table never shuffles."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["event_type"], df["ts"].dt.hour // 6)
+        ct = ct.reindex(columns=range(4), fill_value=0)
+        ct.columns = [f"n_q{i}" for i in range(4)]
+        return ct.reset_index().astype(
+            {f"n_q{i}": "int64" for i in range(4)})
+
+    qcols = [f"n_q{i}" for i in range(4)]
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(*[Sum(c, alias_name=c) for c in qcols])
+            .sort("event_type"))
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) // 6 = 0)
+            AS BIGINT) AS n_q0,
+       CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) // 6 = 1)
+            AS BIGINT) AS n_q1,
+       CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) // 6 = 2)
+            AS BIGINT) AS n_q2,
+       CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) // 6 = 3)
+            AS BIGINT) AS n_q3
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def docs_chunks(sf_dir: str):
+    """Token-window document chunking (training-data prep; shuffle-free
+    flat map, functions/chunk.py) — 100-token windows, 20-token overlap.
+    The oracle checks the full (doc_id, chunk_id, n_tokens) layout; chunk
+    TEXT slicing is offset-exact and tested in tests/test_chunk.py."""
+    from .functions.chunk import chunk_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=500)
+    out = chunk_documents(docs, size=100, overlap=20, with_text=False)
+    return out.sort(["doc_id", "chunk_id"])
+
+
+_DOCS_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents),
+ a AS (SELECT doc_id, n,
+              CASE WHEN n <= 100 THEN 1
+                   ELSE CAST(CEIL((n - 100) / 80.0) AS BIGINT) + 1
+              END AS nch
+       FROM toks WHERE n > 0),
+ e AS (SELECT doc_id, n, UNNEST(range(0, nch)) AS i FROM a)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(LEAST(100, n - 80 * i) AS BIGINT) AS n_tokens
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1497,6 +1633,9 @@ def queries():
         "events_sessionize": events_sessionize,
         "events_value_quantiles": events_value_quantiles,
         "events_type_approx_users": events_type_approx_users,
+        "events_user_gap": events_user_gap,
+        "orders_repeat_30d": orders_repeat_30d,
+        "events_hour_pivot": events_hour_pivot,
         "custs_without_events": custs_without_events,
         "parts_with_lineitems": parts_with_lineitems,
         "orders_hash_sample": orders_hash_sample,
@@ -1504,6 +1643,7 @@ def queries():
         "events_type_median_value": events_type_median_value,
         "events_rollup": events_rollup,
         "docs_top_terms": docs_top_terms,
+        "docs_chunks": docs_chunks,
         "docs_training_prep": docs_training_prep,
         "docs_tfidf_knn": docs_tfidf_knn,
         "pages_url_dedup": pages_url_dedup,
@@ -1559,6 +1699,9 @@ def oracle_sql():
         "events_user_cumspend": _EVENTS_CUMSPEND_SQL,
         "events_sessionize": _EVENTS_SESSION_SQL,
         "events_value_quantiles": _EVENTS_QUANTILES_SQL,
+        "events_user_gap": _EVENTS_GAP_SQL,
+        "orders_repeat_30d": _ORDERS_REPEAT_SQL,
+        "events_hour_pivot": _EVENTS_PIVOT_SQL,
         "custs_without_events": _CUSTS_NO_EVENTS_SQL,
         "parts_with_lineitems": _PARTS_SEMI_SQL,
         "orders_hash_sample": _ORDERS_SAMPLE_SQL,
@@ -1566,6 +1709,7 @@ def oracle_sql():
         "events_type_median_value": _EVENTS_MEDIAN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "docs_top_terms": _DOCS_TOP_TERMS_SQL,
+        "docs_chunks": _DOCS_CHUNKS_SQL,
         "docs_training_prep": _DOCS_PREP_SQL,
         "orders_kfold": _ORDERS_KFOLD_SQL,
         "docs_lang_count": _DOCS_LANG_SQL,
