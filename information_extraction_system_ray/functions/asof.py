@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .partitions import default_parts
+
 _RTS = "_asof_rts"
 
 
@@ -28,9 +30,11 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
                        left_by: str, right_by: str,
                        left_ts: str, right_ts: str,
                        out_col: str = "matched_ts",
-                       num_partitions: int = 32) -> ray.data.Dataset:
+                       num_partitions: "int | None" = None
+               ) -> ray.data.Dataset:
     """Inner backward as-of join; returns the LEFT columns + ``out_col``
     (matched right timestamp). Unmatched left rows are dropped."""
+    num_partitions = num_partitions or default_parts()
     lschema = left.schema()
     left_cols = list(lschema.names)
     ltypes = {n: lschema.base_schema.field(n).type for n in left_cols}

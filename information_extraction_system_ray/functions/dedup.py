@@ -19,6 +19,7 @@ from ray.data.aggregate import Count, Min
 from .arrowutil import to_arrow
 from .hashing import (hamming64, minhash_permutations, minhash_signature,
                       simhash64, stable_hash64)
+from .partitions import default_parts
 from .text import _WORD_RE, fingerprint_batch, shingle_hashes
 
 
@@ -39,7 +40,8 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id",
         .rename_columns({"keep_id": id_col})
 
 
-_PAIR_PARTS = 16  # hash partitions for bucket co-location; raise with cluster
+# pair-bucket co-location width is cluster-derived (functions/partitions.py),
+# resolved once at operator build time on the driver
 
 
 def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
@@ -66,6 +68,7 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
     estimator. Scales to corpora where the signature table alone exceeds
     any single node."""
     rows_per_band = num_perm // bands
+    pair_parts = default_parts()
     a, b = minhash_permutations(num_perm)
     sig_ty = pa.list_(pa.int64())
 
@@ -103,7 +106,7 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
             # partition key: same bucket → same partition; grouping by
             # PARTITION (not per bucket) avoids one Ray group-task per
             # bucket — thousands of tiny groups otherwise
-            "part": pa.array([b % _PAIR_PARTS for b in out_bucket],
+            "part": pa.array([b % pair_parts for b in out_bucket],
                              pa.int64()),
         })
 
@@ -126,7 +129,7 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
         return to_arrow(pd.DataFrame({"id_a": oa, "id_b": ob}), cand_schema)
 
     # dedup candidates ACROSS bands before any signature moves; coalesce
-    # first so the tiny pair set doesn't pay a _PAIR_PARTS-wide shuffle
+    # first so the tiny pair set doesn't pay a pair_parts-wide shuffle
     cand = (banded.groupby("part")
             .map_groups(cands_in_part, batch_format="pandas")
             .repartition(4)
@@ -148,7 +151,7 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
             "id_a": pa.array(np.concatenate([ia, ia]), pa.int64()),
             "id_b": pa.array(np.concatenate([ib, ib]), pa.int64()),
             "sig": pa.nulls(2 * len(t), sig_ty),
-            "part": pa.array(mids % _PAIR_PARTS, pa.int64()),
+            "part": pa.array(mids % pair_parts, pa.int64()),
         }).cast(mem_schema)
 
     def tag_sigs(t: pa.Table) -> pa.Table:
@@ -159,7 +162,7 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
             "id_a": pa.nulls(n, pa.int64()),
             "id_b": pa.nulls(n, pa.int64()),
             "sig": t["sig"],
-            "part": pa.array(mids % _PAIR_PARTS, pa.int64()),
+            "part": pa.array(mids % pair_parts, pa.int64()),
         }).cast(mem_schema)
 
     att_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
@@ -182,7 +185,7 @@ def minhash_lsh_duplicates(docs: ray.data.Dataset, *,
             "id_b": pa.array(ib, pa.int64()),
             "mid": mems["mid"],
             "sig": pa.array([lut.get(m) for m in mid], sig_ty),
-            "part": pa.array((ia ^ ib) % _PAIR_PARTS, pa.int64()),
+            "part": pa.array((ia ^ ib) % pair_parts, pa.int64()),
         }).cast(att_schema)
 
     attached = (cand.map_batches(explode_members, batch_format="pyarrow")
@@ -251,6 +254,7 @@ def simhash_duplicates(docs: ray.data.Dataset, *, id_col: str = "doc_id",
     (id, hash, block) rows per doc."""
     bits_per = 64 // num_tables
     mask = (1 << bits_per) - 1
+    pair_parts = default_parts()
 
     sh = docs.map_batches(simhash_batch,
                           fn_kwargs={"id_col": id_col, "text_col": text_col},
@@ -269,7 +273,7 @@ def simhash_duplicates(docs: ray.data.Dataset, *, id_col: str = "doc_id",
         tbl_a = np.concatenate(out_tbl)
         blk_a = np.concatenate(out_blk)
         # same (table, block) → same partition
-        part = ((tbl_a << bits_per) | blk_a) % _PAIR_PARTS
+        part = ((tbl_a << bits_per) | blk_a) % pair_parts
         return pa.table({
             id_col: pa.array(np.concatenate(out_id), pa.int64()),
             "simhash": pa.array(np.concatenate(out_h), pa.int64()),
@@ -354,7 +358,8 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, *, id_col: str = "doc_id",
 
 
 def dedup_pages_by_url(pages: ray.data.Dataset, *,
-                       num_partitions: int = 16) -> ray.data.Dataset:
+                       num_partitions: "int | None" = None
+                       ) -> ray.data.Dataset:
     """D4 (SURVEY.md §2.7): keep ONE row per url — the max ``warc_ts``
     capture, ties broken by sha256(html) — so the byte-identity invariant is
     keyed on a unique url.
@@ -364,6 +369,8 @@ def dedup_pages_by_url(pages: ray.data.Dataset, *,
     partition — grouping by partition id, not per url, so no per-key Python
     task overhead. Rows per url are few (re-captures), so no salt needed."""
     import hashlib
+
+    num_partitions = num_partitions or default_parts()
 
     def keyed(t: pa.Table) -> pa.Table:
         ts = t["warc_ts"].cast(pa.int64()).to_pylist()

@@ -17,10 +17,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .partitions import default_parts
+
 
 def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
               *, left_key: str, right_key: str, anti: bool = False,
-              num_partitions: int = 32,
+              num_partitions: "int | None" = None,
               bloom_bits: "int | None" = None) -> ray.data.Dataset:
     """Rows of ``left`` whose key does (``anti=False``) / does not
     (``anti=True``) appear in ``right``. Output schema == left schema.
@@ -48,6 +50,7 @@ def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                               num_partitions=num_partitions)
             return definite.union(exact)
         left = bloom_prefilter(left, bits_ref, left_key)
+    num_partitions = num_partitions or default_parts()
     schema = left.schema().base_schema
     names = list(schema.names)
     out_schema = pa.schema([(n, schema.field(n).type) for n in names])
@@ -114,7 +117,7 @@ def _bloom_reject(ds: ray.data.Dataset, bits_ref, col: str
 
 def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
               *, left_key: str, right_key: str,
-              num_partitions: int = 32,
+              num_partitions: "int | None" = None,
               bloom_bits: "int | None" = None) -> ray.data.Dataset:
     """Rows of ``left`` with NO match in ``right`` (SQL NOT EXISTS)."""
     return semi_join(left, right, left_key=left_key, right_key=right_key,

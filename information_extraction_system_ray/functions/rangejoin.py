@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .partitions import default_parts
+
 _RTS = "_rj_rts"
 
 
@@ -32,9 +34,11 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      left_ts: str, right_ts: str,
                      lo: pd.Timedelta, hi: pd.Timedelta,
                      count_col: str = "n_matches",
-                     num_partitions: int = 32) -> ray.data.Dataset:
+                     num_partitions: "int | None" = None
+               ) -> ray.data.Dataset:
     """LEFT columns + ``count_col`` = #right rows with ``right_by ==
     left_by`` and ``right_ts`` in ``[left_ts + lo, left_ts + hi)``."""
+    num_partitions = num_partitions or default_parts()
     lschema = left.schema()
     left_cols = list(lschema.names)
     ltypes = {n: lschema.base_schema.field(n).type for n in left_cols}

@@ -1,5 +1,7 @@
 """Approximate aggregates (SURVEY.md §2.5 G6): mergeable HyperLogLog
-distinct-count sketches (Flajolet et al. 2007, public).
+distinct-count sketches (Flajolet et al. 2007, public) and mergeable
+SpaceSaving heavy-hitter summaries (Metwally et al. 2005; merge rule from
+Agarwal et al., "Mergeable Summaries", 2012 — all public).
 
 Scale pattern: one sketch per (group, batch) built vectorized in numpy
 (COMBINER — a batch contributes one 2^p-byte register row per group, never
@@ -103,3 +105,106 @@ def approx_distinct_by_key(ds: ray.data.Dataset, key: str, value: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key)
             .map_groups(merge, batch_format="pandas"))
+
+# ---------------------------------------------------------------------------
+# SpaceSaving heavy hitters
+# ---------------------------------------------------------------------------
+
+_SS_MERGE_FAN = 32  # level-1 merge groups; final merge sees <= FAN summaries
+
+
+def _ss_trim(items: "dict[str, tuple[int, int]]", cap: int,
+             floor: int) -> "tuple[dict[str, tuple[int, int]], int]":
+    """Keep the top-``cap`` items by (over)count; the largest trimmed count
+    becomes the new floor (missing-mass bound future merges must assume)."""
+    if len(items) <= cap:
+        return items, floor
+    ranked = sorted(items.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    new_floor = max(floor, ranked[cap][1][0])
+    return dict(ranked[:cap]), new_floor
+
+
+def _ss_merge(summaries, cap: int):
+    """Agarwal-style merge. Each input summary guarantees, over the stream
+    slice it covers:  count - err <= true <= count  for items it contains,
+    and  true <= floor  for items it lacks. The merge pads every item by
+    the floors of the summaries that did NOT contain it (count += pad,
+    err += pad), preserving both invariants over the union slice; trimming
+    raises the output floor to the largest trimmed (padded) count."""
+    acc: "dict[str, list[int]]" = {}  # k -> [csum, esum, floor_in]
+    floor_total = 0
+    for items, floor in summaries:
+        floor_total += floor
+        for k, (c, e) in items.items():
+            a = acc.setdefault(k, [0, 0, 0])
+            a[0] += c
+            a[1] += e
+            a[2] += floor
+    merged = {}
+    for k, (csum, esum, floor_in) in acc.items():
+        pad = floor_total - floor_in
+        merged[k] = (csum + pad, esum + pad)
+    items, floor = _ss_trim(merged, cap, floor_total)
+    return items, floor
+
+
+def heavy_hitters(ds: ray.data.Dataset, value: str, *, k: int = 10,
+                  capacity: int = 256) -> ray.data.Dataset:
+    """Approximate top-k most frequent ``value`` items —
+    Dataset(item, count_hi:int64, count_lo:int64) sorted by count_hi desc.
+
+    ``count_lo <= true_count <= count_hi`` for every retained item, and any
+    item with true frequency > N/capacity is guaranteed retained (the
+    SpaceSaving guarantee; per-batch partials are EXACT, so error is
+    introduced only by merge trims, bounded by the carried floor).
+
+    Scale: per-batch exact counts truncated to ``capacity`` rows each, a
+    fan-in merge tree (``_SS_MERGE_FAN`` level-1 groups), final merge over
+    ≤ FAN summaries — the raw stream never shuffles."""
+    import json
+
+    cap = capacity
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t[value].to_pandas()).astype(str).value_counts()
+        items = {str(i): (int(c), 0) for i, c in vc.items()}
+        items, floor = _ss_trim(items, cap, 0)
+        blob = json.dumps({"items": items, "floor": floor})
+        g = int(hashlib.blake2b(blob.encode(),
+                                digest_size=4).hexdigest(), 16) \
+            % _SS_MERGE_FAN
+        return pa.table({"g": pa.array([g], pa.int64()),
+                         "blob": pa.array([blob], pa.string())})
+
+    def merge_level(g: pd.DataFrame) -> pa.Table:
+        summaries = []
+        for b in g["blob"]:
+            d = json.loads(b)
+            summaries.append(
+                ({k_: tuple(v) for k_, v in d["items"].items()},
+                 d["floor"]))
+        items, floor = _ss_merge(summaries, cap)
+        blob = json.dumps({"items": items, "floor": floor})
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "blob": pa.array([blob], pa.string())})
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        summaries = []
+        for b in g["blob"]:
+            d = json.loads(b)
+            summaries.append(
+                ({k_: tuple(v) for k_, v in d["items"].items()},
+                 d["floor"]))
+        items, _ = _ss_merge(summaries, cap)
+        rows = sorted(((kk, c, max(c - e, 0))
+                       for kk, (c, e) in items.items()),
+                      key=lambda r: (-r[1], r[0]))[:k]
+        return pa.table({
+            "item": pa.array([r[0] for r in rows], pa.string()),
+            "count_hi": pa.array([r[1] for r in rows], pa.int64()),
+            "count_lo": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("g").map_groups(merge_level, batch_format="pandas")
+            .groupby("g").map_groups(finalize, batch_format="pandas"))

@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from .arrowutil import to_arrow
+from .partitions import default_parts
 
 
 def _hash_part(series: pd.Series, num_partitions: int) -> pd.Series:
@@ -39,7 +40,8 @@ def _key_series(df: pd.DataFrame, keys: list[str]) -> pd.Series:
 def row_number(ds: ray.data.Dataset, *, keys: list[str],
                order_by: list[str], descending: "bool | list[bool]" = False,
                out_col: str = "rn",
-               num_partitions: int = 32) -> ray.data.Dataset:
+               num_partitions: "int | None" = None
+               ) -> ray.data.Dataset:
     """Adds a 1-based per-key row number ordered by ``order_by`` (ties must
     be broken by including a unique column in ``order_by`` — same contract
     as SQL ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ...)``)."""
@@ -47,6 +49,7 @@ def row_number(ds: ray.data.Dataset, *, keys: list[str],
         descending = [descending] * len(order_by)
     ascending = [not d for d in descending]
 
+    num_partitions = num_partitions or default_parts()
     schema = ds.schema().base_schema
     out_schema = pa.schema(
         [(n, schema.field(n).type) for n in schema.names]
@@ -73,7 +76,8 @@ def topk_per_key(ds: ray.data.Dataset, k: int, *, keys: list[str],
                  order_by: list[str],
                  descending: "bool | list[bool]" = True,
                  out_col: str = "rn",
-                 num_partitions: int = 32) -> ray.data.Dataset:
+                 num_partitions: "int | None" = None
+               ) -> ray.data.Dataset:
     """The k best rows per key (with their rank) — ``row_number`` + filter,
     the "latest N events per user"-style query."""
     import pyarrow.compute as pc
@@ -89,7 +93,8 @@ def topk_per_key(ds: ray.data.Dataset, k: int, *, keys: list[str],
 def sessionize(ds: ray.data.Dataset, *, keys: list[str], ts_col: str,
                order_by: list[str], gap,
                out_col: str = "session_id",
-               num_partitions: int = 32) -> ray.data.Dataset:
+               num_partitions: "int | None" = None
+               ) -> ray.data.Dataset:
     """Per-key session assignment (the classic event-stream windowed
     operator): a new session starts at a key's first event or when the gap
     from the previous event exceeds ``gap`` (a ``pd.Timedelta`` for
@@ -98,6 +103,7 @@ def sessionize(ds: ray.data.Dataset, *, keys: list[str], ts_col: str,
     ``SUM(new_session) OVER (PARTITION BY keys ORDER BY order_by)`` over a
     ``LAG(ts)`` gap test. ``order_by`` must start with ``ts_col`` and
     include a unique tie-break column."""
+    num_partitions = num_partitions or default_parts()
     schema = ds.schema().base_schema
     out_schema = pa.schema(
         [(n, schema.field(n).type) for n in schema.names]
@@ -126,11 +132,13 @@ def sessionize(ds: ray.data.Dataset, *, keys: list[str], ts_col: str,
 def lag_column(ds: ray.data.Dataset, col: str, *, keys: list[str],
                order_by: list[str], periods: int = 1,
                out_col: str = "lag",
-               num_partitions: int = 32) -> ray.data.Dataset:
+               num_partitions: "int | None" = None
+               ) -> ray.data.Dataset:
     """Per-key lagged value of ``col`` in ``order_by`` order — SQL
     ``LAG(col, periods) OVER (PARTITION BY keys ORDER BY ...)``; the first
     ``periods`` rows of each key get a typed null. ``order_by`` must include
     a unique tie-break column for deterministic output."""
+    num_partitions = num_partitions or default_parts()
     schema = ds.schema().base_schema
     out_schema = pa.schema(
         [(n, schema.field(n).type) for n in schema.names]
@@ -154,12 +162,14 @@ def lag_column(ds: ray.data.Dataset, col: str, *, keys: list[str],
 
 def running_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
                 order_by: list[str], out_col: str = "running",
-                num_partitions: int = 32) -> ray.data.Dataset:
+                num_partitions: "int | None" = None
+               ) -> ray.data.Dataset:
     """Per-key running (cumulative) sum of ``value_col`` in ``order_by``
     order — SQL ``SUM(v) OVER (PARTITION BY keys ORDER BY ... ROWS UNBOUNDED
     PRECEDING)``. Use an integer value column for bit-exact results (float
     accumulation order is deterministic here, but cross-engine rounding is
     not)."""
+    num_partitions = num_partitions or default_parts()
     schema = ds.schema().base_schema
     out_schema = pa.schema(
         [(n, schema.field(n).type) for n in schema.names]

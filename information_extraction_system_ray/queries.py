@@ -1604,6 +1604,103 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def events_user_heavy_hitters(sf_dir: str):
+    """SpaceSaving heavy hitters (functions/sketches.py) over event
+    user_ids — run in the EXACT regime (capacity ≥ distinct users at test
+    scale) so the DuckDB count oracle applies bit-for-bit; at web scale
+    the same call with capacity ≪ distincts degrades gracefully to the
+    ±floor bounds (property-tested in tests/test_new_ops.py)."""
+    from .functions.sketches import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", k=20, capacity=65536)
+
+
+_EVENTS_HH_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS item,
+       CAST(COUNT(*) AS BIGINT) AS count_hi,
+       CAST(COUNT(*) AS BIGINT) AS count_lo
+FROM events GROUP BY user_id
+ORDER BY count_hi DESC, item LIMIT 20
+"""
+
+
+def nation_cust_segments(sf_dir: str):
+    """collect_set / string_agg (functions/collect.py): per nation, the
+    sorted distinct market segments of its customers as one '|'-joined
+    cell. Per-batch distinct combiner → pair-level dedup shuffle →
+    per-key sorted assembly; nation names attached from a broadcast dim."""
+    from .functions.collect import collect_set_sorted
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put(nmap)
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_mktsegment"])
+    out = collect_set_sorted(cust, key="c_nationkey",
+                             value="c_mktsegment", sep="|")
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        return pa.table({
+            "n_name": pa.array([m[k] for k in
+                                t["c_nationkey"].to_pylist()], pa.string()),
+            "segments": t["values"],
+        })
+
+    return (out.map_batches(attach, batch_format="pyarrow").sort("n_name"))
+
+
+_NATION_SEGMENTS_SQL = """
+SELECT n_name, string_agg(seg, '|' ORDER BY seg) AS segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer) d
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def orders_global_rank(sf_dir: str):
+    """Global ROW_NUMBER (no PARTITION BY) — functions/rank.py: adaptive
+    range-sample splits, per-partition counts → offsets, local sort +
+    offset. Two streaming passes, driver holds only samples/counts."""
+    from .functions.rank import global_row_number
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    out = global_row_number(orders,
+                            order_by=["o_totalprice", "o_orderkey"],
+                            descending=[True, False], out_col="rn")
+    return out.select_columns(["o_orderkey", "rn"]).sort("o_orderkey")
+
+
+_ORDERS_RANK_SQL = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def orders_price_quartile(sf_dir: str):
+    """NTILE(4) over the global price order (functions/rank.py ntile)."""
+    from .functions.rank import ntile
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    out = ntile(orders, 4, order_by=["o_totalprice", "o_orderkey"],
+                out_col="tile")
+    return out.select_columns(["o_orderkey", "tile"]).sort("o_orderkey")
+
+
+_ORDERS_NTILE_SQL = """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+            AS BIGINT) AS tile
+FROM orders ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1636,6 +1733,10 @@ def queries():
         "events_user_gap": events_user_gap,
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
+        "events_user_heavy_hitters": events_user_heavy_hitters,
+        "nation_cust_segments": nation_cust_segments,
+        "orders_global_rank": orders_global_rank,
+        "orders_price_quartile": orders_price_quartile,
         "custs_without_events": custs_without_events,
         "parts_with_lineitems": parts_with_lineitems,
         "orders_hash_sample": orders_hash_sample,
@@ -1702,6 +1803,10 @@ def oracle_sql():
         "events_user_gap": _EVENTS_GAP_SQL,
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
+        "events_user_heavy_hitters": _EVENTS_HH_SQL,
+        "nation_cust_segments": _NATION_SEGMENTS_SQL,
+        "orders_global_rank": _ORDERS_RANK_SQL,
+        "orders_price_quartile": _ORDERS_NTILE_SQL,
         "custs_without_events": _CUSTS_NO_EVENTS_SQL,
         "parts_with_lineitems": _PARTS_SEMI_SQL,
         "orders_hash_sample": _ORDERS_SAMPLE_SQL,

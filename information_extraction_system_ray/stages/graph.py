@@ -24,20 +24,21 @@ import ray.data
 from refimpl.vocab import BY_ID
 
 from ..functions.arrowutil import to_arrow
+from ..functions.partitions import default_parts
 from .canonicalize import attach_labels
 
 _SAMPLE_URLS = 5
-_MERGE_PARTS = 16  # hash partitions for the merge shuffle; raise with cluster
-# (partition count bounds merge/sort width: at 16 the whole graph phase is
-# ~64 tasks; a 256-node cluster would set this ~= number of worker slots)
+# Merge-shuffle width is cluster-derived (functions/partitions.py): ~1 hash
+# partition per CPU, floor 16 — resolved ONCE at pipeline build time on the
+# driver so every task agrees on the modulus.
 
 
-def _part_of(key: pd.Series) -> pd.Series:
+def _part_of(key: pd.Series, num_parts: int) -> pd.Series:
     """Deterministic hash partition id for the merge groupby. Grouping by
     partition (not by key) lets the merge run ONE vectorized pandas groupby
     per partition instead of one Python call per key — same semantics, since
     every row of a key lands in the same partition."""
-    return pd.util.hash_pandas_object(key, index=False) % _MERGE_PARTS
+    return pd.util.hash_pandas_object(key, index=False) % num_parts
 
 
 def explode_list_struct(batch: pa.Table, col: str,
@@ -79,6 +80,7 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     merge-on-cluster-id == partial-on-cluster-id then merge."""
     cmap_ref = cluster_ref
     ds_mode = isinstance(cluster_ref, ray.data.Dataset)
+    merge_parts = default_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         flat = explode_list_struct(batch, "mentions", [])
@@ -96,7 +98,8 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
         g = g.reset_index()
         return pa.table({
             "entity_id": pa.array(g["entity_id"], pa.string()),
-            "part": pa.array(_part_of(g["entity_id"]), pa.int64()),
+            "part": pa.array(_part_of(g["entity_id"], merge_parts),
+                             pa.int64()),
             "n_partial": pa.array(g["n_mentions"], pa.int64()),
             "aliases_partial": pa.array(list(g["aliases"]),
                                         pa.list_(pa.string())),
@@ -123,16 +126,16 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     parts = annotated.map_batches(partial, batch_format="pyarrow")
     if ds_mode:
         parts = attach_labels(parts, cluster_ref, "entity_id",
-                              num_partitions=_MERGE_PARTS)
+                              num_partitions=merge_parts)
         # part is stale after key rewrite — recompute from the cluster id
         parts = parts.map_batches(
             lambda t: t.set_column(
                 t.schema.get_field_index("part"), "part",
-                pa.array(_part_of(pd.Series(t["entity_id"].to_pandas())),
-                         pa.int64())),
+                pa.array(_part_of(pd.Series(t["entity_id"].to_pandas()),
+                                  merge_parts), pa.int64())),
             batch_format="pyarrow")
     else:
-        parts = parts.repartition(_MERGE_PARTS)
+        parts = parts.repartition(merge_parts)
     return (parts.groupby("part")
             .map_groups(merge_part, batch_format="pandas")
             .sort("entity_id"))
@@ -173,6 +176,7 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     partials with TWO co-partitioned passes (subj then obj)."""
     cmap_ref = cluster_ref
     ds_mode = isinstance(cluster_ref, ray.data.Dataset)
+    merge_parts = default_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         flat = explode_list_struct(batch, "triples", ["url"])
@@ -195,7 +199,7 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
         g = counts.merge(_min_k_wide(df, _KEYS), on=_KEYS, how="left")
         key = g["subj_id"] + "\x00" + g["pred"] + "\x00" + g["obj_id"]
         cols = {k: pa.array(g[k], pa.string()) for k in _KEYS}
-        cols["part"] = pa.array(_part_of(key), pa.int64())
+        cols["part"] = pa.array(_part_of(key, merge_parts), pa.int64())
         cols["n_partial"] = pa.array(g["n_partial"], pa.int64())
         for c in _URL_COLS:
             cols[c] = pa.array(g[c], pa.string())
@@ -219,20 +223,21 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     parts = annotated.map_batches(partial, batch_format="pyarrow")
     if ds_mode:
         parts = attach_labels(parts, cluster_ref, "subj_id",
-                              num_partitions=_MERGE_PARTS)
+                              num_partitions=merge_parts)
         parts = attach_labels(parts, cluster_ref, "obj_id",
-                              num_partitions=_MERGE_PARTS)
+                              num_partitions=merge_parts)
 
         def repart(t: pa.Table) -> pa.Table:
             key = (pd.Series(t["subj_id"].to_pandas()) + "\x00"
                    + pd.Series(t["pred"].to_pandas()) + "\x00"
                    + pd.Series(t["obj_id"].to_pandas()))
             return t.set_column(t.schema.get_field_index("part"), "part",
-                                pa.array(_part_of(key), pa.int64()))
+                                pa.array(_part_of(key, merge_parts),
+                                         pa.int64()))
 
         parts = parts.map_batches(repart, batch_format="pyarrow")
     else:
-        parts = parts.repartition(_MERGE_PARTS)  # narrow the shuffle
+        parts = parts.repartition(merge_parts)  # narrow the shuffle
     return (parts.groupby("part")
             .map_groups(merge_part, batch_format="pandas")
             .sort(["subj_id", "pred", "obj_id"]))

@@ -207,3 +207,41 @@ def test_bloom_no_false_negatives_small_m(ray_session):
     bits = build_bloom(_rd(keys), "rk", num_bits=256)   # hopelessly full
     mask = bloom_contains(bits, list(range(5000)))
     assert mask.all()
+
+
+def test_heavy_hitters_bounds_and_exact(ray_session):
+    """SpaceSaving: (a) capacity >= #distinct -> exact counts; (b) under
+    trimming, count_lo <= true <= count_hi for every reported item and
+    every item with true > N/capacity is reported (k=capacity)."""
+    import numpy as np
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.sketches import \
+        heavy_hitters
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: few heavy items + long tail
+    vals = (["heavy_a"] * 600 + ["heavy_b"] * 400 + ["mid_c"] * 120
+            + [f"tail{i}" for i in rng.integers(0, 500, 900)])
+    rng.shuffle(vals)
+    import collections
+    true = collections.Counter(vals)
+    n = len(vals)
+
+    ds = rd.from_items([{"v": v} for v in vals]).repartition(8)
+
+    # (a) exact when capacity covers all distincts
+    exact = heavy_hitters(ds, "v", k=5, capacity=2000).to_pandas()
+    for _, r in exact.iterrows():
+        assert r["count_lo"] == r["count_hi"] == true[r["item"]]
+    assert list(exact["item"][:2]) == ["heavy_a", "heavy_b"]
+
+    # (b) bounds + guarantee under trimming
+    cap = 32
+    out = heavy_hitters(ds, "v", k=cap, capacity=cap).to_pandas()
+    got = dict(zip(out["item"], zip(out["count_lo"], out["count_hi"])))
+    for item, (lo, hi) in got.items():
+        assert lo <= true[item] <= hi, (item, lo, true[item], hi)
+    for item, c in true.items():
+        if c > n / cap:
+            assert item in got, (item, c)
