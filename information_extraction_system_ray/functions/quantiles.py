@@ -54,3 +54,30 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
         idx = int(np.searchsorted(cum, rank, side="left"))
         out.append({"q": q, "value": values[idx]})
     return pd.DataFrame(out)
+
+
+def exact_quantiles_cont(ds: ray.data.Dataset, col: str,
+                         qs: list[float]) -> pd.DataFrame:
+    """DataFrame(q, value): linearly interpolated quantiles — DuckDB
+    ``quantile_cont`` / numpy 'linear' semantics: position ``h = q*(n-1)``
+    over the sorted multiset, ``v[⌊h⌋] + (h-⌊h⌋)·(v[⌈h⌉]-v[⌊h⌋])``. Same
+    histogram plan as :func:`exact_quantiles`; only the driver-side
+    selection differs."""
+    hist = (value_histogram(ds, col).sort("value")
+            .to_pandas())
+    counts = hist["n"].to_numpy()
+    values = hist["value"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append({"q": q, "value": None})
+            continue
+        h = q * (n - 1)
+        i0, i1 = math.floor(h), math.ceil(h)
+        v0 = values[int(np.searchsorted(cum, i0 + 1, side="left"))]
+        v1 = values[int(np.searchsorted(cum, i1 + 1, side="left"))]
+        out.append({"q": q, "value": float(v0) + (h - i0)
+                    * (float(v1) - float(v0))})
+    return pd.DataFrame(out)

@@ -208,3 +208,75 @@ def heavy_hitters(ds: ray.data.Dataset, value: str, *, k: int = 10,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("g").map_groups(merge_level, batch_format="pandas")
             .groupby("g").map_groups(finalize, batch_format="pandas"))
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (mergeable weighted-sample summary, MRL-style)
+# ---------------------------------------------------------------------------
+
+
+def _wq_compress(values: np.ndarray, weights: np.ndarray,
+                 k: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Collapse a weighted multiset to ≤k points at evenly spaced weighted
+    ranks (Manku-Rajagopalan-Lindsay collapse, public). Deterministic; each
+    collapse adds ≤ W/(2k) rank error."""
+    order = np.argsort(values, kind="mergesort")
+    values, weights = values[order], weights[order]
+    w_total = float(weights.sum())
+    if len(values) <= k:
+        return values, weights
+    cum = np.cumsum(weights) - weights / 2.0  # midpoint ranks
+    targets = (np.arange(k) + 0.5) * w_total / k
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(values) - 1)
+    out_w = np.full(k, w_total / k)
+    return values[idx], out_w
+
+
+def approx_quantiles(ds: ray.data.Dataset, col: str, qs: "list[float]", *,
+                     k: int = 1024) -> pd.DataFrame:
+    """DataFrame(q, value) — approximate quantiles of an UNBOUNDED-domain
+    numeric column (complement of quantiles.exact_quantiles, which needs
+    bounded distinct values). Rank error ≤ ~2N/k over the two collapse
+    levels (property-tested).
+
+    Scale: each batch contributes ≤k weighted points; a fan-in merge tree
+    (``_SS_MERGE_FAN`` groups) collapses level-1, the driver collapses the
+    ≤ FAN×k final points — raw values never shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64()),
+                             "weight": pa.array([], pa.float64())})
+        cv, cw = _wq_compress(v, np.ones(v.size), k)
+        g = int(hashlib.blake2b(cv.tobytes(),
+                                digest_size=4).hexdigest(), 16) \
+            % _SS_MERGE_FAN
+        return pa.table({"g": pa.array([g] * len(cv), pa.int64()),
+                         "value": pa.array(cv, pa.float64()),
+                         "weight": pa.array(cw, pa.float64())})
+
+    def merge_level(grp: pd.DataFrame) -> pa.Table:
+        cv, cw = _wq_compress(grp["value"].to_numpy(),
+                              grp["weight"].to_numpy(), k)
+        return pa.table({"value": pa.array(cv, pa.float64()),
+                         "weight": pa.array(cw, pa.float64())})
+
+    pts = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("g").map_groups(merge_level, batch_format="pandas")
+           .to_pandas())                      # ≤ FAN×k rows on the driver
+    values = pts["value"].to_numpy()
+    weights = pts["weight"].to_numpy()
+    order = np.argsort(values, kind="mergesort")
+    values, weights = values[order], weights[order]
+    if len(values) == 0:
+        return pd.DataFrame([{"q": q, "value": None} for q in qs])
+    cum = np.cumsum(weights)
+    w_total = cum[-1]
+    out = []
+    for q in qs:
+        i = int(np.searchsorted(cum, q * w_total, side="left"))
+        out.append({"q": q, "value": float(values[min(i, len(values) - 1)])})
+    return pd.DataFrame(out)

@@ -1604,6 +1604,89 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def docs_jsonl_roundtrip(sf_dir: str):
+    """NDJSON source/sink (SURVEY §2.1 source breadth): documents →
+    ``write_json`` (one shard per block under /tmp) → ``read_json`` →
+    aggregate. The oracle runs on the ORIGINAL parquet view, so the
+    count+checksum equality proves the round-trip lossless."""
+    import os
+    import shutil
+
+    out_dir = f"/tmp/ies_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    read_table(sf_dir, "documents",
+               columns=["doc_id", "lang"]).write_json(out_dir)
+    back = ray.data.read_json(out_dir)
+    return (back.groupby("lang")
+            .aggregate(Count(alias_name="n"),
+                       Sum("doc_id", alias_name="sum_doc_id"))
+            .sort("lang"))
+
+
+_DOCS_JSONL_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def customer_csv_roundtrip(sf_dir: str):
+    """CSV source/sink: integer/string columns only (floats don't survive
+    text round-trips bit-exact — documented contract), aggregate checked
+    against the original parquet."""
+    import os
+    import shutil
+
+    out_dir = f"/tmp/ies_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    read_table(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey",
+                        "c_mktsegment"]).write_csv(out_dir)
+    back = ray.data.read_csv(out_dir)
+    return (back.groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n"),
+                       Sum("c_custkey", alias_name="sum_custkey"),
+                       Sum("c_nationkey", alias_name="sum_nationkey"))
+            .sort("c_mktsegment"))
+
+
+_CUSTOMER_CSV_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+       CAST(SUM(c_nationkey) AS BIGINT) AS sum_nationkey
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def events_value_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont) exact quantiles; values reported ×4 so
+    the quarter-fraction interpolation at q∈{.25,.5,.75} stays integer —
+    no float crosses the oracle hash."""
+    from .functions.quantiles import exact_quantiles_cont
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"cents": pc.cast(
+            pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())}),
+        batch_format="pyarrow")
+    df = exact_quantiles_cont(cents, "cents", [0.25, 0.5, 0.75])
+    df["cents_x4"] = (df["value"] * 4).round().astype("int64")
+    return df[["q", "cents_x4"]]
+
+
+_EVENTS_QUANTILES_CONT_SQL = """
+WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT 0.25 AS q,
+       CAST(ROUND(quantile_cont(cents, 0.25) * 4) AS BIGINT) AS cents_x4
+FROM c
+UNION ALL SELECT 0.5,
+       CAST(ROUND(quantile_cont(cents, 0.5) * 4) AS BIGINT) FROM c
+UNION ALL SELECT 0.75,
+       CAST(ROUND(quantile_cont(cents, 0.75) * 4) AS BIGINT) FROM c
+ORDER BY q
+"""
+
+
 def events_user_heavy_hitters(sf_dir: str):
     """SpaceSaving heavy hitters (functions/sketches.py) over event
     user_ids — run in the EXACT regime (capacity ≥ distinct users at test
@@ -1733,6 +1816,9 @@ def queries():
         "events_user_gap": events_user_gap,
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
+        "events_value_quantiles_cont": events_value_quantiles_cont,
+        "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+        "customer_csv_roundtrip": customer_csv_roundtrip,
         "events_user_heavy_hitters": events_user_heavy_hitters,
         "nation_cust_segments": nation_cust_segments,
         "orders_global_rank": orders_global_rank,
@@ -1803,6 +1889,9 @@ def oracle_sql():
         "events_user_gap": _EVENTS_GAP_SQL,
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
+        "events_value_quantiles_cont": _EVENTS_QUANTILES_CONT_SQL,
+        "docs_jsonl_roundtrip": _DOCS_JSONL_SQL,
+        "customer_csv_roundtrip": _CUSTOMER_CSV_SQL,
         "events_user_heavy_hitters": _EVENTS_HH_SQL,
         "nation_cust_segments": _NATION_SEGMENTS_SQL,
         "orders_global_rank": _ORDERS_RANK_SQL,

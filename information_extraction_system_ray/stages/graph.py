@@ -80,7 +80,7 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     merge-on-cluster-id == partial-on-cluster-id then merge."""
     cmap_ref = cluster_ref
     ds_mode = isinstance(cluster_ref, ray.data.Dataset)
-    merge_parts = default_parts()
+    merge_parts = default_parts(per_cpu=0.5)
 
     def partial(batch: pa.Table) -> pa.Table:
         flat = explode_list_struct(batch, "mentions", [])
@@ -176,7 +176,7 @@ def build_edges(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
     partials with TWO co-partitioned passes (subj then obj)."""
     cmap_ref = cluster_ref
     ds_mode = isinstance(cluster_ref, ray.data.Dataset)
-    merge_parts = default_parts()
+    merge_parts = default_parts(per_cpu=0.5)
 
     def partial(batch: pa.Table) -> pa.Table:
         flat = explode_list_struct(batch, "triples", ["url"])

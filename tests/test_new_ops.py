@@ -245,3 +245,32 @@ def test_heavy_hitters_bounds_and_exact(ray_session):
     for item, c in true.items():
         if c > n / cap:
             assert item in got, (item, c)
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    """MRL sketch: every reported quantile's TRUE rank is within ~2N/k of
+    the target rank; exact regime (k >= N) returns exact quantiles."""
+    import numpy as np
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.sketches import \
+        approx_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([rng.normal(0, 1, 30000),
+                           rng.exponential(5, 20000)])  # skewed mix
+    n = len(vals)
+    ds = rd.from_items([{"v": float(x)} for x in vals]).repartition(16)
+
+    k = 512
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = approx_quantiles(ds, "v", qs, k=k)
+    svals = np.sort(vals)
+    for _, r in got.iterrows():
+        true_rank = np.searchsorted(svals, r["value"], side="left")
+        assert abs(true_rank - r["q"] * n) <= 2.5 * n / k + 2, \
+            (r["q"], true_rank, r["q"] * n)
+
+    small = rd.from_items([{"v": float(x)} for x in range(100)])
+    exact = approx_quantiles(small, "v", [0.5], k=4096)
+    assert abs(exact["value"].iloc[0] - 50) <= 1
