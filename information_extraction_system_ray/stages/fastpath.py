@@ -94,9 +94,29 @@ class BatchLinker(Linker):
 
         n_tok = len(tokens)
         results: list = [None] * len(spans)
-        rows, idxs, sgns = [], [], []
         need: list[tuple[int, list]] = []     # (span index, candidates)
         cache = self._wcache
+
+        # (idx, sgn) once per TOKEN — a token participates in several
+        # overlapping span contexts; the per-span work below is then pure
+        # numpy slicing. The (row, idx, sgn) sequence fed to np.add.at is
+        # byte-identical to the old per-word loop (same order: lo..ts then
+        # te..hi per span, spans in order), so vectors stay bit-exact.
+        tok_idx = np.empty(n_tok, dtype=np.int64)
+        tok_sgn = np.empty(n_tok, dtype=np.float32)
+        for i, w in enumerate(tokens):
+            lw = w.lower()
+            e = cache.get(lw)
+            if e is None:
+                import zlib
+                e = (zlib.crc32(b"emb=" + lw.encode()) % EMB_DIM,
+                     1.0 if zlib.crc32(b"sgn=" + lw.encode()) & 1
+                     else -1.0)
+                cache[lw] = e
+            tok_idx[i] = e[0]
+            tok_sgn[i] = e[1]
+
+        rows_l, idxs_l, sgns_l = [], [], []
         for si, (ts, te, cs, ce, _ty) in enumerate(spans):
             surface = text[cs:ce]
             cands = self.alias.get(surface)
@@ -107,24 +127,19 @@ class BatchLinker(Linker):
             need.append((si, cands))
             lo = max(0, ts - CTX_WINDOW)
             hi = min(n_tok, te + CTX_WINDOW)
-            for w in tokens[lo:ts] + tokens[te:hi]:
-                lw = w.lower()
-                e = cache.get(lw)
-                if e is None:
-                    import zlib
-                    e = (zlib.crc32(b"emb=" + lw.encode()) % EMB_DIM,
-                         1.0 if zlib.crc32(b"sgn=" + lw.encode()) & 1
-                         else -1.0)
-                    cache[lw] = e
-                rows.append(row)
-                idxs.append(e[0])
-                sgns.append(e[1])
+            n_ctx = (ts - lo) + (hi - te)
+            if n_ctx:
+                rows_l.append(np.full(n_ctx, row, dtype=np.int64))
+                idxs_l.append(tok_idx[lo:ts])
+                idxs_l.append(tok_idx[te:hi])
+                sgns_l.append(tok_sgn[lo:ts])
+                sgns_l.append(tok_sgn[te:hi])
         if not need:
             return results
         M = np.zeros((len(need), EMB_DIM), dtype=np.float32)
-        if rows:
-            np.add.at(M, (np.array(rows), np.array(idxs)),
-                      np.array(sgns, dtype=np.float32))
+        if rows_l:
+            np.add.at(M, (np.concatenate(rows_l), np.concatenate(idxs_l)),
+                      np.concatenate(sgns_l))
         for row, (si, cands) in enumerate(need):
             v = M[row]
             nrm = float(np.sqrt(np.dot(v, v)))
