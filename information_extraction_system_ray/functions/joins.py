@@ -123,3 +123,40 @@ def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
     return semi_join(left, right, left_key=left_key, right_key=right_key,
                      anti=True, num_partitions=num_partitions,
                      bloom_bits=bloom_bits)
+
+
+def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              left_key: str, right_key: str,
+              right_cols: "list[str] | None" = None,
+              broadcast_limit: int = 2_000_000,
+              num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Inner equi-join with a physical-plan CHOOSER: if the build side has
+    ≤ ``broadcast_limit`` rows it is collected once, ``ray.put`` once, and
+    probed per batch with a vectorized pandas merge (no shuffle at all —
+    the map-side join every engine prefers for dimension tables, 1:N
+    duplicate build keys included); otherwise it falls back to Ray Data's
+    hash shuffle join. Both paths return identical rows (tested), so the
+    chooser is purely physical.
+
+    The broadcast path costs O(build rows) driver+object-store memory —
+    ``broadcast_limit`` is the explicit scale contract; count() on parquet
+    reads metadata only."""
+    import ray as _ray
+
+    cols = right_cols if right_cols is not None \
+        else [c for c in right.schema().names if c != right_key]
+    small = right.count() <= broadcast_limit
+    if small:
+        build = right.select_columns([right_key] + cols).to_pandas()
+        build_ref = _ray.put(build)
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            b = _ray.get(build_ref)
+            return df.merge(b, how="inner", left_on=left_key,
+                            right_on=right_key)
+
+        return left.map_batches(probe, batch_format="pandas")
+    return left.join(right.select_columns([right_key] + cols),
+                     join_type="inner", num_partitions=num_partitions
+                     or default_parts(), on=(left_key,),
+                     right_on=(right_key,))

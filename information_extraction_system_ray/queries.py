@@ -1604,6 +1604,52 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def events_user_twohop(sf_dir: str):
+    """Two-hop path counts (functions/graphops.py) over the bipartite
+    user→event_type graph: Σ_{type ∈ types(user)} (#users of that type) —
+    an edges⋈edges query computed as a degree aggregate attached back by
+    co-partitioned union, never as a pair explosion."""
+    from .functions.graphops import two_hop_counts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pc.binary_join_element_wise(
+            "u:", pc.cast(t["user_id"], pa.string()), "")
+        ty = pc.binary_join_element_wise("t:", t["event_type"], "")
+        return pa.table({
+            "src": pa.concat_arrays([u.combine_chunks(),
+                                     ty.combine_chunks()]),
+            "dst": pa.concat_arrays([ty.combine_chunks(),
+                                     u.combine_chunks()]),
+        })
+
+    edges = (ds.groupby(["user_id", "event_type"])
+             .aggregate(Count(alias_name="_n"))
+             .map_batches(both_dirs, batch_format="pyarrow"))
+    out = two_hop_counts(edges, src="src", dst="dst")
+
+    def users_only(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t["src"], "u:")
+        t = t.filter(m)
+        return pa.table({
+            "user_id": pc.cast(pc.utf8_slice_codeunits(
+                t["src"], 2, 32767), pa.int64()),
+            "n_two_hop": t["n_two_hop"],
+        })
+
+    return (out.map_batches(users_only, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+_EVENTS_TWOHOP_SQL = """
+WITH e AS (SELECT DISTINCT user_id AS src, event_type AS mid FROM events),
+ d AS (SELECT mid, COUNT(*) AS deg FROM e GROUP BY mid)
+SELECT src AS user_id, CAST(SUM(deg) AS BIGINT) AS n_two_hop
+FROM e JOIN d USING (mid) GROUP BY src ORDER BY user_id
+"""
+
+
 def docs_jsonl_roundtrip(sf_dir: str):
     """NDJSON source/sink (SURVEY §2.1 source breadth): documents →
     ``write_json`` (one shard per block under /tmp) → ``read_json`` →
@@ -1817,6 +1863,7 @@ def queries():
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
         "events_value_quantiles_cont": events_value_quantiles_cont,
+        "events_user_twohop": events_user_twohop,
         "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
         "customer_csv_roundtrip": customer_csv_roundtrip,
         "events_user_heavy_hitters": events_user_heavy_hitters,
@@ -1890,6 +1937,7 @@ def oracle_sql():
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
         "events_value_quantiles_cont": _EVENTS_QUANTILES_CONT_SQL,
+        "events_user_twohop": _EVENTS_TWOHOP_SQL,
         "docs_jsonl_roundtrip": _DOCS_JSONL_SQL,
         "customer_csv_roundtrip": _CUSTOMER_CSV_SQL,
         "events_user_heavy_hitters": _EVENTS_HH_SQL,

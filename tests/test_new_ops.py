@@ -274,3 +274,31 @@ def test_approx_quantiles_rank_error(ray_session):
     small = rd.from_items([{"v": float(x)} for x in range(100)])
     exact = approx_quantiles(small, "v", [0.5], k=4096)
     assert abs(exact["value"].iloc[0] - 50) <= 1
+
+
+def test_auto_join_paths_agree(ray_session):
+    """Broadcast and shuffle paths of auto_join return identical rows,
+    including 1:N duplicate build keys and dropped non-matches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.joins import auto_join
+
+    left = rd.from_arrow(pa.table({
+        "lk": pa.array([1, 2, 2, 3, 5], pa.int64()),
+        "lv": pa.array(list("abcde"), pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 3, 4], pa.int64()),
+        "rv": pa.array(list("wxyz"), pa.string())}))
+
+    def run(limit):
+        out = auto_join(left, right, left_key="lk", right_key="rk",
+                        broadcast_limit=limit).to_pandas()
+        return out.sort_values(["lk", "lv", "rv"]).reset_index(drop=True)[
+            ["lk", "lv", "rv"]]
+
+    bcast, shuf = run(10), run(0)
+    assert bcast.equals(shuf), (bcast, shuf)
+    # 2 left rows x 2 right dups + one 1:1 match = 5 rows
+    assert len(bcast) == 5
+    assert set(bcast["lk"]) == {2, 3}
