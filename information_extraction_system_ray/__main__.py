@@ -101,6 +101,51 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered queries() pipeline over an sf dir; print a head
+    sample or write the full result (parquet/csv by extension)."""
+    from .queries import queries
+
+    q = queries()
+    if args.name not in q:
+        print("unknown query; available:", file=sys.stderr)
+        for k in sorted(q):
+            print(" ", k, file=sys.stderr)
+        return 2
+    ray = _ray_session(args.num_cpus)
+    import pandas as pd
+    import ray.data as rd
+
+    t0 = time.time()
+    res = q[args.name](args.sf_dir)
+    if args.out:
+        if isinstance(res, rd.Dataset):
+            if args.out.endswith(".csv"):
+                res.write_csv(args.out)
+            else:
+                res.write_parquet(args.out)
+            n = res.count()
+        else:
+            df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+            if args.out.endswith(".csv"):
+                df.to_csv(args.out, index=False)
+            else:
+                df.to_parquet(args.out, index=False)
+            n = len(df)
+        print(json.dumps({"cmd": "query", "name": args.name, "rows": n,
+                          "out": args.out,
+                          "wall_s": round(time.time() - t0, 2)}))
+    else:
+        df = res.to_pandas() if isinstance(res, rd.Dataset) else (
+            res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        print(df.head(args.head).to_string(index=False))
+        print(json.dumps({"cmd": "query", "name": args.name,
+                          "rows": len(df),
+                          "wall_s": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     ray = _ray_session(args.num_cpus)
     if args.kfold:
@@ -174,6 +219,14 @@ def main(argv=None) -> int:
                         "container) or 'real'")
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_ingest)
+
+    r = sub.add_parser("query", help="run a registered query pipeline")
+    r.add_argument("name", help="query name from the registry")
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    r.add_argument("--out", help="write result (.parquet dir / .csv)")
+    r.add_argument("--head", type=int, default=20)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("evaluate",
                        help="per-label P/R/F1 of the tagger vs gold")
