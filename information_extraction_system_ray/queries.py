@@ -1604,6 +1604,60 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def _orders_year_pairs(sf_dir: str, year: int):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_orderdate"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.year(t["o_orderdate"]), year))
+        .select(["o_orderstatus", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+
+def orders_pairs_intersect(sf_dir: str):
+    """SQL INTERSECT (functions/setops.py): (status, priority) pairs seen
+    in both 1995 and 1996 — per-batch distinct combiner, one row-keyed
+    shuffle, per-partition membership merge."""
+    from .functions.setops import intersect_distinct
+
+    out = intersect_distinct(_orders_year_pairs(sf_dir, 1995),
+                             _orders_year_pairs(sf_dir, 1996))
+    return out.sort(["o_orderstatus", "o_orderpriority"])
+
+
+_ORDERS_INTERSECT_SQL = """
+SELECT o_orderstatus, o_orderpriority FROM orders
+WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_orderstatus, o_orderpriority FROM orders
+WHERE year(o_orderdate) = 1996
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def orders_pairs_except(sf_dir: str):
+    """SQL EXCEPT: priorities minus the urgent tier — exercises both the
+    drop path (shared values) and the keep path (left-only values) with a
+    deterministic non-empty result at every sf."""
+    from .functions.setops import except_distinct
+
+    left = read_table(sf_dir, "orders", columns=["o_orderpriority"])
+    right = left.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(
+            t["o_orderpriority"], r"^[12]-")),
+        batch_format="pyarrow")
+    out = except_distinct(left, right)
+    return out.sort("o_orderpriority")
+
+
+_ORDERS_EXCEPT_SQL = """
+SELECT o_orderpriority FROM orders
+EXCEPT
+SELECT o_orderpriority FROM orders WHERE o_orderpriority SIMILAR TO '[12]-.*'
+ORDER BY o_orderpriority
+"""
+
+
 def events_user_twohop(sf_dir: str):
     """Two-hop path counts (functions/graphops.py) over the bipartite
     user→event_type graph: Σ_{type ∈ types(user)} (#users of that type) —
@@ -1863,6 +1917,8 @@ def queries():
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
         "events_value_quantiles_cont": events_value_quantiles_cont,
+        "orders_pairs_intersect": orders_pairs_intersect,
+        "orders_pairs_except": orders_pairs_except,
         "events_user_twohop": events_user_twohop,
         "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
         "customer_csv_roundtrip": customer_csv_roundtrip,
@@ -1937,6 +1993,8 @@ def oracle_sql():
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
         "events_value_quantiles_cont": _EVENTS_QUANTILES_CONT_SQL,
+        "orders_pairs_intersect": _ORDERS_INTERSECT_SQL,
+        "orders_pairs_except": _ORDERS_EXCEPT_SQL,
         "events_user_twohop": _EVENTS_TWOHOP_SQL,
         "docs_jsonl_roundtrip": _DOCS_JSONL_SQL,
         "customer_csv_roundtrip": _CUSTOMER_CSV_SQL,

@@ -302,3 +302,26 @@ def test_auto_join_paths_agree(ray_session):
     # 2 left rows x 2 right dups + one 1:1 match = 5 rows
     assert len(bcast) == 5
     assert set(bcast["lk"]) == {2, 3}
+
+
+def test_setops_vs_python_sets(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.setops import (
+        except_distinct, intersect_distinct)
+
+    la = [("a", 1), ("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    rb = [("b", 2), ("c", 3), ("c", 3), ("e", 5)]
+
+    def mk(rows):
+        return rd.from_arrow(pa.table({
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64())}))
+
+    inter = intersect_distinct(mk(la), mk(rb)).to_pandas()
+    exc = except_distinct(mk(la), mk(rb)).to_pandas()
+    assert set(zip(inter["k"], inter["v"])) == set(la) & set(rb)
+    assert len(inter) == len(set(la) & set(rb))      # distinct, no dups
+    assert set(zip(exc["k"], exc["v"])) == set(la) - set(rb)
+    assert len(exc) == len(set(la) - set(rb))
