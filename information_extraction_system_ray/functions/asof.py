@@ -30,10 +30,19 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
                        left_by: str, right_by: str,
                        left_ts: str, right_ts: str,
                        out_col: str = "matched_ts",
-                       num_partitions: "int | None" = None
-               ) -> ray.data.Dataset:
-    """Inner backward as-of join; returns the LEFT columns + ``out_col``
-    (matched right timestamp). Unmatched left rows are dropped."""
+                       num_partitions: "int | None" = None,
+                       direction: str = "backward",
+                       tolerance: "pd.Timedelta | None" = None,
+                       allow_exact_matches: bool = True
+                       ) -> ray.data.Dataset:
+    """Inner as-of join; returns the LEFT columns + ``out_col`` (matched
+    right timestamp). Unmatched left rows are dropped.
+
+    ``direction`` 'backward' (greatest right ts ≤ left ts, default, ==
+    DuckDB ASOF JOIN) or 'forward' (smallest right ts ≥ left ts);
+    ``tolerance`` bounds the match distance; ``allow_exact_matches=False``
+    makes the comparison strict — pandas ``merge_asof`` semantics, which
+    is the per-partition kernel."""
     num_partitions = num_partitions or default_parts()
     lschema = left.schema()
     left_cols = list(lschema.names)
@@ -89,7 +98,8 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
                .sort_values(out_col, kind="mergesort"))
         m = pd.merge_asof(ldf, rdf, left_on=left_ts, right_on=out_col,
                           left_by=left_by, right_by=right_by,
-                          direction="backward")
+                          direction=direction, tolerance=tolerance,
+                          allow_exact_matches=allow_exact_matches)
         m = m.dropna(subset=[out_col])           # inner semantics
         m = m[left_cols + [out_col]]
         return (pa.Table.from_pandas(m, schema=out_schema,

@@ -1604,6 +1604,86 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def events_cube(sf_dir: str):
+    """CUBE aggregate over (event_type, 6-hour quarter): all four grouping
+    sets derived from ONE shuffled base aggregate — the rollups re-reduce
+    the (a,b) AGGREGATE, never the raw stream (base cardinality =
+    |types|×4, bounded at any scale)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "q": pc.cast(pc.floor(pc.divide(
+                pc.cast(pc.hour(t["ts"]), pa.float64()), 6.0)), pa.int64()),
+        })
+
+    base = (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["event_type", "q"])
+            .aggregate(Count(alias_name="n")).materialize())
+
+    def with_null(t: pa.Table, null_col: str) -> pa.Table:
+        cols = {}
+        for name, ty in (("event_type", pa.string()), ("q", pa.int64())):
+            cols[name] = pa.nulls(len(t), ty) if name == null_col \
+                else pc.cast(t[name], ty)
+        cols["n"] = pc.cast(t["n"], pa.int64())
+        return pa.table(cols)
+
+    by_type = base.groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda t: with_null(t, "q"), batch_format="pyarrow")
+    by_q = base.groupby("q") \
+        .aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda t: with_null(t, "event_type"),
+                     batch_format="pyarrow")
+    total = pa.table({"event_type": pa.array([None], pa.string()),
+                      "q": pa.array([None], pa.int64()),
+                      "n": pa.array([int(base.sum("n") or 0)], pa.int64())})
+    return (base.map_batches(lambda t: with_null(t, ""),
+                             batch_format="pyarrow")
+            .union(by_type, by_q, ray.data.from_arrow(total)))
+
+
+_EVENTS_CUBE_SQL = """
+SELECT event_type, q, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type, EXTRACT(hour FROM ts) // 6 AS q FROM events) t
+GROUP BY CUBE (event_type, q)
+"""
+
+
+def orders_next_order(sf_dir: str):
+    """FORWARD as-of join with tolerance + strict inequality
+    (functions/asof.py direction/tolerance/allow_exact knobs): each
+    order's NEXT same-customer order date within 90 days; inner semantics
+    drop last orders."""
+    from .functions.asof import asof_join_backward
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    right = read_table(sf_dir, "orders",
+                       columns=["o_custkey", "o_orderdate"]) \
+        .rename_columns({"o_custkey": "p_custkey",
+                         "o_orderdate": "p_orderdate"})
+    out = asof_join_backward(
+        orders, right, left_by="o_custkey", right_by="p_custkey",
+        left_ts="o_orderdate", right_ts="p_orderdate",
+        out_col="next_order", direction="forward",
+        tolerance=pd.Timedelta(days=90), allow_exact_matches=False)
+    return out.select_columns(["o_orderkey", "next_order"]) \
+        .sort("o_orderkey")
+
+
+_ORDERS_NEXT_SQL = """
+SELECT o.o_orderkey, MIN(p.o_orderdate) AS next_order
+FROM orders o JOIN orders p
+  ON p.o_custkey = o.o_custkey
+ AND p.o_orderdate > o.o_orderdate
+ AND p.o_orderdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+"""
+
+
 def _orders_year_pairs(sf_dir: str, year: int):
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderstatus", "o_orderpriority",
@@ -1917,6 +1997,8 @@ def queries():
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
         "events_value_quantiles_cont": events_value_quantiles_cont,
+        "events_cube": events_cube,
+        "orders_next_order": orders_next_order,
         "orders_pairs_intersect": orders_pairs_intersect,
         "orders_pairs_except": orders_pairs_except,
         "events_user_twohop": events_user_twohop,
@@ -1993,6 +2075,8 @@ def oracle_sql():
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
         "events_value_quantiles_cont": _EVENTS_QUANTILES_CONT_SQL,
+        "events_cube": _EVENTS_CUBE_SQL,
+        "orders_next_order": _ORDERS_NEXT_SQL,
         "orders_pairs_intersect": _ORDERS_INTERSECT_SQL,
         "orders_pairs_except": _ORDERS_EXCEPT_SQL,
         "events_user_twohop": _EVENTS_TWOHOP_SQL,
