@@ -189,3 +189,40 @@ def running_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(accumulate, batch_format="pandas"))
+
+
+def rolling_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
+                order_by: list[str], window: int,
+                out_col: str = "rolling",
+                num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-key SLIDING-window sum of the last ``window`` rows (current row
+    inclusive) in ``order_by`` order — SQL ``SUM(v) OVER (PARTITION BY keys
+    ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``. Use an
+    integer value column for cross-engine bit-exactness."""
+    num_partitions = num_partitions or default_parts()
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, schema.field(value_col).type)])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def roll(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(order_by, kind="mergesort")
+        # windowed sum as cumsum(i) - cumsum(i-window): stays in the value
+        # column's own dtype — pandas .rolling() accumulates in float64
+        # with a sliding add/subtract that drifts by ±1 ulp on long
+        # integer streams
+        gkeys = [part[k] for k in keys]
+        cum = part.groupby(gkeys, sort=False)[value_col].cumsum()
+        prev = cum.groupby(gkeys, sort=False).shift(window)
+        part[out_col] = cum - prev.fillna(0).astype(part[value_col].dtype)
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(roll, batch_format="pandas"))

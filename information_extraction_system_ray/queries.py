@@ -1604,6 +1604,89 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def events_user_rolling3(sf_dir: str):
+    """Sliding-window aggregate (window.rolling_sum): per user, the sum of
+    the last 3 events' integer cents in time order — SQL ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW."""
+    from .functions.window import rolling_sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    out = rolling_sum(cents, "cents", keys=["user_id"],
+                      order_by=["ts", "event_id"], window=3,
+                      out_col="roll3")
+    return (out.select_columns(["user_id", "event_id", "roll3"])
+            .sort(["user_id", "event_id"]))
+
+
+_EVENTS_ROLLING_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll3
+FROM events ORDER BY user_id, event_id
+"""
+
+
+def orders_upsert(sf_dir: str):
+    """Upsert / latest-wins CDC compaction (functions/upsert.py): a
+    deterministic synthetic correction stream (every 10th order, +1 day
+    version, +100 cents) merged over the base snapshot — updates win; the
+    oracle replays the same merge with ROW_NUMBER."""
+    from .functions.upsert import upsert
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_cents": _cents(t["o_totalprice"]),
+            "version": t["o_orderdate"].cast(pa.int64()),
+        })
+
+    base = read_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_totalprice",
+                               "o_orderdate"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    day_us = 86_400_000_000
+
+    def make_updates(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keys % 10 == 0))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_cents": pc.add(t["price_cents"], 100),
+            "version": pc.add(t["version"], day_us),
+        })
+
+    updates = base.map_batches(make_updates, batch_format="pyarrow")
+    out = upsert(base, updates, key_cols=["o_orderkey"],
+                 version_col="version")
+    return out.sort("o_orderkey")
+
+
+_ORDERS_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         epoch_us(o_orderdate) AS version, 0 AS side
+  FROM orders),
+ upd AS (
+  SELECT o_orderkey, price_cents + 100, version + 86400000000, 1
+  FROM base WHERE o_orderkey % 10 = 0),
+ u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                    ORDER BY version DESC, side DESC) AS rn
+       FROM u)
+SELECT o_orderkey, price_cents, CAST(version AS BIGINT) AS version
+FROM r WHERE rn = 1 ORDER BY o_orderkey
+"""
+
+
 def events_cube(sf_dir: str):
     """CUBE aggregate over (event_type, 6-hour quarter): all four grouping
     sets derived from ONE shuffled base aggregate — the rollups re-reduce
@@ -1997,6 +2080,8 @@ def queries():
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
         "events_value_quantiles_cont": events_value_quantiles_cont,
+        "events_user_rolling3": events_user_rolling3,
+        "orders_upsert": orders_upsert,
         "events_cube": events_cube,
         "orders_next_order": orders_next_order,
         "orders_pairs_intersect": orders_pairs_intersect,
@@ -2075,6 +2160,8 @@ def oracle_sql():
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
         "events_value_quantiles_cont": _EVENTS_QUANTILES_CONT_SQL,
+        "events_user_rolling3": _EVENTS_ROLLING_SQL,
+        "orders_upsert": _ORDERS_UPSERT_SQL,
         "events_cube": _EVENTS_CUBE_SQL,
         "orders_next_order": _ORDERS_NEXT_SQL,
         "orders_pairs_intersect": _ORDERS_INTERSECT_SQL,
