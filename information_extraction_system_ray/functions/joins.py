@@ -160,3 +160,25 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      join_type="inner", num_partitions=num_partitions
                      or default_parts(), on=(left_key,),
                      right_on=(right_key,))
+
+
+def cross_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+               broadcast_limit: int = 100_000) -> ray.data.Dataset:
+    """Cartesian product — the small side is collected once (guarded by
+    ``broadcast_limit``: output is |left|×|right|, only ever sane when one
+    side is a tiny dimension) and crossed per batch with a vectorized
+    pandas merge. No shuffle."""
+    import ray as _ray
+
+    n = right.count()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"cross_join right side has {n} rows > limit {broadcast_limit};"
+            " a big-big cartesian is never the right plan")
+    build = right.to_pandas()
+    build_ref = _ray.put(build)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(_ray.get(build_ref), how="cross")
+
+    return left.map_batches(probe, batch_format="pandas")

@@ -226,3 +226,47 @@ def rolling_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(roll, batch_format="pandas"))
+
+
+def dense_rank(ds: ray.data.Dataset, *, keys: list[str],
+               order_by: list[str], descending: "bool | list[bool]" = False,
+               out_col: str = "dr",
+               num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-key SQL ``DENSE_RANK() OVER (PARTITION BY keys ORDER BY ...)``:
+    equal ``order_by`` tuples share a rank, the next distinct tuple gets
+    rank+1. Value-deterministic (no tie-break column needed)."""
+    num_partitions = num_partitions or default_parts()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    ascending = [not d for d in descending]
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.int64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def rank(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(keys + order_by,
+                                ascending=[True] * len(keys) + ascending,
+                                kind="mergesort").reset_index(drop=True)
+        changed = pd.Series(False, index=part.index)
+        for c in order_by:
+            changed |= part[c].ne(part[c].shift(1))
+        gkeys = [part[k] for k in keys]
+        new_group = pd.Series(False, index=part.index)
+        for k in keys:
+            new_group |= part[k].ne(part[k].shift(1))
+        changed |= new_group
+        part[out_col] = changed.astype("int64") \
+            .groupby(gkeys, sort=False).cumsum()
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(rank, batch_format="pandas"))

@@ -1604,6 +1604,42 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def orders_priority_dense_rank(sf_dir: str):
+    """DENSE_RANK per customer over order priority (heavy ties — rank is
+    value-deterministic, no tie-break column needed)."""
+    from .functions.window import dense_rank
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    out = dense_rank(ds, keys=["o_custkey"], order_by=["o_orderpriority"],
+                     out_col="dr")
+    return out.select_columns(["o_orderkey", "dr"]).sort("o_orderkey")
+
+
+_ORDERS_DENSE_RANK_SQL = """
+SELECT o_orderkey,
+       CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderpriority) AS BIGINT) AS dr
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def nation_region_cross(sf_dir: str):
+    """Cross join (tiny×tiny cartesian, broadcast side guarded by an
+    explicit limit — functions/joins.py cross_join)."""
+    from .functions.joins import cross_join
+
+    nation = read_table(sf_dir, "nation", columns=["n_name"])
+    region = read_table(sf_dir, "region", columns=["r_name"])
+    return cross_join(nation, region).sort(["n_name", "r_name"])
+
+
+_NATION_CROSS_SQL = """
+SELECT n_name, r_name FROM nation CROSS JOIN region
+ORDER BY n_name, r_name
+"""
+
+
 def events_user_rolling3(sf_dir: str):
     """Sliding-window aggregate (window.rolling_sum): per user, the sum of
     the last 3 events' integer cents in time order — SQL ROWS BETWEEN 2
@@ -2080,6 +2116,8 @@ def queries():
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
         "events_value_quantiles_cont": events_value_quantiles_cont,
+        "orders_priority_dense_rank": orders_priority_dense_rank,
+        "nation_region_cross": nation_region_cross,
         "events_user_rolling3": events_user_rolling3,
         "orders_upsert": orders_upsert,
         "events_cube": events_cube,
@@ -2160,6 +2198,8 @@ def oracle_sql():
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
         "events_value_quantiles_cont": _EVENTS_QUANTILES_CONT_SQL,
+        "orders_priority_dense_rank": _ORDERS_DENSE_RANK_SQL,
+        "nation_region_cross": _NATION_CROSS_SQL,
         "events_user_rolling3": _EVENTS_ROLLING_SQL,
         "orders_upsert": _ORDERS_UPSERT_SQL,
         "events_cube": _EVENTS_CUBE_SQL,
