@@ -27,7 +27,8 @@ BENCH_QUERIES = [
     "emb_knn_bruteforce",
     # round-2 operators
     "events_sessionize", "events_latest_per_user", "docs_top_terms",
-    "parts_with_lineitems",
+    "parts_with_lineitems", "docs_chunks", "orders_global_rank",
+    "events_user_heavy_hitters",
 ]
 
 

@@ -79,3 +79,77 @@ def test_exact_quantiles_rank_semantics(ray_session, vals):
     sv = np.sort(np.array(vals))
     for q, v in zip(got["q"], got["value"]):
         assert v == sv[max(1, math.ceil(q * len(sv))) - 1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(keys=_keys)
+def test_rolling_sum_matches_pandas(ray_session, keys):
+    """rolling_sum == pandas groupby().rolling() reference, for any input
+    and any partition count (results are partition-invariant)."""
+    from information_extraction_system_ray.functions.window import \
+        rolling_sum
+
+    n = len(keys)
+    df = pd.DataFrame({
+        "k": np.array(keys, dtype=np.int64),
+        "i": np.arange(n, dtype=np.int64),
+        "v": (np.arange(n, dtype=np.int64) * 7919) % 1000,
+    })
+    want = df.sort_values(["k", "i"]).copy()
+    want["roll"] = (want.groupby("k")["v"]
+                    .rolling(3, min_periods=1).sum()
+                    .reset_index(drop=True).to_numpy().astype(np.int64))
+    want = want.sort_values(["k", "i"]).reset_index(drop=True)
+
+    for parts in (1, 7):
+        got = rolling_sum(_rd(df), "v", keys=["k"], order_by=["i"],
+                          window=3, out_col="roll",
+                          num_partitions=parts).to_pandas() \
+            .sort_values(["k", "i"]).reset_index(drop=True)
+        assert list(got["roll"]) == list(want["roll"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(keys=_keys)
+def test_dense_rank_value_law(ray_session, keys):
+    """dense_rank: rank of a row == 1 + #distinct smaller values within
+    its key — for any input, any partitioning."""
+    from information_extraction_system_ray.functions.window import \
+        dense_rank
+
+    n = len(keys)
+    df = pd.DataFrame({
+        "k": np.array(keys, dtype=np.int64),
+        "v": (np.array(keys, dtype=np.int64) * 31 + np.arange(n)) % 4,
+    })
+    got = dense_rank(_rd(df), keys=["k"], order_by=["v"],
+                     out_col="dr", num_partitions=5).to_pandas()
+    for _, r in got.iterrows():
+        smaller = df[(df["k"] == r["k"]) & (df["v"] < r["v"])]["v"].nunique()
+        assert r["dr"] == smaller + 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(keys=_keys)
+def test_upsert_latest_wins(ray_session, keys):
+    from information_extraction_system_ray.functions.upsert import upsert
+
+    n = len(keys)
+    base = pd.DataFrame({
+        "k": np.array(keys, dtype=np.int64),
+        "ver": np.arange(n, dtype=np.int64),
+        "val": np.arange(n, dtype=np.int64) * 10,
+    }).drop_duplicates("k", keep="last")
+    upd = base[base["k"] % 2 == 0].copy()
+    upd["ver"] = upd["ver"] + 5
+    upd["val"] = -1
+
+    got = upsert(_rd(base), _rd(upd), key_cols=["k"],
+                 version_col="ver").to_pandas()
+    assert len(got) == base["k"].nunique()
+    for _, r in got.iterrows():
+        if r["k"] % 2 == 0:
+            assert r["val"] == -1          # update won
+        else:
+            b = base[base["k"] == r["k"]].iloc[0]
+            assert r["val"] == b["val"]
