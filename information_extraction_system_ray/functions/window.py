@@ -270,3 +270,51 @@ def dense_rank(ds: ray.data.Dataset, *, keys: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(rank, batch_format="pandas"))
+
+
+def rolling_sum_time(ds: ray.data.Dataset, value_col: str, *,
+                     keys: list[str], ts_col: str, window,
+                     out_col: str = "rolling",
+                     num_partitions: "int | None" = None
+                     ) -> ray.data.Dataset:
+    """Per-key TIME-RANGE window sum: for each row, the sum of
+    ``value_col`` over the key's rows with ``ts ∈ [row.ts − window,
+    row.ts]`` — SQL ``SUM(v) OVER (PARTITION BY keys ORDER BY ts RANGE
+    BETWEEN <window> PRECEDING AND CURRENT ROW)`` including the peer rule
+    (ALL rows sharing the current ts are in frame). Computed per key as
+    cumsum + two searchsorted — integer columns stay exact."""
+    import numpy as np
+
+    num_partitions = num_partitions or default_parts()
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, schema.field(value_col).type)])
+    win_us = int(window / pd.Timedelta(microseconds=1))
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def roll(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(keys + [ts_col],
+                                kind="mergesort").reset_index(drop=True)
+        out = np.empty(len(part), dtype=np.int64)
+        pos = 0
+        for _, g in part.groupby(keys, sort=False):
+            ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(
+                np.int64)
+            v = g[value_col].to_numpy()
+            cum = np.concatenate([[0], np.cumsum(v)])
+            start = np.searchsorted(ts, ts - win_us, side="left")
+            end = np.searchsorted(ts, ts, side="right")  # peers in frame
+            out[pos:pos + len(g)] = cum[end] - cum[start]
+            pos += len(g)
+        part[out_col] = out.astype(part[value_col].dtype)
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(roll, batch_format="pandas"))

@@ -1604,6 +1604,35 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def events_user_range7d(sf_dir: str):
+    """TIME-RANGE window (window.rolling_sum_time): per user, the cents
+    sum over the trailing 7 days INCLUDING equal-timestamp peers — SQL
+    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW."""
+    from .functions.window import rolling_sum_time
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    out = rolling_sum_time(cents, "cents", keys=["user_id"], ts_col="ts",
+                           window=pd.Timedelta(days=7), out_col="range7")
+    return (out.select_columns(["user_id", "event_id", "range7"])
+            .sort(["user_id", "event_id"]))
+
+
+_EVENTS_RANGE7_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS range7
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def orders_priority_dense_rank(sf_dir: str):
     """DENSE_RANK per customer over order priority (heavy ties — rank is
     value-deterministic, no tie-break column needed)."""
@@ -2116,6 +2145,7 @@ def queries():
         "orders_repeat_30d": orders_repeat_30d,
         "events_hour_pivot": events_hour_pivot,
         "events_value_quantiles_cont": events_value_quantiles_cont,
+        "events_user_range7d": events_user_range7d,
         "orders_priority_dense_rank": orders_priority_dense_rank,
         "nation_region_cross": nation_region_cross,
         "events_user_rolling3": events_user_rolling3,
@@ -2198,6 +2228,7 @@ def oracle_sql():
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,
         "events_hour_pivot": _EVENTS_PIVOT_SQL,
         "events_value_quantiles_cont": _EVENTS_QUANTILES_CONT_SQL,
+        "events_user_range7d": _EVENTS_RANGE7_SQL,
         "orders_priority_dense_rank": _ORDERS_DENSE_RANK_SQL,
         "nation_region_cross": _NATION_CROSS_SQL,
         "events_user_rolling3": _EVENTS_ROLLING_SQL,
