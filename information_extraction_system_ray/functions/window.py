@@ -318,3 +318,64 @@ def rolling_sum_time(ds: ray.data.Dataset, value_col: str, *,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(roll, batch_format="pandas"))
+
+
+def percent_rank(ds: ray.data.Dataset, *, keys: list[str],
+                 order_by: list[str],
+                 descending: "bool | list[bool]" = False,
+                 out_col: str = "pr",
+                 num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-key SQL ``PERCENT_RANK() OVER (PARTITION BY keys ORDER BY ...)``
+    = (rank − 1) / (n − 1), where rank uses min-of-ties (SQL RANK) and n is
+    the key's row count; a single-row key gets 0.0. Value-deterministic:
+    both engines divide the same exact integers, so the float64 quotient is
+    bit-identical — no rounding needed."""
+    num_partitions = num_partitions or default_parts()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    ascending = [not d for d in descending]
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.float64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def pr(part: pd.DataFrame) -> pa.Table:
+        grp = part.groupby(keys, sort=False)
+        if len(order_by) == 1:
+            r = grp[order_by[0]].rank(method="min",
+                                      ascending=ascending[0])
+        else:
+            # composite ORDER BY: rank the lexicographic position. Sort,
+            # then min-rank ties via the first-row-of-each-distinct-tuple
+            # cumcount trick (mergesort keeps it deterministic).
+            part = part.sort_values(
+                keys + order_by,
+                ascending=[True] * len(keys) + ascending,
+                kind="mergesort").reset_index(drop=True)
+            grp = part.groupby(keys, sort=False)
+            pos = grp.cumcount() + 1
+            changed = pd.Series(False, index=part.index)
+            for c in keys + order_by:
+                changed |= part[c].ne(part[c].shift(1))
+            r = pos.where(changed).groupby(
+                [part[k] for k in keys], sort=False).ffill()
+        n = grp[order_by[0]].transform("size")
+        import numpy as np
+        out = np.where(n > 1,
+                       (r.to_numpy(dtype="float64") - 1.0)
+                       / (n.to_numpy(dtype="float64") - 1.0),
+                       0.0)
+        part = part.copy()
+        part[out_col] = out
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(pr, batch_format="pandas"))

@@ -2112,6 +2112,217 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def lineitem_flag_variance(sf_dir: str):
+    """Grouped VAR_SAMP / STDDEV_SAMP via exact integer second moments
+    (functions/stats.py): both engines reduce the same int64 (Σx, Σx²) —
+    integer addition commutes so merge order is irrelevant — then apply one
+    identical float64 closed form, rounded to 4 dp."""
+    from .functions.stats import grouped_variance
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+    out = grouped_variance(li, "l_quantity", keys=["l_returnflag"],
+                           out_prefix="qty_")
+    return out.sort("l_returnflag")
+
+
+_LINEITEM_VAR_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       round((SUM(q*q) - CAST(SUM(q) AS DOUBLE)*SUM(q)/COUNT(*))
+             / (COUNT(*) - 1), 4) AS qty_var_samp,
+       round(sqrt(round((SUM(q*q)
+             - CAST(SUM(q) AS DOUBLE)*SUM(q)/COUNT(*))
+             / (COUNT(*) - 1), 4)), 4) AS qty_stddev_samp
+FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def lineitem_qty_price_corr(sf_dir: str):
+    """Grouped Pearson CORR via exact integer cross-moments
+    (functions/stats.py). Price is pre-scaled to whole dollars so Σy² stays
+    inside int64 at any test scale (module docstring has the overflow
+    budget)."""
+    from .functions.stats import grouped_corr
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_usd": pc.cast(
+                pc.round(t["l_extendedprice"],
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        })
+
+    out = grouped_corr(li.map_batches(prep, batch_format="pyarrow"),
+                       "qty", "price_usd", keys=["l_returnflag"],
+                       out_col="qty_price_corr")
+    return out.sort("l_returnflag")
+
+
+_LINEITEM_CORR_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       round((COUNT(*)*SUM(x*y) - CAST(SUM(x) AS DOUBLE)*SUM(y))
+             / sqrt((COUNT(*)*SUM(x*x) - CAST(SUM(x) AS DOUBLE)*SUM(x))
+                  * (COUNT(*)*SUM(y*y) - CAST(SUM(y) AS DOUBLE)*SUM(y))),
+             4) AS qty_price_corr
+FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def orders_price_histogram(sf_dir: str):
+    """Fixed-width histogram (SQL width_bucket-style): bucket =
+    floor(price / 50000) computed with the same float64 division in both
+    engines, then a plain count groupby — shuffle width is the bucket
+    count, not the row count."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["o_totalprice"],
+                                       pa.scalar(50_000.0))), pa.int64())
+        return pa.table({"bucket": b})
+
+    out = (orders.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="n_orders")))
+    return out.sort("bucket")
+
+
+_ORDERS_HIST_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
+def orders_percent_rank(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY priority ORDER BY price) —
+    functions/window.py percent_rank: min-of-ties rank, (r−1)/(n−1) from
+    exact integers so the float64 quotient is bit-identical to SQL's."""
+    from .functions.window import percent_rank
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+    out = percent_rank(orders, keys=["o_orderpriority"],
+                       order_by=["o_totalprice"], out_col="pr")
+    return out.select_columns(["o_orderkey", "pr"]).sort("o_orderkey")
+
+
+_ORDERS_PCTRANK_SQL = """
+SELECT o_orderkey,
+       PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS pr
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def orders_status_mode_priority(sf_dir: str):
+    """Grouped MODE with a deterministic smallest-value tie-break
+    (functions/stats.py grouped_mode): one (status, priority) count shuffle
+    — width = distinct combinations — then a tiny per-status argmax."""
+    from .functions.stats import grouped_mode
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderstatus", "o_orderpriority"])
+    out = grouped_mode(orders, "o_orderpriority", keys=["o_orderstatus"],
+                       out_col="mode_priority", count_col="mode_n")
+    return out.sort("o_orderstatus")
+
+
+_ORDERS_MODE_SQL = """
+SELECT o_orderstatus, mode_priority, mode_n FROM (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+         COUNT(*) AS mode_n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
+def events_user_first_last(sf_dir: str):
+    """Per-user FIRST / LAST event type by (ts, event_id) — the arg_min /
+    arg_max aggregate, expressed as mergeable Min/Max over a sortable
+    packed key (zero-padded epoch-micros ‖ zero-padded event_id ‖ etype),
+    so ties are deterministic and the reduction stays a plain groupby
+    Min/Max (no window, no per-key sort)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(micros, pa.string()), 20, padding="0"),
+            pc.utf8_lpad(pc.cast(t["event_id"], pa.string()), 20,
+                         padding="0"),
+            t["event_type"], "|")
+        return pa.table({"user_id": t["user_id"], "k": key})
+
+    agg = (ev.map_batches(pack, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Min("k", alias_name="_first"),
+                      Max("k", alias_name="_last")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        first = pc.utf8_slice_codeunits(t["_first"], 42)
+        last = pc.utf8_slice_codeunits(t["_last"], 42)
+        return pa.table({"user_id": t["user_id"],
+                         "first_type": first, "last_type": last})
+
+    return agg.map_batches(unpack, batch_format="pyarrow").sort("user_id")
+
+
+_EVENTS_FIRST_LAST_SQL = """
+SELECT user_id,
+       substr(MIN(k), 43) AS first_type,
+       substr(MAX(k), 43) AS last_type
+FROM (SELECT user_id,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+             lpad(CAST(event_id AS VARCHAR), 20, '0') || '|' ||
+             event_type AS k
+      FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def customer_order_counts_outer(sf_dir: str):
+    """LEFT OUTER equi-join (Ray's native hash join, join_type=
+    'left_outer'): pre-aggregated per-customer order counts joined back
+    onto customer so zero-order customers survive with n_orders = 0. The
+    big side is reduced to one row per key BEFORE the join shuffle."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    counts = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"))
+    joined = cust.join(counts, join_type="left_outer",
+                       num_partitions=_join_parts(sf_dir, "customer"),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pc.coalesce(t["n_orders"],
+                                    pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow") \
+                 .sort("c_custkey")
+
+
+_CUST_OUTER_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2197,6 +2408,13 @@ def queries():
         "kg_nodes": kg_nodes,
         "kg_graph": kg_graph,
         "kg_pagerank": kg_pagerank,
+        "lineitem_flag_variance": lineitem_flag_variance,
+        "lineitem_qty_price_corr": lineitem_qty_price_corr,
+        "orders_price_histogram": orders_price_histogram,
+        "orders_percent_rank": orders_percent_rank,
+        "orders_status_mode_priority": orders_status_mode_priority,
+        "events_user_first_last": events_user_first_last,
+        "customer_order_counts_outer": customer_order_counts_outer,
     }
 
 
@@ -2261,6 +2479,13 @@ def oracle_sql():
         "docs_exact_dedup": _DOCS_DEDUP_SQL,
         "emb_label_count": _EMB_LABEL_SQL,
         "emb_knn_bruteforce": _EMB_KNN_SQL,
+        "lineitem_flag_variance": _LINEITEM_VAR_SQL,
+        "lineitem_qty_price_corr": _LINEITEM_CORR_SQL,
+        "orders_price_histogram": _ORDERS_HIST_SQL,
+        "orders_percent_rank": _ORDERS_PCTRANK_SQL,
+        "orders_status_mode_priority": _ORDERS_MODE_SQL,
+        "events_user_first_last": _EVENTS_FIRST_LAST_SQL,
+        "customer_order_counts_outer": _CUST_OUTER_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
