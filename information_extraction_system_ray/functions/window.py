@@ -194,16 +194,22 @@ def running_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
 def rolling_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
                 order_by: list[str], window: int,
                 out_col: str = "rolling",
+                count_col: "str | None" = None,
                 num_partitions: "int | None" = None) -> ray.data.Dataset:
     """Per-key SLIDING-window sum of the last ``window`` rows (current row
     inclusive) in ``order_by`` order — SQL ``SUM(v) OVER (PARTITION BY keys
     ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``. Use an
-    integer value column for cross-engine bit-exactness."""
+    integer value column for cross-engine bit-exactness. ``count_col``
+    additionally emits the window's row count (= min(pos, window)), so a
+    rolling AVG is one exact float64 division downstream — no second
+    window pass."""
     num_partitions = num_partitions or default_parts()
     schema = ds.schema().base_schema
+    extra = [(out_col, schema.field(value_col).type)]
+    if count_col:
+        extra.append((count_col, pa.int64()))
     out_schema = pa.schema(
-        [(n, schema.field(n).type) for n in schema.names]
-        + [(out_col, schema.field(value_col).type)])
+        [(n, schema.field(n).type) for n in schema.names] + extra)
 
     def tag(t: pa.Table) -> pa.Table:
         part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
@@ -221,6 +227,9 @@ def rolling_sum(ds: ray.data.Dataset, value_col: str, *, keys: list[str],
         cum = part.groupby(gkeys, sort=False)[value_col].cumsum()
         prev = cum.groupby(gkeys, sort=False).shift(window)
         part[out_col] = cum - prev.fillna(0).astype(part[value_col].dtype)
+        if count_col:
+            pos = part.groupby(gkeys, sort=False).cumcount() + 1
+            part[count_col] = pos.clip(upper=window).astype("int64")
         return to_arrow(part.drop(columns=["_wpart"]), out_schema)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
@@ -379,3 +388,94 @@ def percent_rank(ds: ray.data.Dataset, *, keys: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(pr, batch_format="pandas"))
+
+
+def cume_dist(ds: ray.data.Dataset, *, keys: list[str],
+              order_by: list[str],
+              descending: "bool | list[bool]" = False,
+              out_col: str = "cd",
+              num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-key SQL ``CUME_DIST() OVER (PARTITION BY keys ORDER BY ...)`` =
+    max-of-ties rank / n (fraction of the key's rows ordered <= this one).
+    Value-deterministic; both engines divide the same exact integers, so
+    the float64 quotient is bit-identical."""
+    num_partitions = num_partitions or default_parts()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    ascending = [not d for d in descending]
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.float64())])
+
+    def cd(part: pd.DataFrame) -> pa.Table:
+        if len(order_by) == 1:
+            grp = part.groupby(keys, sort=False)
+            r = grp[order_by[0]].rank(method="max",
+                                      ascending=ascending[0])
+            n = grp[order_by[0]].transform("size")
+        else:
+            # composite ORDER BY: sort, then max-of-ties = the last
+            # position of each distinct tuple, broadcast back over the
+            # tie group (mergesort keeps it deterministic).
+            part = part.sort_values(
+                keys + order_by,
+                ascending=[True] * len(keys) + ascending,
+                kind="mergesort").reset_index(drop=True)
+            grp = part.groupby(keys, sort=False)
+            pos = grp.cumcount() + 1
+            changed = pd.Series(False, index=part.index)
+            for c in keys + order_by:
+                changed |= part[c].ne(part[c].shift(1))
+            tie_id = changed.cumsum()
+            r = pos.groupby(tie_id, sort=False).transform("max")
+            n = grp[order_by[0]].transform("size")
+        part = part.copy()
+        part[out_col] = r.to_numpy(dtype="float64") \
+            / n.to_numpy(dtype="float64")
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(cd, batch_format="pandas"))
+
+
+def fill_forward(ds: ray.data.Dataset, col: str, *, keys: list[str],
+                 order_by: list[str], out_col: "str | None" = None,
+                 num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-key LOCF (last observation carried forward): nulls in ``col``
+    take the most recent non-null value in ``order_by`` order — SQL
+    ``LAST_VALUE(col IGNORE NULLS) OVER (PARTITION BY keys ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``. Rows before the key's first observation
+    stay null. Values pass through untouched (no arithmetic), so any
+    dtype round-trips bit-exact."""
+    num_partitions = num_partitions or default_parts()
+    out_col = out_col or col
+    schema = ds.schema().base_schema
+    fields = [(n, schema.field(n).type) for n in schema.names]
+    if out_col not in schema.names:
+        fields.append((out_col, schema.field(col).type))
+    out_schema = pa.schema(fields)
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def locf(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(keys + order_by,
+                                kind="mergesort").reset_index(drop=True)
+        part[out_col] = part.groupby(keys, sort=False)[col].ffill()
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(locf, batch_format="pandas"))

@@ -2323,6 +2323,205 @@ GROUP BY c_custkey ORDER BY c_custkey
 """
 
 
+def orders_cume_dist(sf_dir: str):
+    """CUME_DIST() OVER (PARTITION BY priority ORDER BY price) —
+    functions/window.py cume_dist: max-of-ties rank / n from exact
+    integers, so the float64 quotient is bit-identical to SQL's."""
+    from .functions.window import cume_dist
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+    out = cume_dist(orders, keys=["o_orderpriority"],
+                    order_by=["o_totalprice"], out_col="cd")
+    return out.select_columns(["o_orderkey", "cd"]).sort("o_orderkey")
+
+
+_ORDERS_CUMEDIST_SQL = """
+SELECT o_orderkey,
+       CUME_DIST() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice) AS cd
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def events_value_locf(sf_dir: str):
+    """LOCF gap-fill (functions/window.py fill_forward): a deterministic
+    synthetic gap stream (cents nulled where event_id % 7 == 0) filled
+    per user in (ts, event_id) order — SQL LAST_VALUE(... IGNORE NULLS).
+    Values pass through untouched, so the int64 cents round-trip exactly;
+    rows before a user's first observation stay null."""
+    from .functions.window import fill_forward
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def gap(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        is_gap = pc.equal(
+            pc.subtract(t["event_id"],
+                        pc.multiply(pc.divide(t["event_id"],
+                                              pa.scalar(7, pa.int64())),
+                                    pa.scalar(7, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "cents": pc.if_else(is_gap, pa.scalar(None, pa.int64()),
+                                cents),
+        })
+
+    gapped = ds.map_batches(gap, batch_format="pyarrow")
+    out = fill_forward(gapped, "cents", keys=["user_id"],
+                       order_by=["ts", "event_id"], out_col="cents_locf")
+    return (out.select_columns(["event_id", "cents_locf"])
+            .sort("event_id"))
+
+
+_EVENTS_LOCF_SQL = """
+SELECT event_id,
+       LAST_VALUE(c IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cents_locf
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS c
+      FROM events)
+ORDER BY event_id
+"""
+
+
+def events_user_rolling_avg(sf_dir: str):
+    """Rolling AVG over ROWS 2 PRECEDING (window.rolling_sum with
+    count_col): ONE window pass emits the exact int64 window sum and row
+    count; avg is the same float64 division in both engines."""
+    from .functions.window import rolling_sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    out = rolling_sum(cents, "cents", keys=["user_id"],
+                      order_by=["ts", "event_id"], window=3,
+                      out_col="s3", count_col="c3")
+
+    def div(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "avg3": pc.divide(pc.cast(t["s3"], pa.float64()),
+                              pc.cast(t["c3"], pa.float64())),
+        })
+
+    return (out.map_batches(div, batch_format="pyarrow")
+            .sort(["user_id", "event_id"]))
+
+
+_EVENTS_ROLLAVG_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(c) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg3
+FROM (SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type), (q)) — neither a rollup nor a
+    cube; both sets re-reduce ONE shuffled base (event_type, q) aggregate
+    whose cardinality is bounded at any scale."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "q": pc.cast(pc.floor(pc.divide(
+                pc.cast(pc.hour(t["ts"]), pa.float64()), 6.0)), pa.int64()),
+        })
+
+    base = (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["event_type", "q"])
+            .aggregate(Count(alias_name="n")).materialize())
+
+    def with_null(t: pa.Table, null_col: str) -> pa.Table:
+        cols = {}
+        for name, ty in (("event_type", pa.string()), ("q", pa.int64())):
+            cols[name] = pa.nulls(len(t), ty) if name == null_col \
+                else pc.cast(t[name], ty)
+        cols["n"] = pc.cast(t["n"], pa.int64())
+        return pa.table(cols)
+
+    by_type = base.groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda t: with_null(t, "q"), batch_format="pyarrow")
+    by_q = base.groupby("q") \
+        .aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda t: with_null(t, "event_type"),
+                     batch_format="pyarrow")
+    return by_type.union(by_q)
+
+
+_EVENTS_GSETS_SQL = """
+SELECT event_type, q, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type, EXTRACT(hour FROM ts) // 6 AS q FROM events) t
+GROUP BY GROUPING SETS ((event_type), (q))
+"""
+
+
+def users_customers_full_outer(sf_dir: str):
+    """FULL OUTER equi-join (Ray native hash join, join_type=
+    'full_outer'): per-user event counts vs even-keyed customers — rows
+    survive from BOTH unmatched sides (odd event users left-only, even
+    customers with no events right-only). Big side pre-aggregated to one
+    row per key before the join shuffle."""
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    def even_marked(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(
+            pc.bit_wise_and(t["c_custkey"], pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64())))
+        # Ray coalesces the two join keys into ONE output column, so a
+        # constant right-side payload is the only way to tell matched /
+        # right-only rows from left-only ones after a full outer join.
+        return t.append_column("cmark",
+                               pa.array([1] * len(t), pa.int64()))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(even_marked, batch_format="pyarrow")
+    joined = counts.join(cust, join_type="full_outer",
+                         num_partitions=_join_parts(sf_dir, "customer"),
+                         on=("user_id",), right_on=("c_custkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["user_id"],
+            "n_events": pc.coalesce(t["n_events"],
+                                    pa.scalar(0, pa.int64())),
+            "has_cust": pc.cast(
+                pc.coalesce(t["cmark"], pa.scalar(0, pa.int64())),
+                pa.int64()),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow").sort("key")
+
+
+_FULL_OUTER_SQL = """
+SELECT COALESCE(e.user_id, c.c_custkey) AS key,
+       COALESCE(e.n_events, 0) AS n_events,
+       CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS has_cust
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+FULL JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+  ON e.user_id = c.c_custkey
+ORDER BY key
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2415,6 +2614,11 @@ def queries():
         "orders_status_mode_priority": orders_status_mode_priority,
         "events_user_first_last": events_user_first_last,
         "customer_order_counts_outer": customer_order_counts_outer,
+        "orders_cume_dist": orders_cume_dist,
+        "events_value_locf": events_value_locf,
+        "events_user_rolling_avg": events_user_rolling_avg,
+        "events_grouping_sets": events_grouping_sets,
+        "users_customers_full_outer": users_customers_full_outer,
     }
 
 
@@ -2486,6 +2690,11 @@ def oracle_sql():
         "orders_status_mode_priority": _ORDERS_MODE_SQL,
         "events_user_first_last": _EVENTS_FIRST_LAST_SQL,
         "customer_order_counts_outer": _CUST_OUTER_SQL,
+        "orders_cume_dist": _ORDERS_CUMEDIST_SQL,
+        "events_value_locf": _EVENTS_LOCF_SQL,
+        "events_user_rolling_avg": _EVENTS_ROLLAVG_SQL,
+        "events_grouping_sets": _EVENTS_GSETS_SQL,
+        "users_customers_full_outer": _FULL_OUTER_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -114,3 +114,60 @@ def test_percent_rank_composite_order_matches_duckdb(ray_session):
         FROM df ORDER BY id""").df()
     assert np.allclose(got["pr"].to_numpy(), want["pr"].to_numpy(),
                        atol=0, rtol=0)
+
+
+def test_cume_dist_composite_matches_duckdb(ray_session):
+    import duckdb
+
+    from information_extraction_system_ray.functions.window import cume_dist
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, 80).astype(np.int64),
+        "a": rng.integers(0, 5, 80).astype(np.int64),   # heavy ties
+        "b": rng.integers(0, 3, 80).astype(np.int64),
+        "id": np.arange(80, dtype=np.int64),
+    })
+    got = cume_dist(_rd(df), keys=["k"], order_by=["a", "b"],
+                    descending=[True, False], out_col="cd") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    want = duckdb.connect().execute("""
+        SELECT *, CUME_DIST() OVER
+                  (PARTITION BY k ORDER BY a DESC, b) AS cd
+        FROM df ORDER BY id""").df()
+    assert np.allclose(got["cd"].to_numpy(), want["cd"].to_numpy(),
+                       atol=0, rtol=0)
+
+
+def test_fill_forward_locf(ray_session):
+    from information_extraction_system_ray.functions.window import fill_forward
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "t": np.array([1, 2, 3, 4, 5, 1, 2, 3], np.int64),
+        # group a: leading null stays null; later nulls carry forward
+        "v": pd.array([None, 10, None, None, 7, None, None, 4],
+                      dtype="Int64"),
+    })
+    out = fill_forward(_rd(df, parts=3), "v", keys=["k"],
+                       order_by=["t"], out_col="f") \
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    want = pd.Series([None, 10, 10, 10, 7, None, None, 4], dtype="float64")
+    assert out["f"].astype("float64").reset_index(drop=True).equals(want)
+    # original column untouched when out_col differs
+    assert out["v"].isna().sum() == 5
+
+
+def test_rolling_sum_count_col(ray_session):
+    from information_extraction_system_ray.functions.window import rolling_sum
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5,
+        "t": np.arange(5, dtype=np.int64),
+        "v": np.array([1, 2, 3, 4, 5], np.int64),
+    })
+    out = rolling_sum(_rd(df, parts=2), "v", keys=["k"], order_by=["t"],
+                      window=3, out_col="s", count_col="c") \
+        .to_pandas().sort_values("t")
+    assert out["s"].tolist() == [1, 3, 6, 9, 12]
+    assert out["c"].tolist() == [1, 2, 3, 3, 3]
