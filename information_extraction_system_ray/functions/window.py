@@ -479,3 +479,55 @@ def fill_forward(ds: ray.data.Dataset, col: str, *, keys: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(locf, batch_format="pandas"))
+
+
+def ntile_per_key(ds: ray.data.Dataset, q: int, *, keys: list[str],
+                  order_by: list[str],
+                  descending: "bool | list[bool]" = False,
+                  out_col: str = "tile",
+                  num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-key SQL ``NTILE(q) OVER (PARTITION BY keys ORDER BY ...)`` with
+    SQL's exact uneven-split rule: the first ``n % q`` tiles get
+    ``ceil(n/q)`` rows, the rest ``floor(n/q)`` — pure integer arithmetic
+    on (row_number, key size), so both engines agree bit-for-bit. Ties
+    must be broken by a unique column in ``order_by`` (same contract as
+    row_number)."""
+    import numpy as np
+
+    num_partitions = num_partitions or default_parts()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    ascending = [not d for d in descending]
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.int64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def tile(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(keys + order_by,
+                                ascending=[True] * len(keys) + ascending,
+                                kind="mergesort").reset_index(drop=True)
+        grp = part.groupby(keys, sort=False)
+        rn = (grp.cumcount() + 1).to_numpy(dtype="int64")
+        n = grp[order_by[0]].transform("size").to_numpy(dtype="int64")
+        big, rem = n // q + (n % q > 0), n % q
+        small = n // q
+        cut = rem * big  # rows covered by the ceil-sized tiles
+        in_big = rn <= cut
+        b = np.where(
+            in_big,
+            (rn - 1) // np.maximum(big, 1) + 1,
+            rem + (rn - 1 - cut) // np.maximum(small, 1) + 1)
+        part[out_col] = b.astype("int64")
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(tile, batch_format="pandas"))

@@ -2522,6 +2522,99 @@ ORDER BY key
 """
 
 
+def customer_stratified_sample(sf_dir: str):
+    """Stratified fixed-size sampling (the balanced-subset training-data
+    primitive): per market segment, the 5 customers with the smallest
+    md5(custkey) — key-derived, so the sample is identical on any engine
+    at any parallelism. Composed from window.topk_per_key over the hash
+    order; only (segment, key, hash) enters the shuffle."""
+    import hashlib
+
+    from .functions.window import topk_per_key
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"])
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = pa.array([hashlib.md5(str(k).encode()).hexdigest()
+                       for k in t["c_custkey"].to_pylist()], pa.string())
+        return t.append_column("h", hs)
+
+    out = topk_per_key(ds.map_batches(h, batch_format="pyarrow"), 5,
+                       keys=["c_mktsegment"],
+                       order_by=["h", "c_custkey"], descending=False,
+                       out_col="rn")
+    return (out.select_columns(["c_mktsegment", "c_custkey", "rn"])
+            .sort(["c_mktsegment", "rn"]))
+
+
+_CUST_STRAT_SQL = """
+SELECT c_mktsegment, c_custkey, rn FROM (
+  SELECT c_mktsegment, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+                                     c_custkey) AS rn
+  FROM customer)
+WHERE rn <= 5 ORDER BY c_mktsegment, rn
+"""
+
+
+def events_type_share(sf_dir: str):
+    """Share-of-total (fraction of all events per type): one bounded
+    groupby → a scalar total via a driver aggregate over the TINY result
+    (never the raw stream) → one exact float64 division. The classic
+    two-pass normalize pattern."""
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    counts = (ev.groupby("event_type")
+              .aggregate(Count(alias_name="n")).materialize())
+    total = int(counts.sum("n") or 0)
+
+    def share(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "share": pc.divide(pc.cast(t["n"], pa.float64()),
+                               pa.scalar(float(total), pa.float64())),
+        })
+
+    return counts.map_batches(share, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+_EVENTS_SHARE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM events) AS share
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def orders_priority_quartiles(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY priority ORDER BY price, key) —
+    functions/window.py ntile_per_key with SQL's exact uneven-split rule
+    (first n%q tiles get the extra row); pure integer arithmetic, so both
+    engines agree bit-for-bit."""
+    from .functions.window import ntile_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+    out = ntile_per_key(orders, 4, keys=["o_orderpriority"],
+                        order_by=["o_totalprice", "o_orderkey"],
+                        out_col="quartile")
+    return (out.select_columns(["o_orderkey", "quartile"])
+            .sort("o_orderkey"))
+
+
+_ORDERS_NTILE_KEY_SQL = """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey)
+            AS BIGINT) AS quartile
+FROM orders ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2619,6 +2712,9 @@ def queries():
         "events_user_rolling_avg": events_user_rolling_avg,
         "events_grouping_sets": events_grouping_sets,
         "users_customers_full_outer": users_customers_full_outer,
+        "customer_stratified_sample": customer_stratified_sample,
+        "events_type_share": events_type_share,
+        "orders_priority_quartiles": orders_priority_quartiles,
     }
 
 
@@ -2695,6 +2791,9 @@ def oracle_sql():
         "events_user_rolling_avg": _EVENTS_ROLLAVG_SQL,
         "events_grouping_sets": _EVENTS_GSETS_SQL,
         "users_customers_full_outer": _FULL_OUTER_SQL,
+        "customer_stratified_sample": _CUST_STRAT_SQL,
+        "events_type_share": _EVENTS_SHARE_SQL,
+        "orders_priority_quartiles": _ORDERS_NTILE_KEY_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -171,3 +171,25 @@ def test_rolling_sum_count_col(ray_session):
         .to_pandas().sort_values("t")
     assert out["s"].tolist() == [1, 3, 6, 9, 12]
     assert out["c"].tolist() == [1, 2, 3, 3, 3]
+
+
+def test_ntile_per_key_matches_duckdb_uneven(ray_session):
+    import duckdb
+
+    from information_extraction_system_ray.functions.window import ntile_per_key
+
+    rng = np.random.default_rng(9)
+    # uneven group sizes incl. n < q and n == 1
+    sizes = [1, 2, 3, 4, 5, 7, 11, 30]
+    df = pd.DataFrame({
+        "k": np.repeat(np.arange(len(sizes), dtype=np.int64), sizes),
+        "v": rng.integers(0, 50, sum(sizes)).astype(np.int64),
+        "id": np.arange(sum(sizes), dtype=np.int64),
+    })
+    got = ntile_per_key(_rd(df), 4, keys=["k"], order_by=["v", "id"],
+                        out_col="t").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    want = duckdb.connect().execute("""
+        SELECT *, NTILE(4) OVER (PARTITION BY k ORDER BY v, id) AS t
+        FROM df ORDER BY id""").df()
+    assert got["t"].tolist() == want["t"].astype("int64").tolist()
