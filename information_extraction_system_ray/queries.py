@@ -2615,6 +2615,48 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def part_name_fuzzy_pairs(sf_dir: str):
+    """Fuzzy self-join at edit distance <= 1 (functions/fuzzy.py): FastSS
+    deletion-neighborhood blocking — exact recall, no all-pairs scan; the
+    only shuffles are the deletion-key groupby and the pair distinct."""
+    from .functions.fuzzy import fuzzy_pairs_ed1
+
+    parts = read_table(sf_dir, "part", columns=["p_name"])
+    return fuzzy_pairs_ed1(parts, "p_name").sort(["name_a", "name_b"])
+
+
+_PART_FUZZY_SQL = """
+SELECT a.n AS name_a, b.n AS name_b
+FROM (SELECT DISTINCT p_name AS n FROM part) a,
+     (SELECT DISTINCT p_name AS n FROM part) b
+WHERE a.n < b.n AND levenshtein(a.n, b.n) <= 1
+ORDER BY name_a, name_b
+"""
+
+
+def emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (functions/vectors.py): batches reduce
+    to (label, dim, int64 micro-unit sum, count) partials before the
+    shuffle — shuffle width is |labels| x dim — then one bounded groupby
+    and a single exact float64 division."""
+    from .functions.vectors import label_centroids
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    return label_centroids(emb).sort(["label", "dim"])
+
+
+_EMB_CENTROID_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid_micro
+FROM (SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings)
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2715,6 +2757,8 @@ def queries():
         "customer_stratified_sample": customer_stratified_sample,
         "events_type_share": events_type_share,
         "orders_priority_quartiles": orders_priority_quartiles,
+        "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
+        "emb_label_centroids": emb_label_centroids,
     }
 
 
@@ -2794,6 +2838,8 @@ def oracle_sql():
         "customer_stratified_sample": _CUST_STRAT_SQL,
         "events_type_share": _EVENTS_SHARE_SQL,
         "orders_priority_quartiles": _ORDERS_NTILE_KEY_SQL,
+        "part_name_fuzzy_pairs": _PART_FUZZY_SQL,
+        "emb_label_centroids": _EMB_CENTROID_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
