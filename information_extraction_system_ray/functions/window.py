@@ -531,3 +531,100 @@ def ntile_per_key(ds: ray.data.Dataset, q: int, *, keys: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(tile, batch_format="pandas"))
+
+
+def rank_per_key(ds: ray.data.Dataset, *, keys: list[str],
+                 order_by: list[str],
+                 descending: "bool | list[bool]" = False,
+                 out_col: str = "rank",
+                 num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-key SQL ``RANK() OVER (PARTITION BY keys ORDER BY ...)`` —
+    min-of-ties: equal tuples share the rank of their first row, the next
+    distinct tuple jumps to its absolute position. Value-deterministic
+    (no tie-break column needed). Filtering ``rank <= k`` downstream gives
+    top-k WITH ties, unlike topk_per_key's exactly-k rows."""
+    num_partitions = num_partitions or default_parts()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    ascending = [not d for d in descending]
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.int64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def rk(part: pd.DataFrame) -> pa.Table:
+        if len(order_by) == 1:
+            r = part.groupby(keys, sort=False)[order_by[0]] \
+                .rank(method="min", ascending=ascending[0])
+            part = part.copy()
+            part[out_col] = r.astype("int64")
+        else:
+            part = part.sort_values(
+                keys + order_by,
+                ascending=[True] * len(keys) + ascending,
+                kind="mergesort").reset_index(drop=True)
+            grp = part.groupby(keys, sort=False)
+            pos = grp.cumcount() + 1
+            changed = pd.Series(False, index=part.index)
+            for c in keys + order_by:
+                changed |= part[c].ne(part[c].shift(1))
+            r = pos.where(changed).groupby(
+                [part[k] for k in keys], sort=False).ffill()
+            part[out_col] = r.astype("int64")
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(rk, batch_format="pandas"))
+
+
+def densify_time(ds: ray.data.Dataset, *, keys: list[str],
+                 bucket_col: str, value_cols: "dict[str, object]",
+                 freq: str = "h",
+                 num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Time-series gap fill: for each key, emit one row per ``freq`` bucket
+    between that key's min and max ``bucket_col`` (inclusive), carrying the
+    key's observed rows and filling absent buckets with the constants in
+    ``value_cols`` ({col: fill_value}). Input must already be one row per
+    (key, bucket) — aggregate first. Output cardinality is keys x their own
+    time span (never the global span), and each key densifies inside its
+    hash partition — no global materialization."""
+    num_partitions = num_partitions or default_parts()
+    schema = ds.schema().base_schema
+    out_schema = pa.schema([(n, schema.field(n).type)
+                            for n in schema.names])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def dense(part: pd.DataFrame) -> pa.Table:
+        part = part.drop(columns=["_wpart"])
+        pieces = []
+        for kv, sub in part.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            full = pd.DataFrame({bucket_col: pd.date_range(
+                sub[bucket_col].min(), sub[bucket_col].max(), freq=freq)})
+            for k, v in zip(keys, kv):
+                full[k] = v
+            merged = full.merge(sub, on=keys + [bucket_col], how="left")
+            for c, fill in value_cols.items():
+                merged[c] = merged[c].fillna(fill)
+            pieces.append(merged)
+        if not pieces:
+            return out_schema.empty_table()
+        return to_arrow(pd.concat(pieces, ignore_index=True), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(dense, batch_format="pandas"))

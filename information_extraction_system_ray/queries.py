@@ -2657,6 +2657,82 @@ GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def orders_rank_with_ties(sf_dir: str):
+    """RANK() min-of-ties (functions/window.py rank_per_key), filtered to
+    rank <= 3 — top-k WITH ties, which can return more than k rows per key
+    (unlike row_number top-k). Value-deterministic, no tie-break column."""
+    from .functions.window import rank_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_orderdate"])
+    ranked = rank_per_key(orders, keys=["o_orderpriority"],
+                          order_by=["o_orderdate"], descending=False,
+                          out_col="rk")
+    return (ranked.map_batches(
+                lambda t: t.filter(pc.less_equal(t["rk"], 3)),
+                batch_format="pyarrow")
+            .select_columns(["o_orderkey", "o_orderpriority", "rk"])
+            .sort(["o_orderpriority", "rk", "o_orderkey"]))
+
+
+_ORDERS_RANK_TIES_SQL = """
+SELECT o_orderkey, o_orderpriority, rk FROM (
+  SELECT o_orderkey, o_orderpriority,
+         RANK() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_orderdate) AS rk
+  FROM orders)
+WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_orderkey
+"""
+
+
+def events_user_hourly_dense(sf_dir: str):
+    """Time-series densify / gap fill (functions/window.py densify_time):
+    per-user hourly event counts with every hour of the user's own span
+    present, absent hours filled with 0. Aggregate first (bounded rows),
+    then densify inside the hash partition — output is keys x own span,
+    never the global span."""
+    from .functions.window import densify_time
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "h": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+
+    counts = (ev.map_batches(to_hour, batch_format="pyarrow")
+              .groupby(["user_id", "h"])
+              .aggregate(Count(alias_name="n")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "h": pc.cast(t["h"], pa.timestamp("us")),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    dense = densify_time(counts.map_batches(pin, batch_format="pyarrow"),
+                         keys=["user_id"], bucket_col="h",
+                         value_cols={"n": 0}, freq="h")
+    return dense.sort(["user_id", "h"])
+
+
+_EVENTS_DENSE_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, unnest(generate_series(MIN(h), MAX(h),
+                                         INTERVAL 1 HOUR)) AS h
+  FROM hourly GROUP BY user_id)
+SELECT s.user_id, s.h, CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
+FROM spans s LEFT JOIN hourly USING (user_id, h)
+ORDER BY user_id, h
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2759,6 +2835,8 @@ def queries():
         "orders_priority_quartiles": orders_priority_quartiles,
         "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
         "emb_label_centroids": emb_label_centroids,
+        "orders_rank_with_ties": orders_rank_with_ties,
+        "events_user_hourly_dense": events_user_hourly_dense,
     }
 
 
@@ -2840,6 +2918,8 @@ def oracle_sql():
         "orders_priority_quartiles": _ORDERS_NTILE_KEY_SQL,
         "part_name_fuzzy_pairs": _PART_FUZZY_SQL,
         "emb_label_centroids": _EMB_CENTROID_SQL,
+        "orders_rank_with_ties": _ORDERS_RANK_TIES_SQL,
+        "events_user_hourly_dense": _EVENTS_DENSE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

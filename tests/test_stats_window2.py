@@ -193,3 +193,50 @@ def test_ntile_per_key_matches_duckdb_uneven(ray_session):
         SELECT *, NTILE(4) OVER (PARTITION BY k ORDER BY v, id) AS t
         FROM df ORDER BY id""").df()
     assert got["t"].tolist() == want["t"].astype("int64").tolist()
+
+
+def test_rank_per_key_ties_match_duckdb(ray_session):
+    import duckdb
+
+    from information_extraction_system_ray.functions.window import rank_per_key
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 60).astype(np.int64),
+        "a": rng.integers(0, 4, 60).astype(np.int64),   # heavy ties
+        "b": rng.integers(0, 3, 60).astype(np.int64),
+        "id": np.arange(60, dtype=np.int64),
+    })
+    got = rank_per_key(_rd(df), keys=["k"], order_by=["a", "b"],
+                       descending=[False, True], out_col="r") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    want = duckdb.connect().execute("""
+        SELECT *, RANK() OVER (PARTITION BY k ORDER BY a, b DESC) AS r
+        FROM df ORDER BY id""").df()
+    assert got["r"].tolist() == want["r"].astype("int64").tolist()
+
+
+def test_densify_time_fills_gaps(ray_session):
+    from information_extraction_system_ray.functions.window import densify_time
+
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 1, 2], np.int64),
+        "h": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 03:00",
+                             "2024-01-01 05:00", "2024-01-02 10:00"]),
+        "n": np.array([5, 2, 1, 9], np.int64),
+    })
+    tbl = pa.table({
+        "k": pa.array(df["k"], pa.int64()),
+        "h": pa.array(df["h"], pa.timestamp("us")),
+        "n": pa.array(df["n"], pa.int64()),
+    })
+    import ray.data as rd
+    out = densify_time(rd.from_arrow(tbl).repartition(2), keys=["k"],
+                       bucket_col="h", value_cols={"n": 0}, freq="h") \
+        .to_pandas().sort_values(["k", "h"]).reset_index(drop=True)
+    # key 1 spans 6 hourly buckets (0,1,2,3,4,5), key 2 exactly 1
+    assert len(out) == 7
+    k1 = out[out.k == 1]
+    assert k1["n"].tolist() == [5, 0, 0, 2, 0, 1]
+    assert out[out.k == 2]["n"].tolist() == [9]
+    assert str(out["h"].dtype).startswith("datetime64")
