@@ -280,3 +280,62 @@ def approx_quantiles(ds: ray.data.Dataset, col: str, qs: "list[float]", *,
         i = int(np.searchsorted(cum, q * w_total, side="left"))
         out.append({"q": q, "value": float(values[min(i, len(values) - 1)])})
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public): mergeable
+# frequency estimation. Each batch builds ONE (d x w) counter matrix per
+# group (combiner — batch contributes d*w int64 cells, never its row
+# volume); matrices merge by elementwise addition (associative, order-free);
+# a point query returns min over d rows — an overestimate by at most
+# eps * N with probability 1 - delta, where w = ceil(e / eps),
+# d = ceil(ln(1 / delta)). Deterministic: row hashes are blake2b-seeded.
+# ---------------------------------------------------------------------------
+
+_CM_D = 4                     # delta ≈ e^-4 ≈ 1.8%
+_CM_W = 1024                  # eps ≈ e / 1024 ≈ 0.27%
+
+
+def _cm_hash(values, row: int) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = hashlib.blake2b(str(v).encode(), digest_size=8,
+                            salt=b"cm%05d" % row).digest()
+        out[i] = int.from_bytes(h, "little")
+    return out % _CM_W
+
+
+def _cm_build(values) -> np.ndarray:
+    """One (d*w,) int64 counter vector for a value list."""
+    mat = np.zeros((_CM_D, _CM_W), np.int64)
+    for r in range(_CM_D):
+        np.add.at(mat[r], _cm_hash(values, r), 1)
+    return mat.ravel()
+
+
+def cm_sketch(ds: ray.data.Dataset, value: str) -> np.ndarray:
+    """Global Count-Min counter matrix (d, w) for ``value`` — built as one
+    partial vector per batch, merged by a Sum aggregate (shuffle volume =
+    d*w ints per batch, never rows)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vec = _cm_build(t[value].to_pylist())
+        n = len(vec)
+        return pa.table({
+            "cell": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "cnt": pa.array(vec, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("cnt", alias_name="cnt")))
+    df = merged.to_pandas().sort_values("cell")
+    full = np.zeros(_CM_D * _CM_W, np.int64)
+    full[df["cell"].to_numpy()] = df["cnt"].to_numpy()
+    return full.reshape(_CM_D, _CM_W)
+
+
+def cm_query(mat: np.ndarray, value) -> int:
+    """Point-frequency estimate: min over the d hashed cells."""
+    return int(min(mat[r, int(_cm_hash([value], r)[0])]
+                   for r in range(_CM_D)))

@@ -2733,6 +2733,72 @@ ORDER BY user_id, h
 """
 
 
+def lineitem_latest_shipped(sf_dir: str):
+    """Multi-key distributed sort + limit: the 25 most recently shipped
+    line items, ties broken by (orderkey, linenumber) — exercises Ray's
+    range-partitioned sort over a composite key with mixed directions,
+    then a streaming limit (only the head block materializes)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    return (li.sort(["l_shipdate", "l_orderkey", "l_linenumber"],
+                    descending=[True, False, False])
+            .limit(25))
+
+
+_LINEITEM_LATEST_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+ORDER BY l_shipdate DESC, l_orderkey, l_linenumber
+LIMIT 25
+"""
+
+
+def orders_above_cust_avg(sf_dir: str):
+    """Decorrelated correlated subquery ("orders above their customer's
+    average price"): per-customer (sum, count) aggregate → joined back on
+    the big side → exact-integer boundary test. avg is the same float64
+    division in both engines, and cents are exact ints, so the > boundary
+    is bit-deterministic."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    cents = orders.map_batches(prep, batch_format="pyarrow")
+    stats = (cents.groupby("o_custkey")
+             .aggregate(Sum("cents", alias_name="s"),
+                        Count(alias_name="c"))
+             .rename_columns({"o_custkey": "k"}))
+    joined = cents.join(stats, join_type="inner",
+                        num_partitions=_join_parts(sf_dir, "orders"),
+                        on=("o_custkey",), right_on=("k",))
+
+    def above(t: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(t["s"], pa.float64()),
+                        pc.cast(t["c"], pa.float64()))
+        keep = pc.greater(pc.cast(t["cents"], pa.float64()), avg)
+        return pa.table({"o_custkey": t["o_custkey"]}).filter(keep)
+
+    return (joined.map_batches(above, batch_format="pyarrow")
+            .groupby("o_custkey").aggregate(Count(alias_name="n_above"))
+            .sort("o_custkey"))
+
+
+_ORDERS_ABOVE_AVG_SQL = """
+WITH c AS (SELECT o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+s AS (SELECT o_custkey AS k, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg
+      FROM c GROUP BY o_custkey)
+SELECT o_custkey, COUNT(*) AS n_above
+FROM c JOIN s ON c.o_custkey = s.k
+WHERE CAST(cents AS DOUBLE) > avg
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2837,6 +2903,8 @@ def queries():
         "emb_label_centroids": emb_label_centroids,
         "orders_rank_with_ties": orders_rank_with_ties,
         "events_user_hourly_dense": events_user_hourly_dense,
+        "lineitem_latest_shipped": lineitem_latest_shipped,
+        "orders_above_cust_avg": orders_above_cust_avg,
     }
 
 
@@ -2920,6 +2988,8 @@ def oracle_sql():
         "emb_label_centroids": _EMB_CENTROID_SQL,
         "orders_rank_with_ties": _ORDERS_RANK_TIES_SQL,
         "events_user_hourly_dense": _EVENTS_DENSE_SQL,
+        "lineitem_latest_shipped": _LINEITEM_LATEST_SQL,
+        "orders_above_cust_avg": _ORDERS_ABOVE_AVG_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
