@@ -2799,6 +2799,69 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def events_type_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type — the two-level
+    aggregate: dedup on the (type, user) PAIR first (combiner-friendly,
+    shuffle width = distinct pairs, not rows), then a bounded per-type
+    count. The exact counterpart of the HLL query
+    `events_type_approx_users`."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = (ev.groupby(["event_type", "user_id"])
+             .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow"))
+    return (pairs.groupby("event_type")
+            .aggregate(Count(alias_name="n_users"))
+            .sort("event_type"))
+
+
+_EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def lineitem_weighted_avg_price(sf_dir: str):
+    """Grouped weighted average (SUM(w*x) / SUM(w)) per return flag —
+    quantity-weighted unit price in exact integer cents (both moments are
+    int64 sums, order-free), one identical float64 division at the end."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = _cents(t["l_extendedprice"])
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "wx": pc.multiply(qty, cents),
+            "w": qty,
+        })
+
+    agg = (li.map_batches(prep, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("wx", alias_name="swx"),
+                      Sum("w", alias_name="sw")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "wavg_cents": pc.divide(pc.cast(t["swx"], pa.float64()),
+                                    pc.cast(t["sw"], pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("l_returnflag")
+
+
+_LINEITEM_WAVG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(q * cents) AS DOUBLE) / SUM(q) AS wavg_cents
+FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2905,6 +2968,8 @@ def queries():
         "events_user_hourly_dense": events_user_hourly_dense,
         "lineitem_latest_shipped": lineitem_latest_shipped,
         "orders_above_cust_avg": orders_above_cust_avg,
+        "events_type_distinct_users": events_type_distinct_users,
+        "lineitem_weighted_avg_price": lineitem_weighted_avg_price,
     }
 
 
@@ -2990,6 +3055,8 @@ def oracle_sql():
         "events_user_hourly_dense": _EVENTS_DENSE_SQL,
         "lineitem_latest_shipped": _LINEITEM_LATEST_SQL,
         "orders_above_cust_avg": _ORDERS_ABOVE_AVG_SQL,
+        "events_type_distinct_users": _EVENTS_DISTINCT_USERS_SQL,
+        "lineitem_weighted_avg_price": _LINEITEM_WAVG_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
