@@ -2862,6 +2862,103 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def events_type_transitions(sf_dir: str):
+    """Event-sequence transition counts (the Markov-chain / session-flow
+    mining primitive): per user in (ts, event_id) order, each consecutive
+    (prev_type -> type) pair, counted globally. One window pass
+    (window.lag_column) + one bounded groupby (width = |types|^2)."""
+    from .functions.window import lag_column
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    lagged = lag_column(ev, "event_type", keys=["user_id"],
+                        order_by=["ts", "event_id"], out_col="prev_type")
+    return (lagged.map_batches(
+                lambda t: t.filter(pc.is_valid(t["prev_type"])),
+                batch_format="pyarrow")
+            .groupby(["prev_type", "event_type"])
+            .aggregate(Count(alias_name="n"))
+            .sort(["prev_type", "event_type"]))
+
+
+_EVENTS_TRANSITIONS_SQL = """
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type
+      FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type ORDER BY prev_type, event_type
+"""
+
+
+def events_funnel(sf_dir: str):
+    """Ordered funnel (signup -> purchase): per user, did the first signup
+    precede the first purchase? One bounded per-(user, type) min-ts
+    aggregate, pivoted to two columns, then an exact timestamp compare.
+    Counts users at each funnel stage."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array(["signup",
+                                                     "purchase"])))
+
+    def split(t: pa.Table) -> pa.Table:
+        is_s = pc.equal(t["event_type"], pa.scalar("signup"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "s_ts": pc.if_else(is_s, t["ts"],
+                               pa.scalar(None, pa.timestamp("us"))),
+            "p_ts": pc.if_else(is_s, pa.scalar(None, pa.timestamp("us")),
+                               t["ts"]),
+        })
+
+    # conditional-Min pivot per user (nulls ignored by Ray's Min), then
+    # per-batch partial flag sums + one global scalar reduce — no stage
+    # ever holds more than a batch
+    firsts = (ev.map_batches(keep, batch_format="pyarrow")
+              .map_batches(split, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Min("s_ts", alias_name="s"),
+                         Min("p_ts", alias_name="p")))
+
+    def flags(t: pa.Table) -> pa.Table:
+        s_ok = pc.is_valid(t["s"])
+        both = pc.and_(s_ok, pc.is_valid(t["p"]))
+        conv = pc.and_kleene(both, pc.less(t["s"], t["p"]))
+        return pa.table({
+            "signup_users": pa.array(
+                [pc.sum(pc.cast(s_ok, pa.int64())).as_py() or 0],
+                pa.int64()),
+            "funnel_users": pa.array(
+                [pc.sum(pc.cast(pc.coalesce(conv, pa.scalar(False)),
+                                pa.int64())).as_py() or 0], pa.int64()),
+        })
+
+    partials = firsts.map_batches(flags, batch_format="pyarrow")
+    total = pa.table({
+        "signup_users": pa.array([int(partials.sum("signup_users") or 0)],
+                                 pa.int64()),
+        "funnel_users": pa.array([int(partials.sum("funnel_users") or 0)],
+                                 pa.int64()),
+    })
+    return ray.data.from_arrow(total)
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH f AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY user_id)
+SELECT CAST(COUNT(s) AS BIGINT) AS signup_users,
+       CAST(SUM(CASE WHEN s IS NOT NULL AND p IS NOT NULL AND s < p
+                     THEN 1 ELSE 0 END) AS BIGINT) AS funnel_users
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2970,6 +3067,8 @@ def queries():
         "orders_above_cust_avg": orders_above_cust_avg,
         "events_type_distinct_users": events_type_distinct_users,
         "lineitem_weighted_avg_price": lineitem_weighted_avg_price,
+        "events_type_transitions": events_type_transitions,
+        "events_funnel": events_funnel,
     }
 
 
@@ -3057,6 +3156,8 @@ def oracle_sql():
         "orders_above_cust_avg": _ORDERS_ABOVE_AVG_SQL,
         "events_type_distinct_users": _EVENTS_DISTINCT_USERS_SQL,
         "lineitem_weighted_avg_price": _LINEITEM_WAVG_SQL,
+        "events_type_transitions": _EVENTS_TRANSITIONS_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
