@@ -2959,6 +2959,111 @@ FROM f
 """
 
 
+def events_user_streaks(sf_dir: str):
+    """Gaps-and-islands (longest consecutive-day activity streak per
+    user): the classic date − row_number() trick — distinct (user, day)
+    rows get a per-user row number in day order; day − rn is constant
+    within an island; one bounded groupby counts island lengths, a max
+    picks the streak. Composes the existing row_number window operator."""
+    from .functions.window import row_number
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        return pa.table({"user_id": t["user_id"],
+                         "epoch_day": pc.divide(
+                             pc.cast(day, pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64()))})
+
+    days = (ev.map_batches(to_day, batch_format="pyarrow")
+            .groupby(["user_id", "epoch_day"])
+            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow"))
+    numbered = row_number(days, keys=["user_id"],
+                          order_by=["epoch_day"], out_col="rn")
+
+    def island(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "island": pc.subtract(t["epoch_day"],
+                                  pc.cast(t["rn"], pa.int64())),
+        })
+
+    lengths = (numbered.map_batches(island, batch_format="pyarrow")
+               .groupby(["user_id", "island"])
+               .aggregate(Count(alias_name="len")))
+    return (lengths.groupby("user_id")
+            .aggregate(Max("len", alias_name="max_streak"))
+            .sort("user_id"))
+
+
+_EVENTS_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS d
+  FROM events),
+isl AS (
+  SELECT user_id,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days)
+SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_streak
+FROM (SELECT user_id, island, COUNT(*) AS cnt
+      FROM isl GROUP BY user_id, island)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def docs_incremental_dedup(sf_dir: str):
+    """Incremental / cross-corpus dedup (the 'new data vs frozen
+    reference' training-pipeline primitive): documents with even doc_id
+    play the frozen reference corpus; the odd-id batch keeps only docs
+    whose text fingerprint does NOT appear in the reference — an anti
+    semi-join on the content hash (functions/joins.py anti_join), shipping
+    only (fingerprint, id) through the shuffle. Returns per-source
+    counts of surviving new docs."""
+    import hashlib
+
+    from .functions.joins import anti_join
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        hs = pa.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in t["text"].to_pylist()], pa.string())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "fp": hs,
+            "is_ref": pc.equal(
+                pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(0, pa.int64())),
+        })
+
+    with_fp = docs.map_batches(fp, batch_format="pyarrow")
+    ref = with_fp.map_batches(lambda t: t.filter(t["is_ref"]),
+                              batch_format="pyarrow") \
+        .select_columns(["fp"])
+    new = with_fp.map_batches(
+        lambda t: t.filter(pc.invert(t["is_ref"])),
+        batch_format="pyarrow").select_columns(["doc_id", "source", "fp"])
+    kept = anti_join(new, ref, left_key="fp", right_key="fp")
+    return (kept.groupby("source").aggregate(Count(alias_name="n_new"))
+            .sort("source"))
+
+
+_DOCS_INCR_DEDUP_SQL = """
+WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new
+FROM fp n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM fp r
+                  WHERE r.doc_id % 2 = 0 AND r.fp = n.fp)
+GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3069,6 +3174,8 @@ def queries():
         "lineitem_weighted_avg_price": lineitem_weighted_avg_price,
         "events_type_transitions": events_type_transitions,
         "events_funnel": events_funnel,
+        "events_user_streaks": events_user_streaks,
+        "docs_incremental_dedup": docs_incremental_dedup,
     }
 
 
@@ -3158,6 +3265,8 @@ def oracle_sql():
         "lineitem_weighted_avg_price": _LINEITEM_WAVG_SQL,
         "events_type_transitions": _EVENTS_TRANSITIONS_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_user_streaks": _EVENTS_STREAKS_SQL,
+        "docs_incremental_dedup": _DOCS_INCR_DEDUP_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
