@@ -3064,6 +3064,143 @@ GROUP BY source ORDER BY source
 """
 
 
+def lineitem_part_pairs(sf_dir: str):
+    """Market-basket co-occurrence (parts ordered together): per order,
+    all distinct part pairs (a < b), counted globally, top 20. Pair
+    explosion is bounded by the per-basket item count (TPC-H: <= 7 items
+    per order → <= 21 pairs), the quadratic step runs inside the order's
+    hash partition, and only (pa, pb) pairs enter the count shuffle —
+    the standard co-occurrence mining shape."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    dedup = (li.groupby(["l_orderkey", "l_partkey"])
+             .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow"))
+
+    def pairs(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(["l_orderkey", "l_partkey"],
+                                kind="mergesort")
+        a_out, b_out = [], []
+        for _, grp in part.groupby("l_orderkey", sort=False):
+            ps = grp["l_partkey"].to_numpy()
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    a_out.append(int(ps[i]))
+                    b_out.append(int(ps[j]))
+        return pa.table({"pa": pa.array(a_out, pa.int64()),
+                         "pb": pa.array(b_out, pa.int64())})
+
+    from .functions.partitions import default_parts
+
+    nparts = default_parts()
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pd.util.hash_pandas_object(
+            pd.Series(t["l_orderkey"].to_pandas()), index=False) % nparts
+        return t.append_column("_p",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    counted = (dedup.map_batches(tag, batch_format="pyarrow")
+               .groupby("_p").map_groups(pairs, batch_format="pandas")
+               .groupby(["pa", "pb"]).aggregate(Count(alias_name="n")))
+    return counted.sort(["n", "pa", "pb"],
+                        descending=[True, False, False]).limit(20)
+
+
+_LINEITEM_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 20
+"""
+
+
+def q10_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in a
+    quarter, joined to customer + nation, top 20. The lineitem side is
+    reduced to one row per order BEFORE any join; customer/nation attach
+    via Ray's hash join with the pre-aggregated side as build."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_o(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-10-01", "us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders_f = orders.map_batches(filt_o, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        cents = _cents(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_cents": cents})
+
+    li_agg = (li.map_batches(prep_li, batch_format="pyarrow")
+              .groupby("l_orderkey")
+              .aggregate(Sum("rev_cents", alias_name="rev_cents")))
+
+    # aggregate side as LEFT: a groupby output always carries its schema,
+    # while a filtered map_batches side can yield schema-less empty blocks
+    # that break Ray's hash-join key resolution.
+    j1 = li_agg.join(orders_f, join_type="inner",
+                     num_partitions=_join_parts(sf_dir, "orders"),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = (j1.groupby("o_custkey")
+                .aggregate(Sum("rev_cents", alias_name="rev_cents")))
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"])
+    nmap = ray.put({r["n_nationkey"]: r["n_name"]
+                    for r in nation.take_all()})
+
+    j2 = per_cust.join(cust, join_type="inner",
+                       num_partitions=_join_parts(sf_dir, "customer"),
+                       on=("o_custkey",), right_on=("c_custkey",))
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(nmap)
+        names = [m[k] for k in t["c_nationkey"].to_pylist()]
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "n_name": pa.array(names, pa.string()),
+            "rev_cents": t["rev_cents"],
+        })
+
+    return (j2.map_batches(attach, batch_format="pyarrow")
+            .sort(["rev_cents", "c_custkey"], descending=[True, False])
+            .limit(20))
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name, rev_cents FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= DATE '1996-10-01'
+    AND o.o_orderdate < DATE '1997-01-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+ORDER BY rev_cents DESC, c_custkey LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3176,6 +3313,8 @@ def queries():
         "events_funnel": events_funnel,
         "events_user_streaks": events_user_streaks,
         "docs_incremental_dedup": docs_incremental_dedup,
+        "lineitem_part_pairs": lineitem_part_pairs,
+        "q10_returned_customers": q10_returned_customers,
     }
 
 
@@ -3267,6 +3406,8 @@ def oracle_sql():
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_user_streaks": _EVENTS_STREAKS_SQL,
         "docs_incremental_dedup": _DOCS_INCR_DEDUP_SQL,
+        "lineitem_part_pairs": _LINEITEM_PAIRS_SQL,
+        "q10_returned_customers": _Q10_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
