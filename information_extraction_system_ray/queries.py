@@ -3201,6 +3201,197 @@ ORDER BY rev_cents DESC, c_custkey LIMIT 20
 """
 
 
+def q18_large_volume_cust(sf_dir: str):
+    """TPC-H Q18 shape (HAVING join-back): orders whose total quantity
+    exceeds a threshold, re-joined to orders + customer for attributes.
+    The aggregate-then-filter side is tiny after HAVING, so it drives both
+    joins as the build side; the raw lineitem stream never joins anything."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity"])
+    qty = (li.groupby("l_orderkey")
+           .aggregate(Sum("l_quantity", alias_name="total_qty")))
+
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["total_qty"], pa.scalar(250.0)))
+        # quantities are integral-valued doubles; the sum is exact
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "total_qty": pc.cast(t["total_qty"], pa.int64())})
+
+    big = qty.map_batches(having, batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    j1 = big.join(orders, join_type="inner",
+                  num_partitions=_join_parts(sf_dir, "orders"),
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name"])
+    j2 = j1.join(cust, join_type="inner",
+                 num_partitions=_join_parts(sf_dir, "customer"),
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "o_orderkey": t["l_orderkey"],
+            "total_qty": t["total_qty"],
+            "price_cents": _cents(t["o_totalprice"]),
+        })
+
+    return (j2.map_batches(shape, batch_format="pyarrow")
+            .sort(["total_qty", "o_orderkey"], descending=[True, False])
+            .limit(50))
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+SELECT c_custkey, c_name, o_orderkey, total_qty,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 50
+"""
+
+
+def q14_promo_share(sf_dir: str):
+    """TPC-H Q14 shape (conditional share of revenue): fraction of revenue
+    from promo-class parts in one month. The part→is-promo map is broadcast
+    once (`ray.put` of a partkey set — parts ≪ lineitems at any scale);
+    per-batch partial (promo, total) cent sums reduce to one scalar row, so
+    nothing wider than a batch ever exists."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    promo_keys = part.map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_type"], "PROMO"))
+        .select(["p_partkey"]),
+        batch_format="pyarrow").take_all()
+    promo = ray.put(frozenset(r["p_partkey"] for r in promo_keys))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1996-07-01", "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        cents = _cents(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        keys = ray.get(promo)
+        is_promo = pa.array([k in keys for k in t["l_partkey"].to_pylist()],
+                            pa.bool_())
+        pc_sum = pc.sum(pc.if_else(is_promo, cents,
+                                   pa.scalar(0, pa.int64()))).as_py() or 0
+        tot = pc.sum(cents).as_py() or 0
+        return pa.table({"promo_cents": pa.array([pc_sum], pa.int64()),
+                         "total_cents": pa.array([tot], pa.int64())})
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    promo_c = int(partials.sum("promo_cents") or 0)
+    total_c = int(partials.sum("total_cents") or 0)
+    share = round(100.0 * promo_c / total_c, 4) if total_c else 0.0
+    return ray.data.from_arrow(pa.table({
+        "promo_cents": pa.array([promo_c], pa.int64()),
+        "total_cents": pa.array([total_c], pa.int64()),
+        "promo_share_pct": pa.array([share], pa.float64()),
+    }))
+
+
+_Q14_SQL = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS cents,
+         p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01')
+SELECT CAST(COALESCE(SUM(cents) FILTER (WHERE is_promo), 0) AS BIGINT)
+           AS promo_cents,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+       round(100.0 * COALESCE(SUM(cents) FILTER (WHERE is_promo), 0)
+             / SUM(cents), 4) AS promo_share_pct
+FROM c
+"""
+
+
+def q22_rich_inactive_custs(sf_dir: str):
+    """TPC-H Q22 shape (global-average subquery + anti-join): customers
+    whose balance exceeds the positive-balance average AND who placed no
+    order since 2000, counted per nation. The average is carried as an
+    exact integer
+    rational (sum_cents, count) and the comparison is done in integer
+    cross-multiplication — no float boundary can flip a row on either
+    engine. Anti-join is the co-partitioned membership filter."""
+    from .functions.joins import anti_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"],
+            "bal_cents": _cents(t["c_acctbal"]),
+        })
+
+    cc = cust.map_batches(cents_tbl, batch_format="pyarrow").materialize()
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["bal_cents"], pa.scalar(0, pa.int64())))
+        return pa.table({
+            "s": pa.array([pc.sum(pos["bal_cents"]).as_py() or 0],
+                          pa.int64()),
+            "n": pa.array([pos.num_rows], pa.int64()),
+        })
+
+    p = cc.map_batches(pos_partial, batch_format="pyarrow")
+    s_tot = int(p.sum("s") or 0)
+    n_tot = int(p.sum("n") or 0)
+
+    def rich(t: pa.Table) -> pa.Table:
+        # bal > s/n  <=>  bal * n > s   (exact int64 math)
+        keep = pc.greater(pc.multiply(t["bal_cents"],
+                                      pa.scalar(n_tot, pa.int64())),
+                          pa.scalar(s_tot, pa.int64()))
+        return t.filter(keep)
+
+    rich_c = cc.map_batches(rich, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["o_orderdate"],
+            pa.scalar(np.datetime64("2000-01-01", "us"))))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
+    inactive = anti_join(rich_c, recent,
+                         left_key="c_custkey", right_key="o_custkey")
+    return (inactive.groupby("c_nationkey")
+            .aggregate(Count(alias_name="numcust"),
+                       Sum("bal_cents", alias_name="totbal_cents"))
+            .sort("c_nationkey"))
+
+
+_Q22_SQL = """
+WITH avgpos AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE round(c_acctbal * 100) > 0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totbal_cents
+FROM customer, avgpos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3315,6 +3506,9 @@ def queries():
         "docs_incremental_dedup": docs_incremental_dedup,
         "lineitem_part_pairs": lineitem_part_pairs,
         "q10_returned_customers": q10_returned_customers,
+        "q18_large_volume_cust": q18_large_volume_cust,
+        "q14_promo_share": q14_promo_share,
+        "q22_rich_inactive_custs": q22_rich_inactive_custs,
     }
 
 
@@ -3408,6 +3602,9 @@ def oracle_sql():
         "docs_incremental_dedup": _DOCS_INCR_DEDUP_SQL,
         "lineitem_part_pairs": _LINEITEM_PAIRS_SQL,
         "q10_returned_customers": _Q10_SQL,
+        "q18_large_volume_cust": _Q18_SQL,
+        "q14_promo_share": _Q14_SQL,
+        "q22_rich_inactive_custs": _Q22_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
