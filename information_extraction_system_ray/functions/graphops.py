@@ -85,3 +85,171 @@ def two_hop_counts(edges: ray.data.Dataset, *, src: str = "src",
 
     return (attached.groupby(src)
             .aggregate(Sum("hops", alias_name="n_two_hop")))
+
+
+def triangle_count(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
+                   num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Distributed triangle counting — Dataset with ONE row ``{triangles}``.
+
+    ``edges`` must hold each undirected edge exactly once with ``u < v``
+    (vertex-id order). Classic degree-oriented wedge counting: orient each
+    edge from its lower-(degree, id) endpoint so every triangle is counted
+    exactly once at its minimum vertex, and out-degree — hence the wedge
+    blow-up per vertex — is bounded by O(sqrt(|E|)) even at a
+    wikipedia.org-scale hub. Degrees attach to both endpoints via the
+    co-partitioned union+groupby trick (no driver-side degree dict), wedges
+    are generated inside the source's hash partition with a local
+    (pair → count) combine before the closure shuffle, and closure is a
+    per-partition set membership against the edge list."""
+    nparts = num_partitions or default_parts()
+    ktype = edges.schema().base_schema.field(u).type
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([pa.table({"node": t[u]}),
+                                 pa.table({"node": t[v]})])
+
+    deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .materialize())  # vertices ≪ edges; reused by both attach passes
+
+    def _hash_part(t: pa.Table, col: str) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[col].to_pandas()), index=False) % nparts
+        return pa.array(h.to_numpy(), pa.int64())
+
+    def attach_pass(ds: ray.data.Dataset, key_col: str,
+                    extra: "list[tuple[str, pa.DataType]]",
+                    out_name: str) -> ray.data.Dataset:
+        mem = pa.schema([(u, ktype), (v, ktype)] + extra +
+                        [("_d", pa.int64()), ("part", pa.int64()),
+                         ("side", pa.int8())])
+
+        def tag_e(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {u: t[u], v: t[v]}
+            for cname, _ in extra:
+                cols[cname] = t[cname]
+            cols["_d"] = pa.nulls(n, pa.int64())
+            cols["part"] = _hash_part(t, key_col)
+            cols["side"] = pa.array(np.zeros(n, np.int8), pa.int8())
+            return pa.table(cols).cast(mem)
+
+        def tag_d(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {u: t["node"] if key_col == u else pa.nulls(n, ktype),
+                    v: t["node"] if key_col == v else pa.nulls(n, ktype)}
+            for cname, ctype in extra:
+                cols[cname] = pa.nulls(n, ctype)
+            cols["_d"] = t["deg"]
+            cols["part"] = _hash_part(t, "node")
+            cols["side"] = pa.array(np.ones(n, np.int8), pa.int8())
+            return pa.table(cols).cast(mem)
+
+        out_schema = pa.schema([(u, ktype), (v, ktype)] + extra +
+                               [(out_name, pa.int64())])
+
+        def merge(part: pa.Table) -> pa.Table:
+            e = part.filter(pc.equal(part["side"], 0))
+            d = part.filter(pc.equal(part["side"], 1))
+            if e.num_rows == 0:
+                return out_schema.empty_table()
+            dmap = dict(zip(d[key_col].to_pylist(), d["_d"].to_pylist()))
+            vals = np.array([dmap.get(k, 0)
+                             for k in e[key_col].to_pylist()], np.int64)
+            cols = {u: e[u], v: e[v]}
+            for cname, _ in extra:
+                cols[cname] = e[cname]
+            cols[out_name] = pa.array(vals, pa.int64())
+            return pa.table(cols).cast(out_schema)
+
+        return (ds.map_batches(tag_e, batch_format="pyarrow")
+                .union(deg.map_batches(tag_d, batch_format="pyarrow"))
+                .groupby("part").map_groups(merge, batch_format="pyarrow"))
+
+    e_du = attach_pass(edges, u, [], "du")
+    e_dd = attach_pass(e_du, v, [("du", pa.int64())], "dv")
+
+    def orient(t: pa.Table) -> pa.Table:
+        du = t["du"].to_numpy(zero_copy_only=False)
+        dv = t["dv"].to_numpy(zero_copy_only=False)
+        ua = t[u].to_numpy(zero_copy_only=False)
+        va = t[v].to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (ua < va))
+        src = np.where(u_first, ua, va)
+        dst = np.where(u_first, va, ua)
+        out = pa.table({"src": pa.array(src).cast(ktype),
+                        "dst": pa.array(dst).cast(ktype)})
+        return out.append_column("part", _hash_part(out, "src"))
+
+    oriented = e_dd.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([("wu", ktype), ("wv", ktype),
+                              ("nw", pa.int64())])
+
+    def wedges(part: pd.DataFrame) -> pa.Table:
+        outs_u, outs_v = [], []
+        for _, g in part.groupby("src", sort=False):
+            ns = np.unique(g["dst"].to_numpy())
+            if len(ns) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ns), 1)
+            outs_u.append(ns[iu])   # ascending ⇒ wu < wv by vertex id,
+            outs_v.append(ns[iv])   # matching the edge table's orientation
+        if not outs_u:
+            return wedge_schema.empty_table()
+        wu = np.concatenate(outs_u)
+        wv = np.concatenate(outs_v)
+        # local (pair → count) combine before the closure shuffle
+        pairs = np.stack([wu, wv], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({"wu": pa.array(uniq[:, 0]).cast(ktype),
+                         "wv": pa.array(uniq[:, 1]).cast(ktype),
+                         "nw": pa.array(counts, pa.int64())}) \
+            .cast(wedge_schema)
+
+    w = oriented.groupby("part").map_groups(wedges, batch_format="pandas")
+
+    close_schema = pa.schema([("wu", ktype), ("wv", ktype),
+                              ("nw", pa.int64()), ("part", pa.int64()),
+                              ("side", pa.int8())])
+
+    def _pair_part(t: pa.Table, c1: str, c2: str) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t[c1].to_pandas(),
+                          "b": t[c2].to_pandas()}), index=False) % nparts
+        return pa.array(h.to_numpy(), pa.int64())
+
+    def tag_w(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"wu": t["wu"], "wv": t["wv"], "nw": t["nw"],
+                         "part": _pair_part(t, "wu", "wv"),
+                         "side": pa.array(np.zeros(n, np.int8), pa.int8())}
+                        ).cast(close_schema)
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"wu": t[u], "wv": t[v],
+                         "nw": pa.nulls(n, pa.int64()),
+                         "part": _pair_part(t, u, v),
+                         "side": pa.array(np.ones(n, np.int8), pa.int8())}
+                        ).cast(close_schema)
+
+    def close(part: pa.Table) -> pa.Table:
+        wd = part.filter(pc.equal(part["side"], 0))
+        ed = part.filter(pc.equal(part["side"], 1))
+        if wd.num_rows == 0 or ed.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        eset = set(zip(ed["wu"].to_pylist(), ed["wv"].to_pylist()))
+        total = 0
+        for a, b, nw in zip(wd["wu"].to_pylist(), wd["wv"].to_pylist(),
+                            wd["nw"].to_pylist()):
+            if (a, b) in eset:
+                total += nw
+        return pa.table({"n": pa.array([total], pa.int64())})
+
+    closed = (w.map_batches(tag_w, batch_format="pyarrow")
+              .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+              .groupby("part").map_groups(close, batch_format="pyarrow"))
+    total = int(closed.sum("n") or 0)
+    return ray.data.from_arrow(
+        pa.table({"triangles": pa.array([total], pa.int64())}))

@@ -3064,13 +3064,12 @@ GROUP BY source ORDER BY source
 """
 
 
-def lineitem_part_pairs(sf_dir: str):
-    """Market-basket co-occurrence (parts ordered together): per order,
-    all distinct part pairs (a < b), counted globally, top 20. Pair
-    explosion is bounded by the per-basket item count (TPC-H: <= 7 items
-    per order → <= 21 pairs), the quadratic step runs inside the order's
-    hash partition, and only (pa, pb) pairs enter the count shuffle —
-    the standard co-occurrence mining shape."""
+def _part_cooccur_counts(sf_dir: str):
+    """Dataset(pa, pb, n): distinct part pairs co-ordered in one basket
+    (pa < pb), with global co-occurrence counts. Pair explosion is bounded
+    by the per-basket item count (TPC-H: <= 7 items per order → <= 21
+    pairs), the quadratic step runs inside the order's hash partition, and
+    only (pa, pb) pairs enter the count shuffle."""
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_partkey"])
     dedup = (li.groupby(["l_orderkey", "l_partkey"])
@@ -3099,9 +3098,15 @@ def lineitem_part_pairs(sf_dir: str):
         return t.append_column("_p",
                                pa.array(part.to_numpy(), pa.int64()))
 
-    counted = (dedup.map_batches(tag, batch_format="pyarrow")
-               .groupby("_p").map_groups(pairs, batch_format="pandas")
-               .groupby(["pa", "pb"]).aggregate(Count(alias_name="n")))
+    return (dedup.map_batches(tag, batch_format="pyarrow")
+            .groupby("_p").map_groups(pairs, batch_format="pandas")
+            .groupby(["pa", "pb"]).aggregate(Count(alias_name="n")))
+
+
+def lineitem_part_pairs(sf_dir: str):
+    """Market-basket co-occurrence (parts ordered together): top 20 part
+    pairs by basket count — the standard co-occurrence mining shape."""
+    counted = _part_cooccur_counts(sf_dir)
     return counted.sort(["n", "pa", "pb"],
                         descending=[True, False, False]).limit(20)
 
@@ -3392,6 +3397,72 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def part_graph_triangles(sf_dir: str):
+    """Distributed triangle counting (functions/graphops.py
+    ``triangle_count``) over the part co-occurrence graph: an edge joins
+    two parts ordered together in >= 2 baskets. Degree-oriented wedge
+    counting — each triangle counted once at its minimum-(degree, id)
+    vertex, out-degree bounded O(sqrt(|E|)) so hub parts cannot explode
+    the wedge set; degrees attach via co-partitioned union+groupby, never
+    a driver dict."""
+    from .functions.graphops import triangle_count
+
+    counted = _part_cooccur_counts(sf_dir)
+
+    def strong(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], pa.scalar(2, pa.int64())))
+        return pa.table({"u": t["pa"], "v": t["pb"]})
+
+    edges = counted.map_batches(strong, batch_format="pyarrow")
+    return triangle_count(edges, u="u", v="v")
+
+
+_PART_TRIANGLES_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM e e1 JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+def events_user_path(sf_dir: str):
+    """Ordered sequence aggregation (session-flow path per user): the
+    user's full event-type path, ts-ordered, joined with '>'. Unlike
+    collect_set (value-sorted distinct), this keeps duplicates in event
+    order — the path/clickstream-mining primitive. Groups are
+    hash-partitioned per user; per-user row width is bounded by the user's
+    own event count."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("path", pa.string())])
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        paths = g.groupby("user_id", sort=True)["event_type"] \
+            .agg(">".join)
+        return pa.table({"user_id": pa.array(paths.index.to_numpy(),
+                                             pa.int64()),
+                         "path": pa.array(paths.to_numpy(), pa.string())}
+                        ).cast(out_schema)
+
+    return (ev.groupby("user_id")
+            .map_groups(assemble, batch_format="pandas")
+            .sort("user_id"))
+
+
+_EVENTS_PATH_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3509,6 +3580,8 @@ def queries():
         "q18_large_volume_cust": q18_large_volume_cust,
         "q14_promo_share": q14_promo_share,
         "q22_rich_inactive_custs": q22_rich_inactive_custs,
+        "part_graph_triangles": part_graph_triangles,
+        "events_user_path": events_user_path,
     }
 
 
@@ -3605,6 +3678,8 @@ def oracle_sql():
         "q18_large_volume_cust": _Q18_SQL,
         "q14_promo_share": _Q14_SQL,
         "q22_rich_inactive_custs": _Q22_SQL,
+        "part_graph_triangles": _PART_TRIANGLES_SQL,
+        "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

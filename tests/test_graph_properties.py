@@ -71,3 +71,36 @@ def test_build_edges_block_split_invariant(ray_session, n_blocks):
     want = want.sort_values(["subj_id", "pred", "obj_id"]) \
         .reset_index(drop=True)
     assert got.to_dict("records") == want.to_dict("records")
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """K4 has 4 triangles; a star hub has 0; brute force agrees on a
+    random graph regardless of block layout."""
+    import itertools
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import (
+        triangle_count)
+
+    def run(edges, nparts=3):
+        t = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        ds = rd.from_arrow(t).repartition(nparts)
+        return triangle_count(ds, u="u", v="v").take_all()[0]["triangles"]
+
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    assert run(k4) == 4
+
+    star = [(0, i) for i in range(1, 30)]          # hub, no closure
+    assert run(star) == 0
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(220)})
+    eset = set(rand)
+    brute = sum(1 for a, b, c in itertools.combinations(nodes, 3)
+                if (a, b) in eset and (b, c) in eset and (a, c) in eset)
+    assert run(rand, nparts=5) == brute
+    assert run(rand, nparts=1) == brute
