@@ -64,3 +64,106 @@ def label_centroids(ds: ray.data.Dataset, *, vec_col: str = "embedding",
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans(ds: ray.data.Dataset, *, vec_col: str = "embedding",
+           id_col: str = "vec_id", k: int = 8,
+           iters: int = 5) -> "tuple[np.ndarray, ray.data.Dataset]":
+    """Distributed Lloyd's k-means, deterministic on any partitioning.
+
+    Returns ``(centroids[k, d] float64 in micro-units, Dataset(id,
+    cluster))``. Three determinism levers: (1) init picks the k vectors
+    with the lowest ``md5(id)`` — a distributed bottom-k, no RNG; (2)
+    vectors are quantized ONCE to int64 micro-units and per-cluster sums
+    accumulate in exact integer arithmetic (order-free), so an iteration's
+    centroids are identical on 1 block or 1000; (3) assignment breaks
+    distance ties by lowest cluster id (argmin). Per iteration the shuffle
+    carries only k x d partial-sum rows; vectors never re-shuffle. Empty
+    clusters keep their previous centroid."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    def quantize(t: pa.Table) -> np.ndarray:
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False)
+        n = len(t)
+        d = len(flat) // n if n else 0
+        return np.round(flat.astype(np.float64) * _SCALE) \
+            .astype(np.int64).reshape(n, d)
+
+    # ---- init: distributed bottom-k by md5(id) ----------------------
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        if not ids:
+            return pa.schema([("h", pa.string()), (id_col, pa.int64()),
+                              ("vec", pa.list_(pa.int64()))]).empty_table()
+        hs = np.array([hashlib.md5(str(i).encode()).hexdigest()
+                       for i in ids])
+        order = np.argsort(hs, kind="stable")[:k]
+        mat = quantize(t)
+        return pa.table({
+            "h": pa.array(hs[order], pa.string()),
+            id_col: pa.array(np.asarray(ids, np.int64)[order], pa.int64()),
+            "vec": pa.array(list(mat[order]), pa.list_(pa.int64())),
+        })
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow") \
+        .sort("h").limit(k).take_all()
+    cents = np.array([r["vec"] for r in seeds], np.float64)
+    d = cents.shape[1]
+
+    # ---- Lloyd iterations ------------------------------------------
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            mat = quantize(t).astype(np.float64)
+            if mat.size == 0:
+                return pa.schema([("cluster", pa.int64()),
+                                  ("dim", pa.int64()), ("s", pa.int64()),
+                                  ("c", pa.int64())]).empty_table()
+            c = ray.get(cref)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+            d2 = -2.0 * mat @ c.T + (c * c).sum(axis=1)[None, :]
+            codes = np.argmin(d2, axis=1)          # ties -> lowest cluster
+            sums = np.zeros((len(c), mat.shape[1]), np.int64)
+            np.add.at(sums, codes, mat.astype(np.int64))
+            counts = np.bincount(codes, minlength=len(c)).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            dd = mat.shape[1]
+            return pa.table({
+                "cluster": pa.array(np.repeat(nz, dd), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dd, dtype=np.int64),
+                                        len(nz)), pa.int64()),
+                "s": pa.array(sums[nz].ravel(), pa.int64()),
+                "c": pa.array(np.repeat(counts[nz], dd), pa.int64()),
+            })
+
+        merged = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["cluster", "dim"])
+                  .aggregate(Sum("s", alias_name="s"),
+                             Sum("c", alias_name="c"))).take_all()
+        new = cents.copy()
+        for row in merged:
+            cl, dim = int(row["cluster"]), int(row["dim"])
+            new[cl, dim] = float(row["s"]) / float(row["c"])
+        cents = new
+
+    # ---- final assignment ------------------------------------------
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = quantize(t).astype(np.float64)
+        out_schema = pa.schema([(id_col, pa.int64()),
+                                ("cluster", pa.int64())])
+        if mat.size == 0:
+            return out_schema.empty_table()
+        c = ray.get(cref)
+        d2 = -2.0 * mat @ c.T + (c * c).sum(axis=1)[None, :]
+        codes = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(codes, pa.int64())}
+                        ).cast(out_schema)
+
+    return cents, ds.map_batches(assign, batch_format="pyarrow")

@@ -3463,6 +3463,23 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def emb_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column
+    (functions/vectors.py ``kmeans``) — the semantic-clustering primitive
+    behind cluster-balanced sampling and semantic dedup of training data.
+    Deterministic on any partitioning (md5 bottom-k init, exact int64
+    micro-unit centroid sums, lowest-id tie-break); per iteration only
+    k x dim partial rows shuffle, vectors never move. Output: cluster
+    sizes. Rows-only for the driver (iterative, non-SQL); the exact
+    oracle is the driver-side reference loop in tests/test_kmeans.py."""
+    from .functions.vectors import kmeans
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans(ds, k=8, iters=5)
+    return (assign.groupby("cluster").aggregate(Count(alias_name="n"))
+            .sort("cluster"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3582,6 +3599,7 @@ def queries():
         "q22_rich_inactive_custs": q22_rich_inactive_custs,
         "part_graph_triangles": part_graph_triangles,
         "events_user_path": events_user_path,
+        "emb_kmeans": emb_kmeans,
     }
 
 

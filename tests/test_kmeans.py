@@ -1,0 +1,76 @@
+"""Distributed k-means (functions/vectors.py kmeans) — exact oracle is a
+driver-side numpy reference running the SAME deterministic algorithm
+(md5 bottom-k init, int64 micro-unit sums, lowest-id tie-break), so the
+distributed result must match it bit-for-bit on any block layout."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from information_extraction_system_ray.functions.vectors import kmeans
+
+_SCALE = 1_000_000.0
+
+
+def _make(n=120, d=6, seed=3):
+    rng = np.random.default_rng(seed)
+    # three well-separated blobs + noise so clustering is non-trivial
+    centers = rng.normal(size=(3, d)) * 10
+    pts = np.concatenate([
+        centers[i % 3] + rng.normal(size=d) * 0.5 for i in range(n)
+    ]).reshape(n, d).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    return ids, pts
+
+
+def _reference(ids, pts, k, iters):
+    q = np.round(pts.astype(np.float64) * _SCALE).astype(np.int64)
+    hs = np.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+    order = np.argsort(hs, kind="stable")[:k]
+    cents = q[order].astype(np.float64)
+    for _ in range(iters):
+        d2 = -2.0 * q.astype(np.float64) @ cents.T \
+            + (cents * cents).sum(axis=1)[None, :]
+        codes = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = codes == c
+            if m.any():
+                new[c] = q[m].sum(axis=0) / m.sum()
+        cents = new
+    d2 = -2.0 * q.astype(np.float64) @ cents.T \
+        + (cents * cents).sum(axis=1)[None, :]
+    return cents, np.argmin(d2, axis=1)
+
+
+def _ds(ids, pts, nparts):
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(pts),
+                                        pa.list_(pa.float32()))})
+    return rd.from_arrow(t).repartition(nparts)
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_kmeans_matches_reference_any_layout(ray_session, nparts):
+    ids, pts = _make()
+    k, iters = 4, 4
+    want_c, want_a = _reference(ids, pts, k, iters)
+    got_c, assign = kmeans(_ds(ids, pts, nparts), k=k, iters=iters)
+    assert np.array_equal(got_c, want_c)
+    got = {r["vec_id"]: r["cluster"] for r in assign.take_all()}
+    assert [got[i] for i in ids] == list(want_a)
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    ids, pts = _make(n=90, d=4, seed=11)
+    _, assign = kmeans(_ds(ids, pts, 3), k=3, iters=6)
+    rows = assign.take_all()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] % 3)
+    # every recovered cluster is pure: one blob per cluster
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len(rows) == 90
