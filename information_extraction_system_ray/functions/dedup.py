@@ -469,3 +469,130 @@ def embedding_cosine_duplicates(emb: ray.data.Dataset, *,
     return (emb.map_batches(keyed, batch_format="pyarrow")
             .groupby(["tbl", "bucket"])
             .map_groups(pairs, batch_format="pandas"))
+
+
+def contamination_flags(docs: ray.data.Dataset, ref: ray.data.Dataset, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_k: int = 8,
+                        num_partitions: "int | None" = None
+                        ) -> ray.data.Dataset:
+    """Benchmark decontamination: Dataset(id_col) of docs sharing >= 1
+    word ``shingle_k``-gram with the reference corpus — the standard
+    n-gram-overlap contamination check run before training on web text.
+
+    Scale shape: both sides explode to (shingle-hash[, id]) rows — the
+    honest cost of any n-gram index — then co-partition by hash(shingle)
+    so membership is a per-partition set probe against ONLY that
+    partition's slice of the reference index; no side is ever broadcast
+    or driver-materialized. A doc appears once per matching partition;
+    a final distinct-by-id groupby dedups. Matched-side volume is pruned
+    per batch by emitting each (shingle, doc) pair once."""
+    nparts = num_partitions or default_parts()
+
+    ref_schema = pa.schema([("h", pa.int64()), (id_col, pa.int64()),
+                            ("part", pa.int64()), ("side", pa.int8())])
+
+    def _explode(t: pa.Table, side: int) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        hs, out_ids = [], []
+        for i, tx in zip(ids, texts):
+            sh = shingle_hashes(tx, shingle_k)   # already distinct
+            hs.append(sh)
+            out_ids.append(np.full(len(sh), i, np.int64))
+        h = (np.concatenate(hs) if hs else np.empty(0, np.int64))
+        d = (np.concatenate(out_ids) if out_ids
+             else np.empty(0, np.int64))
+        part = (h % nparts + nparts) % nparts
+        return pa.table({
+            "h": pa.array(h, pa.int64()),
+            id_col: pa.array(d, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+            "side": pa.array(np.full(len(h), side, np.int8), pa.int8()),
+        }).cast(ref_schema)
+
+    tagged = (docs.map_batches(lambda t: _explode(t, 0),
+                               batch_format="pyarrow")
+              .union(ref.map_batches(lambda t: _explode(t, 1),
+                                     batch_format="pyarrow")))
+
+    hit_schema = pa.schema([(id_col, pa.int64())])
+
+    def probe(part: pa.Table) -> pa.Table:
+        d = part.filter(pc.equal(part["side"], 0))
+        r = part.filter(pc.equal(part["side"], 1))
+        if d.num_rows == 0 or r.num_rows == 0:
+            return hit_schema.empty_table()
+        rset = set(r["h"].to_pylist())
+        mask = np.fromiter((h in rset for h in d["h"].to_pylist()),
+                           bool, d.num_rows)
+        hit = np.unique(d[id_col].to_numpy(zero_copy_only=False)[mask])
+        return pa.table({id_col: pa.array(hit, pa.int64())}) \
+            .cast(hit_schema)
+
+    hits = tagged.groupby("part").map_groups(probe,
+                                             batch_format="pyarrow")
+    return (hits.groupby(id_col)
+            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow"))
+
+
+def semantic_dedup(emb: ray.data.Dataset, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8,
+                   iters: int = 3, threshold: float = 0.95
+                   ) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): k-means-bucket the embedding space, then inside each cluster
+    greedily keep the lowest-id member of every cosine>=threshold
+    neighborhood. Returns Dataset(id_col) of survivors.
+
+    Scale shape: the O(n^2) cosine step runs per CLUSTER (n/k rows), so k
+    is the knob that caps partition-local work; the kmeans stage shuffles
+    only k x dim partial rows per iteration (functions/vectors.kmeans).
+    Known recall caveat (shared with IVF): a near-dup pair split across a
+    cluster boundary is missed — mitigate with larger k + multi-probe
+    assignment, not a global pair scan."""
+    from .vectors import kmeans
+
+    cents, _ = kmeans(emb, vec_col=vec_col, id_col=id_col, k=k,
+                      iters=iters)
+    cref = ray.put(cents)
+
+    mem_schema = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64()),
+                            ("vec", pa.list_(pa.float32()))])
+
+    def assign(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False)
+        n = len(t)
+        if n == 0 or len(flat) == 0:
+            return mem_schema.empty_table()
+        d = len(flat) // n
+        mat = np.round(flat.astype(np.float64) * 1e6).reshape(n, d)
+        c = ray.get(cref)
+        d2 = -2.0 * mat @ c.T + (c * c).sum(axis=1)[None, :]
+        codes = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(codes, pa.int64()),
+            "vec": vecs.cast(pa.list_(pa.float32())),
+        }).cast(mem_schema)
+
+    out_schema = pa.schema([(id_col, pa.int64())])
+
+    def dedup_cluster(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        v = np.stack([np.asarray(x, dtype=np.float32) for x in g["vec"]])
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12)
+        sim = vn @ vn.T
+        kept: "list[int]" = []
+        for i in range(len(ids)):
+            if all(sim[i, j] < threshold for j in kept):
+                kept.append(i)
+        return pa.table({id_col: pa.array(ids[kept], pa.int64())}) \
+            .cast(out_schema)
+
+    return (emb.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))

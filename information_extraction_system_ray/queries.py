@@ -3463,6 +3463,55 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def docs_contamination(sf_dir: str):
+    """Benchmark decontamination (functions/dedup.py
+    ``contamination_flags``): docs sharing >= 1 word 8-gram with a
+    held-out "benchmark" subset (doc_id % 7 == 0) — the n-gram-overlap
+    contamination check run before training on web text. Co-partitioned
+    by shingle hash; neither side is broadcast or driver-materialized.
+    Rows-only for the driver (shingling is not SQL-expressible); the
+    exact oracle is the planted-overlap test in tests/test_dedup.py."""
+    from .functions.dedup import contamination_flags
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod7(t: pa.Table, want_ref: bool) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % 7 == 0
+        return t.filter(pa.array(m if want_ref else ~m))
+
+    ref = docs.map_batches(lambda t: _mod7(t, True),
+                           batch_format="pyarrow")
+    check = docs.map_batches(lambda t: _mod7(t, False),
+                             batch_format="pyarrow")
+    return contamination_flags(check, ref, shingle_k=8).sort("doc_id")
+
+
+def emb_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (functions/dedup.py
+    ``semantic_dedup``): k-means-bucket the embedding space, keep the
+    lowest-id member of every within-cluster cosine>=0.9 neighborhood.
+    The O(n^2) cosine step runs per cluster (n/k rows), so k caps the
+    partition-local work. The synthetic embeddings have no cosine>=0.8
+    pairs, so the corpus is augmented with an exact copy of every 20th
+    vector (vec_id + 1_000_000) — survivors must be exactly the original
+    ids. Rows-only for the driver (iterative kmeans is non-SQL); the
+    exact oracle is the planted-duplicate test in tests/test_dedup.py."""
+    from .functions.dedup import semantic_dedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        m = t["vec_id"].to_numpy(zero_copy_only=False) % 20 == 0
+        d = t.filter(pa.array(m))
+        return pa.table({
+            "vec_id": pc.add(d["vec_id"], pa.scalar(1_000_000, pa.int64())),
+            "embedding": d["embedding"],
+        })
+
+    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    return semantic_dedup(aug, k=8, iters=3, threshold=0.9).sort("vec_id")
+
+
 def emb_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding column
     (functions/vectors.py ``kmeans``) — the semantic-clustering primitive
@@ -3600,6 +3649,8 @@ def queries():
         "part_graph_triangles": part_graph_triangles,
         "events_user_path": events_user_path,
         "emb_kmeans": emb_kmeans,
+        "docs_contamination": docs_contamination,
+        "emb_semdedup": emb_semdedup,
     }
 
 

@@ -217,3 +217,108 @@ def test_embedding_multitable_no_dup_rows(ray_session):
     got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     found_planted = sum((2 * i, 2 * i + 1) in got for i in range(20))
     assert found_planted >= 18  # 3 tables x 8 buckets: near-total recall
+
+
+def test_contamination_flags_planted_overlap(ray_session):
+    """Docs sharing an 8-gram with the reference set are flagged; docs
+    with only shorter overlaps are not. Exact oracle: brute-force shingle
+    intersection on the driver."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.dedup import (
+        contamination_flags)
+    from information_extraction_system_ray.functions.text import (
+        shingle_hashes)
+
+    bench = ("the quick brown fox jumps over the lazy dog while "
+             "seven wise wizards brew quality tonics at dawn")
+    ref_rows = {"doc_id": [1000, 1001],
+                "text": [bench, "completely unrelated reference text "
+                                "about maritime navigation charts"]}
+    docs_rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # verbatim 8-gram lift from bench -> contaminated
+            "intro words then the quick brown fox jumps over the lazy "
+            "dog closing remark",
+            # only a 4-gram in common -> clean at k=8
+            "the quick brown fox went elsewhere entirely after that "
+            "moment of fame and never returned home again",
+            "nothing in common with any reference document here at all "
+            "just filler tokens stretching past the shingle width",
+            # verbatim lift from the second ref doc
+            "students study completely unrelated reference text about "
+            "maritime navigation charts in the library",
+        ],
+    }
+    docs = rd.from_arrow(pa.table(docs_rows)).repartition(3)
+    ref = rd.from_arrow(pa.table(ref_rows)).repartition(2)
+
+    got = sorted(r["doc_id"] for r in
+                 contamination_flags(docs, ref, shingle_k=8).take_all())
+
+    ref_sh = set()
+    for t in ref_rows["text"]:
+        ref_sh.update(shingle_hashes(t, 8).tolist())
+    want = sorted(i for i, t in zip(docs_rows["doc_id"],
+                                    docs_rows["text"])
+                  if set(shingle_hashes(t, 8).tolist()) & ref_sh)
+    assert got == want
+    assert 1 in got and 4 in got and 2 not in got and 3 not in got
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_semantic_dedup_planted_groups(ray_session, nparts):
+    """Three tight duplicate groups in separated regions + unique noise:
+    survivors are exactly (lowest id per group) + all uniques, on any
+    block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.dedup import (
+        semantic_dedup)
+
+    rng = np.random.default_rng(5)
+    d = 8
+    anchors = rng.normal(size=(3, d)) * 10
+    ids, vecs = [], []
+    # duplicate groups: 4 members each, tiny jitter -> cosine ~ 1
+    for g, a in enumerate(anchors):
+        for m in range(4):
+            ids.append(100 * g + m)
+            vecs.append(a + rng.normal(size=d) * 1e-3)
+    # far-apart uniques
+    for u in range(20):
+        ids.append(1000 + u)
+        v = rng.normal(size=d) * 10
+        vecs.append(v)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(
+                      [np.asarray(v, np.float32) for v in vecs],
+                      pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(nparts)
+    got = sorted(r["vec_id"] for r in
+                 semantic_dedup(ds, k=6, iters=4,
+                                threshold=0.95).take_all())
+    # every duplicate group collapsed to its lowest id
+    assert 0 in got and 100 in got and 200 in got
+    for g in range(3):
+        survivors = [i for i in got if 100 * g <= i < 100 * g + 4]
+        assert survivors == [100 * g]
+    # uniques: pairwise cosine below threshold -> all kept unless two
+    # random vectors happen to align; verify against brute force
+    vn = np.stack([np.asarray(v, np.float32) for v in vecs])
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    sim = vn @ vn.T
+    order = np.argsort(ids, kind="stable")
+    kept = []
+    for i in order:
+        if all(sim[i, j] < 0.95 for j in kept):
+            kept.append(i)
+    want_upper = sorted(np.asarray(ids)[kept].tolist())
+    # distributed result may keep MORE than global-greedy (cross-cluster
+    # pairs are not compared) but never fewer, and never drops a group
+    # representative
+    assert set(want_upper) <= set(got)
