@@ -22,6 +22,15 @@ from ray.data.aggregate import Count, Sum
 from .partitions import default_parts
 
 
+def _hash_part_col(t: pa.Table, col: str, nparts: int) -> pa.Array:
+    """hash(col) % nparts as int64 — the co-partitioning key column. Uses
+    pandas' SipHash-backed hasher so every tagging site (edges, labels,
+    frontiers) lands the same value in the same partition."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(t[col].to_pandas()), index=False) % nparts
+    return pa.array(h.to_numpy(), pa.int64())
+
+
 def two_hop_counts(edges: ray.data.Dataset, *, src: str = "src",
                    dst: str = "dst",
                    num_partitions: "int | None" = None) -> ray.data.Dataset:
@@ -253,3 +262,212 @@ def triangle_count(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
     total = int(closed.sum("n") or 0)
     return ray.data.from_arrow(
         pa.table({"triangles": pa.array([total], pa.int64())}))
+
+
+def kcore(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
+          k: int = 3, num_partitions: "int | None" = None,
+          max_iters: int = 100,
+          broadcast_threshold: int = 2_000_000) -> ray.data.Dataset:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    of degree < k (and their edges) until a fixed point; returns the
+    surviving edge set Dataset(u, v).
+
+    Each round is one degree aggregate plus a membership filter against
+    the round's low-degree set. When that set is small (≤
+    ``broadcast_threshold`` ids — bare int64 node ids, so ≤16 MB at the
+    default), it is pulled once, ``ray.put`` once, and both endpoints
+    are filtered in a single shuffle-free ``map_batches`` with
+    ``pc.is_in``. Above the threshold the filter falls back to two
+    co-partitioned union+groupby passes (drop edges whose u — then
+    whose v — is in the low set) where the low set never leaves the
+    cluster. Edges re-materialize per round to truncate lineage — at
+    production scale that step is a partitioned-Parquet checkpoint, and
+    deep peeling chains (worst case O(n) rounds) are bounded by
+    ``max_iters``; coreness-by-h-index iteration is the published
+    fixed-round alternative when peeling depth bites."""
+    nparts = num_partitions or default_parts()
+    ktype = edges.schema().base_schema.field(u).type
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([pa.table({"node": t[u]}),
+                                 pa.table({"node": t[v]})])
+
+    def _hash_part(t: pa.Table, col: str) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[col].to_pandas()), index=False) % nparts
+        return pa.array(h.to_numpy(), pa.int64())
+
+    mem = pa.schema([(u, ktype), (v, ktype), ("part", pa.int64()),
+                     ("side", pa.int8())])
+    out_schema = pa.schema([(u, ktype), (v, ktype)])
+
+    def drop_broadcast(cur: ray.data.Dataset,
+                       low: ray.data.Dataset) -> ray.data.Dataset:
+        low_ref = ray.put(pa.concat_tables(
+            low.iter_batches(batch_format="pyarrow",
+                             batch_size=None))["node"].combine_chunks())
+
+        def keep(t: pa.Table) -> pa.Table:
+            lo = ray.get(low_ref)
+            mask = pc.and_(
+                pc.invert(pc.is_in(t[u], value_set=lo)),
+                pc.invert(pc.is_in(t[v], value_set=lo)))
+            return t.filter(mask).select([u, v]).cast(out_schema)
+
+        return cur.map_batches(keep, batch_format="pyarrow")
+
+    def drop_pass(cur: ray.data.Dataset, low: ray.data.Dataset,
+                  key_col: str) -> ray.data.Dataset:
+        def tag_e(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({u: t[u], v: t[v],
+                             "part": _hash_part(t, key_col),
+                             "side": pa.array(np.zeros(n, np.int8),
+                                              pa.int8())}).cast(mem)
+
+        def tag_low(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({u: t["node"], v: pa.nulls(n, ktype),
+                             "part": _hash_part(t, "node"),
+                             "side": pa.array(np.ones(n, np.int8),
+                                              pa.int8())}).cast(mem)
+
+        def keep(part: pa.Table) -> pa.Table:
+            e = part.filter(pc.equal(part["side"], 0))
+            lo = part.filter(pc.equal(part["side"], 1))
+            if e.num_rows == 0:
+                return out_schema.empty_table()
+            if lo.num_rows == 0:
+                return e.select([u, v]).cast(out_schema)
+            mask = pc.invert(pc.is_in(e[key_col],
+                                      value_set=lo[u].combine_chunks()))
+            return e.select([u, v]).filter(mask).cast(out_schema)
+
+        return (cur.map_batches(tag_e, batch_format="pyarrow")
+                .union(low.map_batches(tag_low, batch_format="pyarrow"))
+                .groupby("part").map_groups(keep, batch_format="pyarrow"))
+
+    from .lineage import snapshot
+
+    # Coalesce to nparts blocks once (per-round overhead scales with
+    # block count), and rebind loop state through lineage.snapshot each
+    # round so stats ancestry doesn't compound (functions/lineage.py).
+    cur = snapshot(edges, num_blocks=nparts)
+    for _ in range(max_iters):
+        deg = (cur.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node").aggregate(Count(alias_name="deg")))
+        low = snapshot(deg.map_batches(
+            lambda t: t.select(["node"]).filter(
+                pc.less(t["deg"], pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow"))
+        n_low = low.count()
+        if n_low == 0:
+            return cur
+        if n_low <= broadcast_threshold:
+            cur = snapshot(drop_broadcast(cur, low), num_blocks=nparts)
+        else:
+            cur = snapshot(drop_pass(drop_pass(cur, low, u), low, v),
+                           num_blocks=nparts)
+        if cur.count() == 0:
+            return cur
+    raise RuntimeError(f"kcore: no fixed point in {max_iters} rounds")
+
+
+def bfs_distances(edges: ray.data.Dataset, *, source,
+                  u: str = "u", v: str = "v",
+                  num_partitions: "int | None" = None,
+                  max_iters: int = 50) -> ray.data.Dataset:
+    """Single-source BFS hop distances — Dataset(node, dist) for every
+    node reachable from ``source`` (the source itself at dist 0).
+
+    Level-synchronous frontier expansion: per round the frontier's
+    neighbor set is a co-partitioned semi-join of the symmetrized
+    adjacency against the frontier (functions/joins.py — union+groupby,
+    no aggregator actors, no broadcast), deduped, then anti-joined
+    against the already-labelled set to become the next level. The
+    adjacency materializes once and is re-read every round; labels grow
+    by exactly the new level each round. Rounds = eccentricity of the
+    source — small-world web graphs keep that in the single digits —
+    and ``max_iters`` guards pathological chains (a path graph would
+    need O(n) rounds; for those, pointer-doubling label-prop is the
+    published fixed-round alternative).
+
+    Loop state is rebound through ``lineage.snapshot`` every round: the
+    frontier is coalesced (per-partition stages emit one block per
+    partition per round — block count would compound ~3× per round) and
+    its stats ancestry dropped (Ray's driver-side stats summary walks
+    the full ancestor DAG on every execute; left unchecked that walk,
+    not cluster work, dominated — see functions/lineage.py)."""
+    from .joins import anti_join, semi_join
+    from .lineage import snapshot
+
+    nparts = num_partitions or default_parts()
+    ktype = edges.schema().base_schema.field(u).type
+    out_schema = pa.schema([("node", ktype), ("dist", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": pa.concat_arrays([t[u].combine_chunks(),
+                                     t[v].combine_chunks()]),
+            "nbr": pa.concat_arrays([t[v].combine_chunks(),
+                                     t[u].combine_chunks()])})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def level_table(nodes: pa.Array, d: int) -> pa.Table:
+        return pa.table({"node": nodes,
+                         "dist": pa.array([d] * len(nodes), pa.int64())}
+                        ).cast(out_schema)
+
+    src_arr = pa.array([source]).cast(ktype)
+    labels = ray.data.from_arrow(level_table(src_arr, 0))
+    frontier = labels.select_columns(["node"])
+
+    # Fused dedup+anti pass (one shuffle): candidates and labels are
+    # co-partitioned by hash(node); per partition, distinct(candidates)
+    # minus labelled nodes — so a round is exactly two shuffles (expand
+    # by mid, subtract by node), with no schema-inference pre-execution.
+    mem = pa.schema([("node", ktype), ("side", pa.int8()),
+                     ("part", pa.int64())])
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["nbr"],
+            "side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+            "part": _hash_part_col(t, "nbr", nparts)}).cast(mem)
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            "part": _hash_part_col(t, "node", nparts)}).cast(mem)
+
+    node_schema = pa.schema([("node", ktype)])
+
+    def subtract(part: pa.Table) -> pa.Table:
+        cand = part.filter(pc.equal(part["side"], 0))["node"]
+        if len(cand) == 0:
+            return node_schema.empty_table()
+        seen = part.filter(pc.equal(part["side"], 1))["node"]
+        fresh = pc.unique(cand.combine_chunks())
+        if len(seen):
+            fresh = fresh.filter(pc.invert(
+                pc.is_in(fresh, value_set=seen.combine_chunks())))
+        return pa.table({"node": fresh}).cast(node_schema)
+
+    for d in range(1, max_iters + 1):
+        hit = semi_join(adj, frontier, left_key="mid", right_key="node",
+                        num_partitions=nparts)
+        new = snapshot(
+            hit.map_batches(tag_cand, batch_format="pyarrow")
+            .union(labels.map_batches(tag_lab, batch_format="pyarrow"))
+            .groupby("part").map_groups(subtract, batch_format="pyarrow"),
+            num_blocks=nparts)
+        if new.count() == 0:
+            return labels
+        frontier = new
+        labels = snapshot(labels.union(
+            new.map_batches(
+                lambda t, _d=d: level_table(t["node"].combine_chunks(), _d),
+                batch_format="pyarrow")), num_blocks=nparts)
+    return labels

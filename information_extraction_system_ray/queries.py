@@ -3407,14 +3407,7 @@ def part_graph_triangles(sf_dir: str):
     a driver dict."""
     from .functions.graphops import triangle_count
 
-    counted = _part_cooccur_counts(sf_dir)
-
-    def strong(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["n"], pa.scalar(2, pa.int64())))
-        return pa.table({"u": t["pa"], "v": t["pb"]})
-
-    edges = counted.map_batches(strong, batch_format="pyarrow")
-    return triangle_count(edges, u="u", v="v")
+    return triangle_count(_part_strong_edges(sf_dir), u="u", v="v")
 
 
 _PART_TRIANGLES_SQL = """
@@ -3426,6 +3419,307 @@ e AS (SELECT a.l_partkey u, b.l_partkey v
 SELECT CAST(COUNT(*) AS BIGINT) AS triangles
 FROM e e1 JOIN e e2 ON e1.v = e2.u
           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+def part_graph_kcore(sf_dir: str):
+    """k-core extraction (functions/graphops.py ``kcore``): the 3-core of
+    the part co-occurrence graph — iterative peeling, one degree
+    aggregate per round plus a membership filter (small low-degree sets
+    broadcast as bare id arrays; past the documented threshold the
+    filter runs as two co-partitioned passes with no broadcast). Output:
+    one row {core_nodes, core_edges}. Rows-only for the driver
+    (subtractive fixpoint is not recursive-CTE friendly); the exact
+    oracle is the brute-force peeling test in
+    tests/test_graph_properties.py."""
+    from .functions.graphops import kcore
+
+    core = kcore(_part_strong_edges(sf_dir), u="u", v="v",
+                 k=3).materialize()
+    n_edges = core.count()
+    if n_edges == 0:
+        n_nodes = 0
+    else:
+        nodes = core.map_batches(
+            lambda t: pa.concat_tables([pa.table({"x": t["u"]}),
+                                        pa.table({"x": t["v"]})]),
+            batch_format="pyarrow")
+        n_nodes = (nodes.groupby("x")
+                   .map_groups(lambda t: t.slice(0, 1),
+                               batch_format="pyarrow").count())
+    return ray.data.from_arrow(pa.table({
+        "core_nodes": pa.array([n_nodes], pa.int64()),
+        "core_edges": pa.array([n_edges], pa.int64()),
+    }))
+
+
+def _part_strong_edges(sf_dir: str):
+    """Dataset(u, v) with u < v: part co-occurrence edges supported by
+    >= 2 baskets — the shared graph for triangles / k-core / degree /
+    link-prediction queries."""
+    counted = _part_cooccur_counts(sf_dir)
+
+    def strong(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], pa.scalar(2, pa.int64())))
+        return pa.table({"u": t["pa"], "v": t["pb"]})
+
+    return counted.map_batches(strong, batch_format="pyarrow")
+
+
+def part_graph_degree_hist(sf_dir: str):
+    """Degree distribution of the part co-occurrence graph: degree →
+    node count, the first diagnostic run on any web-scale graph (power-law
+    check). Two narrow aggregates — endpoints→degree, degree→count —
+    nothing wider than (node, deg) ever shuffles."""
+    edges = _part_strong_edges(sf_dir)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([pa.table({"node": t["u"]}),
+                                 pa.table({"node": t["v"]})])
+
+    deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg")))
+    return (deg.groupby("deg").aggregate(Count(alias_name="n_nodes"))
+            .sort("deg"))
+
+
+_PART_DEGREE_HIST_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY deg ORDER BY deg
+"""
+
+
+def part_graph_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard link prediction: top 20 part pairs by
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the co-occurrence graph. Common
+    neighbors count via wedge pairs co-partitioned by the SHARED
+    neighbor (each wedge center emits its own adjacency pairs — O(deg²)
+    per hub, the same frontier the SQL self-join pays; cap or sample hub
+    adjacency at web scale), degrees attach via two hash joins. Jaccard
+    is emitted as the exact int pair (common, union_sz) plus the double
+    ratio — both engines divide identical int64s, so the doubles are
+    bit-equal. Join partitions are sized from the probe side
+    (_join_parts): each hash-shuffle partition is an aggregator actor,
+    and over-provisioning actors past the CPU count stalls small runs."""
+    edges = _part_strong_edges(sf_dir)
+    nparts = _join_parts(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": pa.concat_arrays([t["u"].combine_chunks(),
+                                     t["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["v"].combine_chunks(),
+                                     t["u"].combine_chunks()])})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow")
+
+    deg = (adj.groupby("mid").aggregate(Count(alias_name="deg"))
+           .rename_columns({"mid": "node"}))
+
+    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def wedge_pairs(g: pd.DataFrame) -> pa.Table:
+        u_out, v_out = [], []
+        for _, grp in g.groupby("mid", sort=False):
+            ns = np.sort(grp["nbr"].to_numpy())
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    u_out.append(int(ns[i]))
+                    v_out.append(int(ns[j]))
+        return pa.table({"u": pa.array(u_out, pa.int64()),
+                         "v": pa.array(v_out, pa.int64())}).cast(pair_schema)
+
+    common = (adj.groupby("mid")
+              .map_groups(wedge_pairs, batch_format="pandas")
+              .groupby(["u", "v"]).aggregate(Count(alias_name="common")))
+
+    j1 = common.join(deg.rename_columns({"deg": "deg_u"}),
+                     join_type="inner", num_partitions=nparts,
+                     on=("u",), right_on=("node",))
+    j2 = j1.join(deg.rename_columns({"deg": "deg_v"}),
+                 join_type="inner", num_partitions=nparts,
+                 on=("v",), right_on=("node",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        union_sz = pc.subtract(pc.add(t["deg_u"], t["deg_v"]), t["common"])
+        jac = pc.divide(pc.cast(t["common"], pa.float64()),
+                        pc.cast(union_sz, pa.float64()))
+        return pa.table({"u": t["u"], "v": t["v"], "common": t["common"],
+                         "union_sz": union_sz, "jaccard": jac})
+
+    return (j2.map_batches(finish, batch_format="pyarrow")
+            .sort(["jaccard", "u", "v"], descending=[True, False, False])
+            .limit(20))
+
+
+_PART_JACCARD_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT u AS mid, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e),
+deg AS (SELECT mid AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+common AS (SELECT x.nbr u, y.nbr v, CAST(COUNT(*) AS BIGINT) AS common
+           FROM sym x JOIN sym y ON x.mid = y.mid AND x.nbr < y.nbr
+           GROUP BY 1, 2)
+SELECT c.u, c.v, c.common,
+       da.deg + db.deg - c.common AS union_sz,
+       CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common) AS jaccard
+FROM common c JOIN deg da ON da.node = c.u JOIN deg db ON db.node = c.v
+ORDER BY jaccard DESC, u, v LIMIT 20
+"""
+
+
+def docs_inverted_index(sf_dir: str):
+    """Inverted-index build (the IR/retrieval core): per term, document
+    frequency plus the head of the posting list (first 10 doc_ids
+    ascending, comma-joined), top 50 terms by (df desc, term). Each doc
+    lives in exactly one row, so per-batch distinct (term, doc_id) pairs
+    are already globally distinct — the shuffle carries one row per
+    posting, and the per-term cell is bounded by the 10-id head (full
+    posting lists at web scale go to a partitioned Parquet sink keyed by
+    term instead)."""
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=500)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            for term in set(_TERM_RE.findall((txt or "").lower())):
+                ids.append(did)
+                terms.append(term)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id")
+        agg = g.groupby("term", sort=False)["doc_id"].agg(
+            [("df", "size"),
+             ("postings", lambda s: ",".join(str(i) for i in s.iloc[:10]))]
+        ).reset_index()
+        return pa.table({"term": pa.array(agg["term"], pa.string()),
+                         "df": pa.array(agg["df"], pa.int64()),
+                         "postings": pa.array(agg["postings"],
+                                              pa.string())}).cast(out_schema)
+
+    return (docs.map_batches(pairs, batch_format="pyarrow")
+            .groupby("term").map_groups(assemble, batch_format="pandas")
+            .sort(["df", "term"], descending=[True, False]).limit(50))
+
+
+_DOCS_INVERTED_SQL = """
+WITH p AS (SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents)),
+r AS (SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM p)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           FILTER (WHERE rn <= 10) AS postings
+FROM r GROUP BY term ORDER BY df DESC, term LIMIT 50
+"""
+
+
+def part_graph_bfs(sf_dir: str):
+    """Single-source BFS (functions/graphops.py ``bfs_distances``) from
+    the minimum part id over the co-occurrence graph: (node, min hop
+    distance) for every node within 20 hops. Level-synchronous frontier
+    rounds — co-partitioned semi/anti joins, no broadcast, rounds =
+    source eccentricity. The 20-hop cap is part of the operator's
+    contract and mirrored exactly in the SQL oracle's recursion bound,
+    so both engines agree even on graphs deeper than the cap."""
+    from .functions.graphops import bfs_distances
+
+    edges = _part_strong_edges(sf_dir).materialize()
+    src = edges.min("u")  # u < v per edge ⇒ global min node appears as u
+    return bfs_distances(edges, source=src, u="u", v="v",
+                         max_iters=20).sort(["dist", "node"])
+
+
+_PART_BFS_SQL = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT u AS mid, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+walk(node, dist) AS (
+    SELECT (SELECT MIN(u) FROM e), 0
+    UNION
+    SELECT s.nbr, w.dist + 1
+    FROM walk w JOIN sym s ON s.mid = w.node
+    WHERE w.dist < 20
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY dist, node
+"""
+
+
+def part_graph_components(sf_dir: str):
+    """Connected-component size histogram of the co-occurrence graph
+    (component_size → n_components): the distributed min-label
+    propagation from the flagship's canonicalize stage
+    (stages/canonicalize.py ``connected_components_distributed`` —
+    join-free co-partitioned rounds, no driver dict) applied to an
+    int-keyed graph, proving the operator is generic beyond entity
+    strings. Only sizes are compared, so the string-min vs numeric-min
+    label representative difference between the engines is immaterial."""
+    from .stages.canonicalize import connected_components_distributed
+
+    edges = _part_strong_edges(sf_dir)
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t["u"], pa.string()),
+                         "dst": pc.cast(t["v"], pa.string())})
+
+    labels = connected_components_distributed(
+        edges.map_batches(to_str, batch_format="pyarrow"))
+    sizes = labels.groupby("label").aggregate(
+        Count(alias_name="component_size"))
+    return (sizes.groupby("component_size")
+            .aggregate(Count(alias_name="n_components"))
+            .sort("component_size"))
+
+
+_PART_COMPONENTS_SQL = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT u AS mid, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.nbr, r.lbl
+    FROM reach r JOIN sym s ON s.mid = r.node
+    WHERE r.lbl < s.nbr
+),
+comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS component_size
+          FROM comp GROUP BY lbl)
+SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY component_size ORDER BY component_size
 """
 
 
@@ -3651,6 +3945,12 @@ def queries():
         "emb_kmeans": emb_kmeans,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
+        "part_graph_kcore": part_graph_kcore,
+        "part_graph_degree_hist": part_graph_degree_hist,
+        "part_graph_jaccard": part_graph_jaccard,
+        "docs_inverted_index": docs_inverted_index,
+        "part_graph_bfs": part_graph_bfs,
+        "part_graph_components": part_graph_components,
     }
 
 
@@ -3748,6 +4048,11 @@ def oracle_sql():
         "q14_promo_share": _Q14_SQL,
         "q22_rich_inactive_custs": _Q22_SQL,
         "part_graph_triangles": _PART_TRIANGLES_SQL,
+        "part_graph_degree_hist": _PART_DEGREE_HIST_SQL,
+        "part_graph_jaccard": _PART_JACCARD_SQL,
+        "docs_inverted_index": _DOCS_INVERTED_SQL,
+        "part_graph_bfs": _PART_BFS_SQL,
+        "part_graph_components": _PART_COMPONENTS_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -123,6 +123,8 @@ def connected_components_distributed(
     """
     import pandas as pd
 
+    from ..functions.lineage import snapshot
+
     P = num_partitions
 
     def _with_part(col: str):
@@ -189,14 +191,15 @@ def connected_components_distributed(
         pushed = (bi_rows.union(lab_rows)
                   .groupby("part").map_groups(push, batch_format="pandas")
                   .map_batches(_with_part("node"), batch_format="pyarrow"))
-        st2 = (pushed.groupby("part").map_groups(mins,
-                                                 batch_format="pandas")
-               .materialize())
+        # snapshot: drop stats ancestry + coalesce blocks each round —
+        # both compound across rounds otherwise (functions/lineage.py)
+        st2 = snapshot(pushed.groupby("part").map_groups(
+            mins, batch_format="pandas"), num_blocks=P)
         changed = st2.sum("chg")
-        labels = st2.map_batches(
-            lambda t: t.drop_columns(["chg"]), batch_format="pyarrow") \
-            .map_batches(_with_part("node"), batch_format="pyarrow") \
-            .materialize()
+        labels = snapshot(st2.map_batches(
+            lambda t: t.drop_columns(["chg"]), batch_format="pyarrow")
+            .map_batches(_with_part("node"), batch_format="pyarrow"),
+            num_blocks=P)
         if not changed:
             break
     else:

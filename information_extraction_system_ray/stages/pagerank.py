@@ -35,6 +35,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from ..functions.arrowutil import to_arrow
+from ..functions.lineage import snapshot
 
 
 def _with_part(col: str, num_partitions: int):
@@ -221,14 +222,17 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
                 "part": me["part"].to_numpy()}), out_schema)
 
         # ONE execution: scatter flows lazily into gather (no mid-round
-        # materialize barrier beyond the two sort-shuffles themselves)
-        st = (edges_p.map_batches(tag_edge_r, batch_format="pyarrow")
-              .union(ranks.map_batches(tag_rank_r, batch_format="pyarrow"))
-              .groupby("part")
-              .map_groups(scatter, batch_format="pandas")
-              .groupby("part")
-              .map_groups(gather, batch_format="pandas")
-              .materialize())
+        # materialize barrier beyond the two sort-shuffles themselves);
+        # snapshot drops stats ancestry + coalesces the per-partition
+        # blocks so neither compounds across rounds (functions/lineage.py)
+        st = snapshot(
+            edges_p.map_batches(tag_edge_r, batch_format="pyarrow")
+            .union(ranks.map_batches(tag_rank_r, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(scatter, batch_format="pandas")
+            .groupby("part")
+            .map_groups(gather, batch_format="pandas"),
+            num_blocks=P)
         sums = st.sum(["chg", "dangm"])
         delta = float(sums["sum(chg)"] or 0.0)
         dang_mass = float(sums["sum(dangm)"] or 0.0)

@@ -104,3 +104,108 @@ def test_triangle_count_known_graphs(ray_session):
                 if (a, b) in eset and (b, c) in eset and (a, c) in eset)
     assert run(rand, nparts=5) == brute
     assert run(rand, nparts=1) == brute
+
+
+def test_kcore_matches_brute_force_peeling(ray_session):
+    """Distributed k-core equals driver-side peeling on K5 (3-core = K5),
+    a star (2-core empty), a lollipop (clique survives, tail peels), and
+    a random graph — on any block layout."""
+    import itertools
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import kcore
+
+    def brute(edges, k):
+        es = set(edges)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            low = {n for n, d in deg.items() if d < k}
+            if not low:
+                return es
+            es = {(a, b) for a, b in es
+                  if a not in low and b not in low}
+            if not es:
+                return es
+
+    def run(edges, k, nparts=4, bt=2_000_000):
+        t = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        core = kcore(rd.from_arrow(t).repartition(nparts), k=k,
+                     broadcast_threshold=bt)
+        return {(r["u"], r["v"]) for r in core.take_all()}
+
+    k5 = [(a, b) for a, b in itertools.combinations(range(5), 2)]
+    assert run(k5, 3) == set(k5)                 # K5 is its own 3-core
+
+    star = [(0, i) for i in range(1, 20)]
+    assert run(star, 2) == set()                 # star has no 2-core
+
+    lollipop = k5 + [(4, 10), (10, 11), (11, 12)]
+    assert run(lollipop, 3) == set(k5)           # tail peels away
+
+    rng = random.Random(13)
+    nodes = list(range(30))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(120)})
+    for k in (2, 3, 4):
+        assert run(rand, k) == brute(rand, k)
+    assert run(rand, 3, nparts=1) == brute(rand, 3)
+    # bt=0 forces the co-partitioned shuffle path end-to-end
+    assert run(rand, 3, bt=0) == brute(rand, 3)
+    assert run(lollipop, 3, bt=0) == set(k5)
+
+
+def test_bfs_matches_brute_force(ray_session):
+    """Distributed level-synchronous BFS equals driver BFS on a path
+    (deep — exercises many rounds), a star, and a random graph with an
+    unreachable island; layout-invariant."""
+    import collections
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        bfs_distances
+
+    def brute(edges, src, cap=50):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            n = q.popleft()
+            if dist[n] >= cap:
+                continue
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    q.append(m)
+        return dist
+
+    def run(edges, src, nparts=4, cap=50):
+        t = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        out = bfs_distances(rd.from_arrow(t).repartition(nparts),
+                            source=src, max_iters=cap)
+        return {r["node"]: r["dist"] for r in out.take_all()}
+
+    path = [(i, i + 1) for i in range(12)]
+    assert run(path, 0) == brute(path, 0)
+    assert run(path, 0, cap=5) == brute(path, 0, cap=5)  # truncation law
+
+    star = [(0, i) for i in range(1, 15)]
+    assert run(star, 0) == brute(star, 0)
+
+    rng = random.Random(7)
+    nodes = list(range(25))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(60)})
+    rand += [(100, 101), (101, 102)]  # island: unreachable from min node
+    src = min(n for e in rand for n in e)
+    assert run(rand, src) == brute(rand, src)
+    assert run(rand, src, nparts=1) == brute(rand, src)
