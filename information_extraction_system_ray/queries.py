@@ -3823,6 +3823,392 @@ def emb_kmeans(sf_dir: str):
             .sort("cluster"))
 
 
+def q4_priority_late_ship(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join): orders placed in Q1-1997 with at
+    least one lineitem shipped more than 60 days after the order date,
+    counted per priority. The EXISTS probe is pre-aggregated BEFORE the
+    join — lineitem collapses to per-order MAX(l_shipdate) (a combinable
+    aggregate, so the shuffle carries one row per order, never per line),
+    and existence of a late line ≡ max_ship > o_orderdate + 60 d. The
+    join is the co-partitioned hash equi-join sized by _join_parts."""
+    from .functions.joins import auto_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"))
+    owin = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi))),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+    max_ship = (li.groupby("l_orderkey")
+                .aggregate(Max("l_shipdate", alias_name="max_ship")))
+
+    joined = auto_join(owin, max_ship, left_key="o_orderkey",
+                       right_key="l_orderkey", right_cols=["max_ship"],
+                       num_partitions=_join_parts(sf_dir, "orders"))
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["max_ship"] > df["o_orderdate"] + pd.Timedelta(days=60)
+        return df.loc[keep, ["o_orderpriority"]]
+
+    return (joined.map_batches(late, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .aggregate(Count(alias_name="order_count"))
+            .sort("o_orderpriority"))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution, zero bucket
+    included): how many customers placed exactly N orders. NO join at
+    all — the per-customer counts come from orders alone (one narrow
+    groupby), and the 0-orders bucket is |customer| minus the number of
+    distinct ordering customers, which the same aggregate already
+    yields. Relies on o_custkey ⊆ c_custkey referential integrity (the
+    LEFT JOIN oracle would count an orphan custkey differently); the
+    generator guarantees it and the oracle run cross-checks it."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = (orders.groupby("o_custkey")
+                .aggregate(Count(alias_name="c_count")))
+    dist = (per_cust.groupby("c_count")
+            .aggregate(Count(alias_name="custdist")))
+
+    n_customers = pq.read_metadata(
+        f"{sf_dir}/customer.parquet").num_rows
+    n_ordering = per_cust.count()
+    zero = ray.data.from_arrow(pa.table({
+        "c_count": pa.array([0], pa.int64()),
+        "custdist": pa.array([n_customers - n_ordering], pa.int64())}))
+    return (dist.union(zero)
+            .map_batches(lambda t: t.filter(
+                pc.greater(t["custdist"], pa.scalar(0, pa.int64()))),
+                batch_format="pyarrow")
+            .sort(["custdist", "c_count"], descending=[True, True]))
+
+
+_Q13_SQL = """
+WITH pc AS (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (per-group-average correlated subquery): total
+    revenue of Brand#11 lineitems whose quantity is below 20% of that
+    part's average quantity. The brand's partkey set is tiny (1/25 of
+    parts) → broadcast once and lineitem is pre-filtered BEFORE any
+    aggregate; the per-part average is carried as the exact integer
+    rational (sum_qty, cnt) and compared by cross-multiplication
+    (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg — l_quantity is
+    integer-valued), so no float boundary can flip a row vs the SQL.
+    The (part → sum,cnt) map is ≤ brand-part count entries → broadcast
+    back for the final filter instead of a second shuffle."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_keys = part.map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], pa.scalar("Brand#11")))
+        .select(["p_partkey"]), batch_format="pyarrow").to_pandas()
+    keys_ref = ray.put(set(brand_keys["p_partkey"].tolist()))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_only(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.is_in(t["l_partkey"],
+                        value_set=pa.array(list(ks), pa.int64()))
+        f = t.filter(mask)
+        return pa.table({
+            "l_partkey": f["l_partkey"],
+            "qty": pc.cast(f["l_quantity"], pa.int64()),
+            "price_cents": _cents(f["l_extendedprice"]),
+        })
+
+    bl = li.map_batches(brand_only, batch_format="pyarrow").materialize()
+    stats = (bl.groupby("l_partkey")
+             .aggregate(Sum("qty", alias_name="sum_qty"),
+                        Count(alias_name="cnt"))).to_pandas()
+    stats_ref = ray.put({int(r.l_partkey): (int(r.sum_qty), int(r.cnt))
+                         for r in stats.itertuples()})
+
+    def small(t: pa.Table) -> pa.Table:
+        sm = ray.get(stats_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        sums = np.array([sm[k][0] for k in pk], np.int64)
+        cnts = np.array([sm[k][1] for k in pk], np.int64)
+        keep = 5 * qty * cnts < sums
+        s = int(t["price_cents"].to_numpy(
+            zero_copy_only=False)[keep].sum())
+        return pa.table({"rev_cents": pa.array([s], pa.int64())})
+
+    total = bl.map_batches(small, batch_format="pyarrow")
+    return ray.data.from_arrow(pa.table({
+        "rev_cents": pa.array([int(total.sum("rev_cents") or 0)],
+                              pa.int64())}))
+
+
+_Q17_SQL = """
+WITH b AS (SELECT l_partkey,
+                  CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS price_cents
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#11'),
+st AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM b GROUP BY l_partkey)
+SELECT CAST(COALESCE(SUM(price_cents), 0) AS BIGINT) AS rev_cents
+FROM b JOIN st USING (l_partkey)
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+def part_graph_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the part co-occurrence
+    graph: cc(v) = closed wedges at v / all wedges at v = 2·T(v) /
+    (deg·(deg−1)); top 20 nodes with ≥1 triangle by (cc desc, node).
+    Wedges are emitted per center (O(deg²) per hub — the same frontier
+    the SQL self-join pays; cap/sample hub adjacency at web scale) and
+    closed by a co-partitioned membership pass against the edge set,
+    both sides hashed on the (a, b) PAIR — no broadcast, no driver
+    collection. The exact int pair (tri, deg) rides beside the double,
+    so both engines divide identical int64s and the doubles are
+    bit-equal."""
+    edges = _part_strong_edges(sf_dir).materialize()
+    nparts = _join_parts(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": pa.concat_arrays([t["u"].combine_chunks(),
+                                     t["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["v"].combine_chunks(),
+                                     t["u"].combine_chunks()])})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow")
+    deg = (adj.groupby("mid").aggregate(Count(alias_name="deg")))
+
+    def _pair_part(df: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_pandas_object(
+            df[["a", "b"]], index=False) % nparts
+        return h.to_numpy()
+
+    wedge_schema = pa.schema([("center", pa.int64()), ("a", pa.int64()),
+                              ("b", pa.int64()), ("side", pa.int8()),
+                              ("part", pa.int64())])
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        cs, as_, bs = [], [], []
+        for c, grp in g.groupby("mid", sort=False):
+            ns = np.sort(grp["nbr"].to_numpy())
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    cs.append(int(c))
+                    as_.append(int(ns[i]))
+                    bs.append(int(ns[j]))
+        df = pd.DataFrame({"center": cs, "a": as_, "b": bs})
+        df["side"] = np.int8(0)
+        df["part"] = _pair_part(df)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(wedge_schema)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"center": np.int64(0),
+                           "a": t["u"].to_numpy(zero_copy_only=False),
+                           "b": t["v"].to_numpy(zero_copy_only=False)})
+        df["side"] = np.int8(1)
+        df["part"] = _pair_part(df)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(wedge_schema)
+
+    closed_schema = pa.schema([("center", pa.int64())])
+
+    def close(g: pd.DataFrame) -> pa.Table:
+        w = g[g["side"] == 0]
+        e = g[g["side"] == 1]
+        if not len(w) or not len(e):
+            return closed_schema.empty_table()
+        hit = w.merge(e[["a", "b"]], on=["a", "b"], how="inner")
+        return pa.table({"center": pa.array(hit["center"].to_numpy(),
+                                            pa.int64())})
+
+    tri = (adj.groupby("mid").map_groups(wedges, batch_format="pandas")
+           .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+           .groupby("part").map_groups(close, batch_format="pandas")
+           .groupby("center").aggregate(Count(alias_name="tri")))
+
+    from .functions.joins import auto_join
+    j = auto_join(tri, deg, left_key="center", right_key="mid",
+                  right_cols=["deg"], num_partitions=nparts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cc = pc.divide(
+            pc.cast(pc.multiply(t["tri"], pa.scalar(2, pa.int64())),
+                    pa.float64()),
+            pc.cast(pc.multiply(t["deg"],
+                                pc.subtract(t["deg"],
+                                            pa.scalar(1, pa.int64()))),
+                    pa.float64()))
+        return pa.table({"node": t["center"], "tri": t["tri"],
+                         "deg": t["deg"], "cc": cc})
+
+    return (j.map_batches(finish, batch_format="pyarrow")
+            .sort(["cc", "node"], descending=[True, False]).limit(20))
+
+
+_PART_CLUSTERING_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT u AS mid, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT mid AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+tri AS (SELECT x.mid AS node, CAST(COUNT(*) AS BIGINT) AS tri
+        FROM sym x JOIN sym y ON x.mid = y.mid AND x.nbr < y.nbr
+                   JOIN e ON e.u = x.nbr AND e.v = y.nbr
+        GROUP BY 1)
+SELECT t.node, t.tri, dg.deg,
+       CAST(2 * t.tri AS DOUBLE) / (dg.deg * (dg.deg - 1)) AS cc
+FROM tri t JOIN deg dg ON dg.node = t.node
+ORDER BY cc DESC, t.node LIMIT 20
+"""
+
+
+def docs_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed query
+    {window, merge, scan}: top 10 docs by score. One streaming pass
+    builds the compact per-doc feature row (len, tf per term — integers);
+    the collection stats it needs (N, total length, per-term df) are
+    three scalar aggregates over that same materialized table, broadcast
+    back into a vectorized scoring pass. Scores are emitted as integer
+    micro-units (round(score·1e4)) so the driver hash compares ints; the
+    raw (len, tf) ints ride along as the exact anchor. idf =
+    ln(1 + (N − df + .5)/(df + .5)) — Robertson/Sparck-Jones with the
+    +1 floor, the Lucene form."""
+    from .functions.terms import _TERM_RE
+
+    TERMS = ["window", "merge", "scan"]
+    K1, B = 1.2, 0.75
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2000)
+
+    feat_schema = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())]
+                            + [(f"tf_{t}", pa.int64()) for t in TERMS])
+
+    def features(t: pa.Table) -> pa.Table:
+        ids, dls = [], []
+        tfs = {q: [] for q in TERMS}
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = _TERM_RE.findall((txt or "").lower())
+            ids.append(did)
+            dls.append(len(toks))
+            for q in TERMS:
+                tfs[q].append(toks.count(q))
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "dl": pa.array(dls, pa.int64())}
+        for q in TERMS:
+            cols[f"tf_{q}"] = pa.array(tfs[q], pa.int64())
+        return pa.table(cols).cast(feat_schema)
+
+    feats = docs.map_batches(features, batch_format="pyarrow") \
+        .materialize()
+    n_docs = feats.count()
+    sums = feats.sum(["dl"] + [f"tf_{q}" for q in TERMS])
+    avgdl = float(sums["sum(dl)"]) / n_docs
+    # df per term: docs with tf > 0 (narrow per-batch partial sums)
+    dfs = {}
+    for q in TERMS:
+        dfs[q] = int(feats.map_batches(
+            lambda t, _q=q: pa.table({"n": pa.array(
+                [int(pc.sum(pc.cast(pc.greater(
+                    t[f"tf_{_q}"], pa.scalar(0, pa.int64())),
+                    pa.int64())).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+    idf = {q: float(np.log(1.0 + (n_docs - dfs[q] + 0.5)
+                           / (dfs[q] + 0.5))) for q in TERMS}
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())]
+                           + [(f"tf_{t}", pa.int64()) for t in TERMS]
+                           + [("score_u", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = K1 * (1.0 - B + B * dl / avgdl)
+        s = np.zeros(len(t), np.float64)
+        for q in TERMS:
+            tf = t[f"tf_{q}"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            s += idf[q] * (tf * (K1 + 1.0)) / (tf + norm)
+        cols = {c: t[c] for c in t.column_names}
+        cols["score_u"] = pa.array(
+            np.round(s * 10_000.0).astype(np.int64), pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return (feats.map_batches(score, batch_format="pyarrow")
+            .sort(["score_u", "doc_id"], descending=[True, False])
+            .limit(10))
+
+
+_DOCS_BM25_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS dl,
+         CAST(len(list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> x = 'window')) AS BIGINT) AS tf_window,
+         CAST(len(list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> x = 'merge')) AS BIGINT) AS tf_merge,
+         CAST(len(list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> x = 'scan')) AS BIGINT) AS tf_scan
+  FROM documents),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(dl AS DOUBLE)) AS avgdl,
+             CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS df_window,
+             CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS df_merge,
+             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS df_scan
+      FROM f)
+SELECT doc_id, dl, tf_window, tf_merge, tf_scan,
+       CAST(round((
+         ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+           * (tf_window * 2.2)
+           / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df_merge + 0.5) / (df_merge + 0.5))
+           * (tf_merge * 2.2)
+           / (tf_merge + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df_scan + 0.5) / (df_scan + 0.5))
+           * (tf_scan * 2.2)
+           / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       ) * 10000) AS BIGINT) AS score_u
+FROM f, g
+ORDER BY score_u DESC, doc_id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3943,6 +4329,11 @@ def queries():
         "part_graph_triangles": part_graph_triangles,
         "events_user_path": events_user_path,
         "emb_kmeans": emb_kmeans,
+        "q4_priority_late_ship": q4_priority_late_ship,
+        "q13_custdist": q13_custdist,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "part_graph_clustering": part_graph_clustering,
+        "docs_bm25_topk": docs_bm25_topk,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -4053,6 +4444,11 @@ def oracle_sql():
         "docs_inverted_index": _DOCS_INVERTED_SQL,
         "part_graph_bfs": _PART_BFS_SQL,
         "part_graph_components": _PART_COMPONENTS_SQL,
+        "q4_priority_late_ship": _Q4_SQL,
+        "q13_custdist": _Q13_SQL,
+        "q17_small_qty_revenue": _Q17_SQL,
+        "part_graph_clustering": _PART_CLUSTERING_SQL,
+        "docs_bm25_topk": _DOCS_BM25_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
