@@ -132,3 +132,81 @@ def ntile(ds: ray.data.Dataset, n: int, *, order_by: list[str],
                                pa.array(tile.astype(np.int64), pa.int64())))
 
     return numbered.map_batches(to_tile, batch_format="pyarrow")
+
+
+def global_running_sum(ds: ray.data.Dataset, value_col: str, *,
+                       order_by: list[str],
+                       descending: "bool | list[bool]" = False,
+                       out_col: str = "cum",
+                       num_partitions: "int | None" = None
+                       ) -> ray.data.Dataset:
+    """SQL ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` —
+    the global-total-order cumulative sum (sequence packing, global
+    quota cuts). Same two-pass plan as ``global_row_number``, except the
+    driver-side offset table carries per-range-partition SUMS instead of
+    counts; the local pass sorts and adds offset + local cumsum. Ties
+    must be broken by a unique column in ``order_by``."""
+    num_partitions = num_partitions or default_parts()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    ascending = [not d for d in descending]
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.int64())])
+
+    k0 = order_by[0]
+    n_total = ds.count()
+    mod = max(1, n_total // (num_partitions * _SAMPLES_PER_SPLIT))
+    sample = (ds.select_columns([k0])
+              .map_batches(
+                  lambda t: t.filter(
+                      (pd.util.hash_pandas_object(
+                          pd.Series(t[k0].to_pandas()), index=False)
+                       % mod == 0).to_numpy()),
+                  batch_format="pyarrow")
+              .to_pandas())
+    if len(sample) == 0:
+        splits = np.array([])
+    else:
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        splits = np.sort(sample[k0].to_numpy())[
+            np.minimum((qs * len(sample)).astype(int), len(sample) - 1)]
+    asc0 = ascending[0]
+    splits_ref = ray.put(splits)
+
+    def tag(t: pa.Table) -> pa.Table:
+        sp = ray.get(splits_ref)
+        vals = t[k0].to_numpy(zero_copy_only=False)
+        if len(sp) == 0:
+            pid = np.zeros(len(t), dtype=np.int64)
+        elif asc0:
+            pid = np.searchsorted(sp, vals, side="right").astype(np.int64)
+        else:
+            pid = (len(sp)
+                   - np.searchsorted(sp, vals, side="left")).astype(np.int64)
+        return t.append_column("_rpart", pa.array(pid, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+    sums = (tagged.groupby("_rpart")
+            .aggregate(Sum(value_col, alias_name="_s")).to_pandas()
+            .sort_values("_rpart"))
+    offs = np.zeros(num_partitions + 1, dtype=np.int64)
+    np.add.at(offs, sums["_rpart"].to_numpy() + 1,
+              sums["_s"].to_numpy().astype(np.int64))
+    offsets = dict(enumerate(np.cumsum(offs)))
+    offsets_ref = ray.put(offsets)
+
+    def cumsum(part: pd.DataFrame) -> pa.Table:
+        off = ray.get(offsets_ref)[int(part["_rpart"].iloc[0])]
+        part = part.sort_values(order_by, ascending=ascending,
+                                kind="mergesort")
+        part[out_col] = off + part[value_col].to_numpy(
+            dtype=np.int64).cumsum()
+        return to_arrow(part.drop(columns=["_rpart"]), out_schema)
+
+    return (tagged.groupby("_rpart")
+            .map_groups(cumsum, batch_format="pandas"))

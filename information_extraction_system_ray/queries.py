@@ -4209,6 +4209,120 @@ ORDER BY score_u DESC, doc_id LIMIT 10
 """
 
 
+def docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal: per document, the number
+    of word 3-grams and how many of them are duplicates (n3 − distinct);
+    top 20 most repetitive docs by (dup ratio desc, doc_id). Pure
+    per-batch map — each doc's trigram multiset is built and collapsed
+    inside its own row, nothing but the 20 survivors leaves a worker
+    after the sort. The exact int pair (n3, dup3) rides beside the
+    double ratio so both engines divide identical int64s."""
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2000)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n3", pa.int64()),
+                            ("dup3", pa.int64()), ("rep", pa.float64())])
+
+    def rep(t: pa.Table) -> pa.Table:
+        ids, n3s, d3s = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = _TERM_RE.findall((txt or "").lower())
+            tris = list(zip(toks, toks[1:], toks[2:]))
+            if not tris:
+                continue
+            ids.append(did)
+            n3s.append(len(tris))
+            d3s.append(len(tris) - len(set(tris)))
+        n3 = np.asarray(n3s, np.int64)
+        d3 = np.asarray(d3s, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n3": pa.array(n3, pa.int64()),
+            "dup3": pa.array(d3, pa.int64()),
+            "rep": pa.array(d3 / n3, pa.float64())}).cast(out_schema)
+
+    return (docs.map_batches(rep, batch_format="pyarrow")
+            .sort(["rep", "doc_id"], descending=[True, False]).limit(20))
+
+
+_DOCS_REPETITION_SQL = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+tri AS (SELECT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                AS u(i)),
+st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3,
+              CAST(COUNT(*) - COUNT(DISTINCT g) AS BIGINT) AS dup3
+       FROM tri GROUP BY doc_id)
+SELECT doc_id, n3, dup3, CAST(dup3 AS DOUBLE) / n3 AS rep
+FROM st ORDER BY rep DESC, doc_id LIMIT 20
+"""
+
+
+def docs_pack_blocks(sf_dir: str):
+    """Sequential sequence packing (GPT-style training-batch prep):
+    documents concatenated in doc_id order and cut into 2048-token
+    blocks; a doc's pack is the block its FIRST token lands in
+    (pack_id = exclusive-prefix-sum ÷ 2048). The global ordered prefix
+    sum is functions/rank.py ``global_running_sum`` — range-sample
+    splits, per-partition token SUMS → driver offsets, local sort +
+    cumsum; two streaming passes, the driver holds only samples and the
+    per-partition sum table. Output: per pack, doc count and token
+    total."""
+    from .functions.rank import global_running_sum
+    from .functions.terms import _TERM_RE
+
+    BLOCK = 2048
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2000)
+
+    def toklen(t: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            ids.append(did)
+            ns.append(len(_TERM_RE.findall((txt or "").lower())))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tokens": pa.array(ns, pa.int64())})
+
+    lens = docs.map_batches(toklen, batch_format="pyarrow")
+    cum = global_running_sum(lens, "tokens", order_by=["doc_id"],
+                             out_col="cum")
+
+    def pack(t: pa.Table) -> pa.Table:
+        excl = (t["cum"].to_numpy(zero_copy_only=False)
+                - t["tokens"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "pack_id": pa.array(excl // BLOCK, pa.int64()),
+            "tokens": t["tokens"]})
+
+    return (cum.map_batches(pack, batch_format="pyarrow")
+            .groupby("pack_id")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("tokens", alias_name="tok_total"))
+            .sort("pack_id"))
+
+
+_DOCS_PACK_SQL = """
+WITH lens AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '[a-z0-9]+')) AS BIGINT) AS tokens
+              FROM documents),
+c AS (SELECT doc_id, tokens,
+             SUM(tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - tokens AS excl
+      FROM lens)
+SELECT CAST(excl // 2048 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS tok_total
+FROM c GROUP BY 1 ORDER BY pack_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4334,6 +4448,8 @@ def queries():
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "part_graph_clustering": part_graph_clustering,
         "docs_bm25_topk": docs_bm25_topk,
+        "docs_repetition": docs_repetition,
+        "docs_pack_blocks": docs_pack_blocks,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -4449,6 +4565,8 @@ def oracle_sql():
         "q17_small_qty_revenue": _Q17_SQL,
         "part_graph_clustering": _PART_CLUSTERING_SQL,
         "docs_bm25_topk": _DOCS_BM25_SQL,
+        "docs_repetition": _DOCS_REPETITION_SQL,
+        "docs_pack_blocks": _DOCS_PACK_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
