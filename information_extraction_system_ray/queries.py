@@ -4323,6 +4323,46 @@ FROM c GROUP BY 1 ORDER BY pack_id
 """
 
 
+def docs_neardup_survivors(sf_dir: str):
+    """Composed near-dup canonicalization — the full training-corpus
+    dedup flow: MinHash+LSH pairs (functions/dedup.py, fully streaming)
+    → connected components over the pair graph (the flagship's join-free
+    min-label propagation) → lowest-doc_id survivor per duplicate
+    cluster. Output: one row per multi-doc cluster (survivor_id,
+    cluster_size), sorted. Transitive closure is the point — A~B, B~C
+    dedups {A,B,C} to A even when A,C never paired. Rows-only (hash
+    family not SQL); the exact oracle is the planted-group golden in
+    tests/test_dedup.py (driver union-find over the same pairs)."""
+    from .functions.dedup import minhash_lsh_duplicates
+    from .stages.canonicalize import connected_components_distributed
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=100)
+    pairs = minhash_lsh_duplicates(ds, num_perm=64, bands=32,
+                                   jaccard_threshold=0.5)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t["id_a"], pa.string()),
+                         "dst": pc.cast(t["id_b"], pa.string())})
+
+    labels = connected_components_distributed(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    out_schema = pa.schema([("survivor_id", pa.int64()),
+                            ("cluster_size", pa.int64())])
+
+    def survivor(g: pd.DataFrame) -> pa.Table:
+        ids = g["node"].astype("int64")
+        return pa.table({
+            "survivor_id": pa.array([int(ids.min())], pa.int64()),
+            "cluster_size": pa.array([len(ids)], pa.int64()),
+        }).cast(out_schema)
+
+    return (labels.groupby("label")
+            .map_groups(survivor, batch_format="pandas")
+            .sort("survivor_id"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4450,6 +4490,7 @@ def queries():
         "docs_bm25_topk": docs_bm25_topk,
         "docs_repetition": docs_repetition,
         "docs_pack_blocks": docs_pack_blocks,
+        "docs_neardup_survivors": docs_neardup_survivors,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,

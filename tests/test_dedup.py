@@ -322,3 +322,51 @@ def test_semantic_dedup_planted_groups(ray_session, nparts):
     # pairs are not compared) but never fewer, and never drops a group
     # representative
     assert set(want_upper) <= set(got)
+
+
+def test_neardup_survivors_transitive_closure(ray_session):
+    """MinHash pairs → distributed CC → min-id survivor equals a driver
+    union-find over the SAME pair set (transitive closure included):
+    the composed flow behind docs_neardup_survivors."""
+    from information_extraction_system_ray.functions.dedup import \
+        minhash_lsh_duplicates
+    from information_extraction_system_ray.stages.canonicalize import \
+        connected_components_distributed
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    docs = _docs_with_dups(ray_session)
+    pairs = minhash_lsh_duplicates(docs, num_perm=64, bands=32,
+                                   shingle_k=3, jaccard_threshold=0.3)
+    pdf = pairs.to_pandas()
+
+    # driver union-find over the identical pair set
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for x in list(parent):
+        want.setdefault(find(x), set()).add(x)
+    want = sorted((min(m), len(m)) for m in want.values())
+
+    labels = connected_components_distributed(
+        pairs.map_batches(
+            lambda t: pa.table({"src": pc.cast(t["id_a"], pa.string()),
+                                "dst": pc.cast(t["id_b"], pa.string())}),
+            batch_format="pyarrow"))
+    lab = labels.to_pandas()
+    lab["node"] = lab["node"].astype("int64")
+    got = sorted((int(g["node"].min()), len(g))
+                 for _, g in lab.groupby("label"))
+    assert got == want
+    # each planted base collapses to one cluster of 3 led by its min id
+    assert got == [(0, 3), (3, 3), (6, 3)]
