@@ -4363,6 +4363,159 @@ def docs_neardup_survivors(sf_dir: str):
             .sort("survivor_id"))
 
 
+def q7_nation_trade(sf_dir: str):
+    """TPC-H Q7 shape (cross-nation trade volume): revenue between
+    customer-nation and supplier-nation pairs per order year, for two
+    named nations in either direction (NATION_3 ↔ NATION_7). Five-table join where ONLY the
+    big⋈big (lineitem ⋈ orders) pays a shuffle — nation, customer and
+    supplier collapse to broadcast key→nation maps (ray.put once, read
+    per batch), each side's nation is attached map-side, and revenue is
+    pre-aggregated per (supp_nat, cust_nat, year) inside every batch
+    before the final tiny groupby. Cents-exact."""
+    from .functions.joins import auto_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    picks = nation[nation["n_name"].isin(["NATION_3", "NATION_7"])]
+    nat_name = dict(zip(picks["n_nationkey"], picks["n_name"]))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_name)]
+    c_nat = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_name)]
+    s_nat = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    nn_ref = ray.put(nat_name)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        m = ray.get(c_nat)
+        cn = pd.Series(t["o_custkey"].to_pandas()).map(m)
+        keep = cn.notna().to_numpy()
+        yr = pd.Series(t["o_orderdate"].to_pandas()).dt.year
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+            "c_nk": pa.array(cn[keep].astype("int64"), pa.int64()),
+            "o_year": pa.array(yr[keep].astype("int64"), pa.int64())})
+
+    orders_f = orders.map_batches(prep_orders, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        m = ray.get(s_nat)
+        sn = pd.Series(t["l_suppkey"].to_pandas()).map(m)
+        keep = sn.notna().to_numpy()
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             t["l_discount"])))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+            "s_nk": pa.array(sn[keep].astype("int64"), pa.int64()),
+            "rev_cents": rev.filter(pa.array(keep))})
+
+    li_f = li.map_batches(prep_li, batch_format="pyarrow")
+
+    joined = auto_join(li_f, orders_f, left_key="l_orderkey",
+                       right_key="o_orderkey",
+                       right_cols=["c_nk", "o_year"],
+                       num_partitions=_join_parts(sf_dir))
+
+    def name_pair(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(nn_ref)
+        df = df[df["s_nk"] != df["c_nk"]]
+        out = pd.DataFrame({
+            "supp_nation": df["s_nk"].map(names),
+            "cust_nation": df["c_nk"].map(names),
+            "o_year": df["o_year"],
+            "rev_cents": df["rev_cents"]})
+        return (out.groupby(["supp_nation", "cust_nation", "o_year"],
+                            as_index=False)["rev_cents"].sum())
+
+    return (joined.map_batches(name_pair, batch_format="pandas")
+            .groupby(["supp_nation", "cust_nation", "o_year"])
+            .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+            .sort(["supp_nation", "cust_nation", "o_year"]))
+
+
+_Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+  AND cn.n_name IN ('NATION_3', 'NATION_7')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (OR-of-ANDs predicate join): revenue of lineitems
+    matching any of three brand×size×quantity clauses. The part
+    attributes needed by the predicate collapse to one broadcast
+    (partkey → brand, size) map over the pre-filtered part rows; the
+    disjunction evaluates vectorized per batch and only a per-batch
+    scalar leaves each worker. Cents-exact."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    part = part[part["p_brand"].isin(["Brand#12", "Brand#23", "Brand#34"])]
+    pmap = ray.put({int(r.p_partkey): (r.p_brand, int(r.p_size))
+                    for r in part.itertuples()})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def clause_rev(t: pa.Table) -> pa.Table:
+        m = ray.get(pmap)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        info = [m.get(int(k)) for k in pk]
+        brand = np.array([i[0] if i else "" for i in info])
+        size = np.array([i[1] if i else -1 for i in info], np.int64)
+        keep = (((brand == "Brand#12") & (size <= 5)
+                 & (qty >= 1) & (qty <= 11))
+                | ((brand == "Brand#23") & (size <= 10)
+                   & (qty >= 10) & (qty <= 20))
+                | ((brand == "Brand#34") & (size <= 15)
+                   & (qty >= 20) & (qty <= 30)))
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             t["l_discount"])))
+        s = int(rev.to_numpy(zero_copy_only=False)[keep].sum())
+        return pa.table({"rev_cents": pa.array([s], pa.int64())})
+
+    total = li.map_batches(clause_rev, batch_format="pyarrow")
+    return ray.data.from_arrow(pa.table({
+        "rev_cents": pa.array([int(total.sum("rev_cents") or 0)],
+                              pa.int64())}))
+
+
+_Q19_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+            * 100) AS BIGINT)), 0) AS BIGINT) AS rev_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4491,6 +4644,8 @@ def queries():
         "docs_repetition": docs_repetition,
         "docs_pack_blocks": docs_pack_blocks,
         "docs_neardup_survivors": docs_neardup_survivors,
+        "q7_nation_trade": q7_nation_trade,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -4608,6 +4763,8 @@ def oracle_sql():
         "docs_bm25_topk": _DOCS_BM25_SQL,
         "docs_repetition": _DOCS_REPETITION_SQL,
         "docs_pack_blocks": _DOCS_PACK_SQL,
+        "q7_nation_trade": _Q7_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
