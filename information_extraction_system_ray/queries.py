@@ -4516,6 +4516,41 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 5
 """
 
 
+def events_salted_type_join(sf_dir: str):
+    """Salted hash join on a pathologically hot key
+    (functions/salted.py ``salted_join``): event_type has only a handful
+    of distinct values, so a plain hash join would send each type's
+    entire event stream to ONE reducer — the 100-TB killer. Each probe
+    row gets a deterministic positional salt and the (tiny) per-type dim
+    is replicated across all salts, spreading every hot key over
+    ``num_salts`` reducers; matching is on (key, salt) so the result is
+    exactly the plain join. Dim = per-type global count, built from the
+    same table; output re-aggregates per user so the attached dim value
+    is actually exercised."""
+    from .functions.salted import salted_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    dim = (ev.groupby("event_type").aggregate(Count(alias_name="type_n")))
+    joined = salted_join(ev, dim, probe_key="event_type",
+                         build_key="event_type", build_cols=["type_n"],
+                         num_salts=8,
+                         num_partitions=_join_parts(sf_dir, "events"))
+    return (joined.groupby("user_id")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("type_n", alias_name="sum_type_n"))
+            .sort("user_id"))
+
+
+_EVENTS_SALTED_JOIN_SQL = """
+WITH dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+             FROM events GROUP BY 1)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(type_n) AS BIGINT) AS sum_type_n
+FROM events JOIN dim USING (event_type)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4646,6 +4681,7 @@ def queries():
         "docs_neardup_survivors": docs_neardup_survivors,
         "q7_nation_trade": q7_nation_trade,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "events_salted_type_join": events_salted_type_join,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -4765,6 +4801,7 @@ def oracle_sql():
         "docs_pack_blocks": _DOCS_PACK_SQL,
         "q7_nation_trade": _Q7_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
+        "events_salted_type_join": _EVENTS_SALTED_JOIN_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -129,3 +129,34 @@ def test_dedup_pages_by_url(ray_session):
                                         batch_format="pyarrow"))
     out2 = dedup_pages_by_url(twice).to_pandas()
     assert len(out2) == 64
+
+
+def test_salted_join_equals_plain_merge(ray_session):
+    """salted_join == pandas inner merge on a corpus with one
+    pathologically hot key, on any salt count / partition layout, with
+    duplicate build keys (1:N) included."""
+    import pandas as pd
+    import ray.data as rd
+    from information_extraction_system_ray.functions.salted import salted_join
+
+    probe = pd.DataFrame({
+        "pid": range(500),
+        "k": ["hot"] * 400 + ["warm"] * 80 + [f"c{i}" for i in range(20)],
+    })
+    build = pd.DataFrame({
+        "bk": ["hot", "warm", "c3", "c7", "hot"],      # dup build key 1:N
+        "attr": [10, 20, 30, 40, 50],
+    })
+    want = (probe.merge(build, left_on="k", right_on="bk")
+            [["pid", "k", "attr"]]
+            .sort_values(["pid", "attr"]).reset_index(drop=True))
+
+    for salts, nparts in [(8, 4), (3, 7), (1, 4)]:
+        got = salted_join(
+            rd.from_arrow(pa.Table.from_pandas(probe)).repartition(5),
+            rd.from_arrow(pa.Table.from_pandas(build)).repartition(2),
+                          probe_key="k", build_key="bk",
+                          build_cols=["attr"], num_salts=salts,
+                          num_partitions=nparts).to_pandas()
+        got = got.sort_values(["pid", "attr"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
