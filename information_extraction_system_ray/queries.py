@@ -4551,6 +4551,123 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_merged_windows(sf_dir: str):
+    """Overlapping-interval merge (the coverage/union-of-windows
+    primitive): each event opens a 5-minute activity window; per user,
+    merge overlapping windows and report how many merged windows remain
+    and the total covered seconds. One co-partitioned pass — windows
+    group by user, each group sorts locally and sweeps with a running
+    max-end (vectorized cummax, no Python loop); exact epoch-second
+    ints end to end. A hot user's windows all land on one reducer —
+    same caveat/salting remedy as every per-key window operator here."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    WIN = 300
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_windows", pa.int64()),
+                            ("covered_s", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()),
+                              pa.scalar(1_000_000, pa.int64())), pa.int64())
+        return pa.table({"user_id": t["user_id"], "st": s,
+                         "en": pc.add(s, pa.scalar(WIN, pa.int64()))})
+
+    def merge_windows(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["st", "en"])
+        st = g["st"].to_numpy(np.int64)
+        en = g["en"].to_numpy(np.int64)
+        run_max = np.maximum.accumulate(en)
+        # a window starts a new island when it begins after every prior end
+        brk = np.empty(len(st), np.bool_)
+        brk[0] = True
+        brk[1:] = st[1:] > run_max[:-1]
+        grp = np.cumsum(brk)
+        df = pd.DataFrame({"grp": grp, "st": st, "en": en})
+        m = df.groupby("grp").agg(st=("st", "min"), en=("en", "max"))
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+            "n_windows": pa.array([len(m)], pa.int64()),
+            "covered_s": pa.array([int((m["en"] - m["st"]).sum())],
+                                  pa.int64())}).cast(out_schema)
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(merge_windows, batch_format="pandas")
+            .sort("user_id"))
+
+
+_EVENTS_MERGED_WINDOWS_SQL = """
+WITH w AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS st,
+                  CAST(epoch_us(ts) // 1000000 AS BIGINT) + 300 AS en
+           FROM events),
+o AS (SELECT user_id, st, en,
+             CASE WHEN st > MAX(en) OVER (PARTITION BY user_id
+                       ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM w),
+g AS (SELECT user_id, st, en,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY st, en
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o),
+m AS (SELECT user_id, grp, MIN(st) AS st, MAX(en) AS en
+      FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(en - st) AS BIGINT) AS covered_s
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
+def docs_kwic(sf_dir: str):
+    """KWIC concordance (keyword-in-context, the corpus-linguistics /
+    gazetteer-mining primitive): for every doc containing the keyword
+    'merge', the ±2-token window around its FIRST occurrence plus the
+    1-based token position; first 50 hits by doc_id. Pure per-batch map
+    — only (doc_id, pos, kwic) leaves a worker."""
+    from .functions.terms import _TERM_RE
+
+    KW = "merge"
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2000)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                            ("kwic", pa.string())])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        ids, poss, wins = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = _TERM_RE.findall((txt or "").lower())
+            try:
+                i = toks.index(KW)
+            except ValueError:
+                continue
+            ids.append(did)
+            poss.append(i + 1)
+            wins.append(" ".join(toks[max(i - 2, 0):i + 3]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "kwic": pa.array(wins, pa.string())}
+                        ).cast(out_schema)
+
+    return (docs.map_batches(kwic, batch_format="pyarrow")
+            .sort("doc_id").limit(50))
+
+
+_DOCS_KWIC_SQL = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+h AS (SELECT doc_id, toks,
+             CAST(list_position(toks, 'merge') AS BIGINT) AS pos
+      FROM t WHERE list_position(toks, 'merge') > 0)
+SELECT doc_id, pos,
+       array_to_string(toks[greatest(pos - 2, 1):pos + 2], ' ') AS kwic
+FROM h ORDER BY doc_id LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4682,6 +4799,8 @@ def queries():
         "q7_nation_trade": q7_nation_trade,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "events_salted_type_join": events_salted_type_join,
+        "events_merged_windows": events_merged_windows,
+        "docs_kwic": docs_kwic,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -4802,6 +4921,8 @@ def oracle_sql():
         "q7_nation_trade": _Q7_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
         "events_salted_type_join": _EVENTS_SALTED_JOIN_SQL,
+        "events_merged_windows": _EVENTS_MERGED_WINDOWS_SQL,
+        "docs_kwic": _DOCS_KWIC_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
