@@ -49,6 +49,10 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
     ltypes = {n: lschema.base_schema.field(n).type for n in left_cols}
     rts_type = right.schema().base_schema.field(right_ts).type
     rby_type = right.schema().base_schema.field(right_by).type
+    # alias the right key when it collides with ANY left column name
+    # (self-joins: left_by == right_by) — otherwise tag_left's typed-null
+    # padding would overwrite the left key column in the superset schema
+    rby_col = right_by if right_by not in left_cols else "_asof_rby"
 
     def _part_of(col_vals: pd.Series) -> pa.Array:
         return pa.array((pd.util.hash_pandas_object(col_vals, index=False)
@@ -57,7 +61,7 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in left_cols}
         n = len(t)
-        cols[right_by] = pa.nulls(n, rby_type)
+        cols[rby_col] = pa.nulls(n, rby_type)
         cols[_RTS] = pa.nulls(n, rts_type)
         cols["part"] = _part_of(pd.Series(t[left_by].to_pandas()))
         cols["side"] = pa.array([0] * n, pa.int8())
@@ -66,7 +70,7 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
     def tag_right(t: pa.Table) -> pa.Table:
         n = len(t)
         cols = {c: pa.nulls(n, ltypes[c]) for c in left_cols}
-        cols[right_by] = t[right_by]
+        cols[rby_col] = t[right_by]
         cols[_RTS] = t[right_ts]
         cols["part"] = _part_of(pd.Series(t[right_by].to_pandas()))
         cols["side"] = pa.array([1] * n, pa.int8())
@@ -90,14 +94,14 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset, *,
         # columns, so the pandas conversion below keeps int64 int64.
         side = part["side"]
         l = part.filter(pc.equal(side, 0)).select(left_cols)
-        r = part.filter(pc.equal(side, 1)).select([right_by, _RTS])
+        r = part.filter(pc.equal(side, 1)).select([rby_col, _RTS])
         if l.num_rows == 0 or r.num_rows == 0:
             return out_schema.empty_table()
         ldf = l.to_pandas().sort_values(left_ts, kind="mergesort")
         rdf = (r.to_pandas().rename(columns={_RTS: out_col})
                .sort_values(out_col, kind="mergesort"))
         m = pd.merge_asof(ldf, rdf, left_on=left_ts, right_on=out_col,
-                          left_by=left_by, right_by=right_by,
+                          left_by=left_by, right_by=rby_col,
                           direction=direction, tolerance=tolerance,
                           allow_exact_matches=allow_exact_matches)
         m = m.dropna(subset=[out_col])           # inner semantics

@@ -127,3 +127,69 @@ def knn_ivf(emb: ray.data.Dataset, queries: np.ndarray, k: int, *,
     # the union of probed buckets is a superset search — strictly better
     # recall at slightly more compute; keep it (documented behavior).
     return res
+
+
+def mmr_select(emb: ray.data.Dataset, query: np.ndarray, k: int, *,
+               lam: float = 0.7, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> "list[int]":
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the id maximizing
+    ``lam·cos(q, d) − (1−lam)·max_{s∈S} cos(d, s)``; ties → lowest id.
+
+    Each of the k rounds is ONE distributed scan: the current selection
+    (≤k vectors, tiny) is broadcast via ``ray.put``, every batch emits
+    only its local argmax (id, score) row, and the driver reduces the
+    per-batch candidates — no vector ever leaves the cluster except the
+    k winners. The scan re-reads the materialized base each round
+    (k scans total; for k beyond tens, switch to per-batch top-k
+    shortlists + driver re-verification)."""
+    base = emb.materialize()
+    qn = np.asarray(query, np.float64)
+    qn = qn / max(np.linalg.norm(qn), 1e-12)
+    q_ref = ray.put(qn)
+
+    picked: "list[int]" = []
+    picked_vecs: "list[np.ndarray]" = []
+    out_schema = pa.schema([(id_col, pa.int64()), ("score", pa.float64()),
+                            ("vec", pa.list_(pa.float64()))])
+
+    for _ in range(k):
+        sel_ref = ray.put(np.array(picked_vecs, np.float64)
+                          if picked_vecs else None)
+        banned_ref = ray.put(set(picked))
+
+        def best(t: pa.Table, _lam=lam) -> pa.Table:
+            q = ray.get(q_ref)
+            sel = ray.get(sel_ref)
+            banned = ray.get(banned_ref)
+            ids = np.asarray(t[id_col].to_pylist(), np.int64)
+            keep = ~np.isin(ids, list(banned)) if banned else \
+                np.ones(len(ids), bool)
+            if not keep.any():
+                return out_schema.empty_table()
+            ids = ids[keep]
+            v = np.array(t[vec_col].to_pylist(), np.float64)[keep]
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                               1e-12)
+            score = _lam * (v @ q)
+            if sel is not None and len(sel):
+                score = score - (1.0 - _lam) * (v @ sel.T).max(axis=1)
+            # local argmax with lowest-id tie-break
+            m = score.max()
+            cand = np.flatnonzero(score == m)
+            i = cand[np.argmin(ids[cand])]
+            return pa.table({id_col: pa.array([int(ids[i])], pa.int64()),
+                             "score": pa.array([float(score[i])],
+                                               pa.float64()),
+                             "vec": pa.array([v[i].tolist()],
+                                             pa.list_(pa.float64()))})
+
+        cands = base.map_batches(best, batch_format="pyarrow").to_pandas()
+        if not len(cands):
+            break
+        cands = cands.sort_values(["score", id_col],
+                                  ascending=[False, True])
+        row = cands.iloc[0]
+        picked.append(int(row[id_col]))
+        picked_vecs.append(np.asarray(row["vec"], np.float64))
+    return picked

@@ -4668,6 +4668,87 @@ FROM h ORDER BY doc_id LIMIT 50
 """
 
 
+def events_asof_nearest(sf_dir: str):
+    """Nearest as-of join (functions/asof.py, direction='nearest'): each
+    click event matched to the same user's CLOSEST purchase event within
+    ±24 h — either direction, ties to the earlier purchase (pandas
+    merge_asof nearest semantics, mirrored exactly in the oracle's
+    tie-break). Output per user: matched-click count and total
+    |click − purchase| seconds, exact ints. Same key-partitioned
+    single-shuffle plan as the backward as-of."""
+    from .functions.asof import asof_join_backward
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click")))
+        .select(["event_id", "user_id", "ts"]), batch_format="pyarrow")
+    buys = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"],
+                                    pa.scalar("purchase")))
+        .select(["user_id", "ts"]), batch_format="pyarrow")
+    m = asof_join_backward(clicks, buys,
+                           left_by="user_id", right_by="user_id",
+                           left_ts="ts", right_ts="ts",
+                           out_col="near_buy",
+                           direction="nearest",
+                           tolerance=pd.Timedelta(hours=24))
+
+    def prep(t: pa.Table) -> pa.Table:
+        diff = pc.subtract(pc.cast(t["ts"], pa.int64()),
+                           pc.cast(t["near_buy"], pa.int64()))
+        adiff = pc.if_else(pc.less(diff, pa.scalar(0, pa.int64())),
+                           pc.negate_checked(diff), diff)
+        return pa.table({
+            "user_id": t["user_id"],
+            "absdiff_s": pc.divide(adiff, pa.scalar(1_000_000, pa.int64()))})
+
+    return (m.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Count(alias_name="n_matched"),
+                       Sum("absdiff_s", alias_name="sum_absdiff_s"))
+            .sort("user_id"))
+
+
+_EVENTS_ASOF_NEAREST_SQL = """
+WITH cand AS (
+  SELECT c.event_id, c.user_id,
+         abs(epoch_us(c.ts) - epoch_us(b.ts)) AS ad,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(epoch_us(c.ts) - epoch_us(b.ts)), b.ts) AS rn
+  FROM events c JOIN events b ON b.user_id = c.user_id
+  WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+    AND abs(epoch_us(c.ts) - epoch_us(b.ts))
+        <= 24 * 3600 * 1000000::BIGINT)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(ad // 1000000) AS BIGINT) AS sum_absdiff_s
+FROM cand WHERE rn = 1
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def emb_mmr_topk(sf_dir: str):
+    """Maximal Marginal Relevance diversified selection (Carbonell &
+    Goldstein 1998) — the data-curation pick: greedily select 10 vectors
+    maximizing λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s), λ=0.7, query =
+    the corpus' first vector. Each of the k rounds is one distributed
+    scan: the ≤k selected vectors broadcast via ray.put, every batch
+    emits only its local best (id, score), the driver reduces k
+    candidates. Ties → lowest id. Rows-only (iterative, non-SQL); exact
+    oracle is the driver-reference greedy loop in
+    tests/test_similarity.py."""
+    from .functions.similarity import mmr_select
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    picked = mmr_select(ds, query=np.asarray(q, np.float64), k=10,
+                        lam=0.7)
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(range(1, len(picked) + 1), pa.int64()),
+        "vec_id": pa.array(picked, pa.int64())}))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4801,6 +4882,8 @@ def queries():
         "events_salted_type_join": events_salted_type_join,
         "events_merged_windows": events_merged_windows,
         "docs_kwic": docs_kwic,
+        "events_asof_nearest": events_asof_nearest,
+        "emb_mmr_topk": emb_mmr_topk,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -4923,6 +5006,7 @@ def oracle_sql():
         "events_salted_type_join": _EVENTS_SALTED_JOIN_SQL,
         "events_merged_windows": _EVENTS_MERGED_WINDOWS_SQL,
         "docs_kwic": _DOCS_KWIC_SQL,
+        "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -84,3 +84,39 @@ def test_multimodal_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeImage(decoder="real")
+
+
+def test_mmr_select_matches_driver_greedy(emb_ds, ray_session):
+    """Distributed MMR == driver-reference greedy loop (same lambda,
+    same lowest-id tie-break), on multiple block layouts."""
+    from information_extraction_system_ray.functions.similarity import \
+        mmr_select
+
+    df = emb_ds.to_pandas()
+    ids = df["vec_id"].to_numpy()
+    v = np.stack([np.asarray(x, np.float64) for x in df["embedding"]])
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    q = v[ids == 0][0]
+    lam, k = 0.7, 8
+
+    def driver_mmr():
+        picked, pvecs = [], []
+        cand = dict(zip(ids, v))
+        for _ in range(k):
+            best_id, best_s = None, -np.inf
+            for i in sorted(cand):
+                s = lam * float(v[ids == i][0] @ q)
+                if pvecs:
+                    s -= (1 - lam) * max(float(v[ids == i][0] @ p)
+                                         for p in pvecs)
+                if s > best_s + 1e-15:
+                    best_id, best_s = i, s
+            picked.append(best_id)
+            pvecs.append(cand.pop(best_id))
+        return picked
+
+    want = driver_mmr()
+    got = mmr_select(emb_ds, query=q, k=k, lam=lam)
+    assert got == want
+    got2 = mmr_select(emb_ds.repartition(7), query=q, k=k, lam=lam)
+    assert got2 == want
