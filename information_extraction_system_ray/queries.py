@@ -4749,6 +4749,88 @@ def emb_mmr_topk(sf_dir: str):
         "vec_id": pa.array(picked, pa.int64())}))
 
 
+def docs_rag_retrieve(sf_dir: str):
+    """RAG retrieval composition: embed-side exact cosine top-10 for one
+    query vector (vec_id 0), joined back to the document table for the
+    text snippet — the retrieve step of every retrieval-augmented
+    pipeline. The scan is one distributed pass (float64 cosine per
+    batch, per-batch partial top-k, tiny driver merge); the 10 winning
+    ids broadcast to a pruned documents pass for snippets, so no doc
+    text ever shuffles. Scores emitted as integer micro-units
+    (round(cos·1e6)) for hash-stable comparison; order is (cos desc,
+    id) in both engines."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.asarray(
+        emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        np.float64)
+    q_ref = ray.put(q)
+    K = 10
+
+    def partial(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        v = np.array(t["embedding"].to_pylist(), np.float64)
+        # dot/sqrt(na*nq) in float64 — mirrors the oracle's explicit
+        # formula (DuckDB's list_cosine_similarity kernel is float32)
+        na = (v * v).sum(axis=1)
+        cos = (v @ qv) / np.sqrt(na * (qv @ qv))
+        order = np.lexsort((ids, -cos))[:K]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cos": pa.array(cos[order], pa.float64())})
+
+    top = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["cos", "vec_id"],
+                          ascending=[False, True]).head(K)
+    top = top.reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["cos_u"] = np.round(top["cos"].to_numpy() * 1e6).astype(np.int64)
+    ids_ref = ray.put(dict(zip(top["vec_id"].astype(int),
+                               zip(top["rank"], top["cos_u"]))))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema([("rank", pa.int64()), ("doc_id", pa.int64()),
+                            ("cos_u", pa.int64()),
+                            ("snippet", pa.string())])
+
+    def snip(t: pa.Table) -> pa.Table:
+        m = ray.get(ids_ref)
+        ids = t["doc_id"].to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in m]
+        if not keep:
+            return out_schema.empty_table()
+        rows = t.take(keep)
+        rk = [m[d][0] for d in rows["doc_id"].to_pylist()]
+        cu = [m[d][1] for d in rows["doc_id"].to_pylist()]
+        return pa.table({
+            "rank": pa.array(rk, pa.int64()),
+            "doc_id": rows["doc_id"],
+            "cos_u": pa.array(cu, pa.int64()),
+            "snippet": pc.utf8_slice_codeunits(rows["text"], 0, 40),
+        }).cast(out_schema)
+
+    return docs.map_batches(snip, batch_format="pyarrow").sort("rank")
+
+
+_DOCS_RAG_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT e.vec_id,
+             SUM(e.embedding[i] * q.qv[i]) AS dot,
+             SUM(e.embedding[i] * e.embedding[i]) AS na,
+             SUM(q.qv[i] * q.qv[i]) AS nq
+      FROM embeddings e, q,
+           UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+      GROUP BY e.vec_id),
+s AS (SELECT vec_id, dot / sqrt(na * nq) AS cos FROM d),
+t AS (SELECT vec_id, cos,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM s QUALIFY rank <= 10)
+SELECT t.rank, d.doc_id, CAST(round(t.cos * 1000000) AS BIGINT) AS cos_u,
+       substr(d.text, 1, 40) AS snippet
+FROM t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.rank
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4884,6 +4966,7 @@ def queries():
         "docs_kwic": docs_kwic,
         "events_asof_nearest": events_asof_nearest,
         "emb_mmr_topk": emb_mmr_topk,
+        "docs_rag_retrieve": docs_rag_retrieve,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -5007,6 +5090,7 @@ def oracle_sql():
         "events_merged_windows": _EVENTS_MERGED_WINDOWS_SQL,
         "docs_kwic": _DOCS_KWIC_SQL,
         "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
+        "docs_rag_retrieve": _DOCS_RAG_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
