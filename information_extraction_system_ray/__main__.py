@@ -146,6 +146,60 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Dedup a documents parquet end-to-end: exact fingerprint pass
+    (min-id survivor), then MinHash+LSH near-dup pairs → connected
+    components → min-id survivor per cluster. Survivors written as
+    partitioned Parquet; one JSON stats line on stdout. Every step is
+    the streaming operator from functions/dedup.py / stages/
+    canonicalize.py — no driver materialization of text or signatures."""
+    ray = _ray_session(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .functions.dedup import exact_dedup, minhash_lsh_duplicates
+    from .functions.joins import anti_join, semi_join
+    from .stages.canonicalize import connected_components_distributed
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.input)
+    n_in = ds.count()
+
+    keep = exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
+    uniq = semi_join(ds, keep.select_columns([args.id_col]),
+                     left_key=args.id_col, right_key=args.id_col)
+    uniq = uniq.materialize()
+    n_exact = uniq.count()
+
+    pairs = minhash_lsh_duplicates(
+        uniq, id_col=args.id_col, text_col=args.text_col,
+        num_perm=args.num_perm, bands=args.bands,
+        jaccard_threshold=args.threshold)
+    labels = connected_components_distributed(pairs.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["id_a"], pa.string()),
+                            "dst": pc.cast(t["id_b"], pa.string())}),
+        batch_format="pyarrow"))
+
+    def losers(g) -> pa.Table:
+        ids = g["node"].astype("int64").sort_values()
+        return pa.table({args.id_col: pa.array(ids.iloc[1:].to_numpy(),
+                                               pa.int64())})
+
+    removed = labels.groupby("label").map_groups(losers,
+                                                 batch_format="pandas")
+    out = anti_join(uniq, removed, left_key=args.id_col,
+                    right_key=args.id_col)
+    out.write_parquet(args.out)
+    n_out = rd.read_parquet(args.out).count()
+    print(json.dumps({"cmd": "dedup", "input_rows": n_in,
+                      "after_exact": n_exact, "survivors": n_out,
+                      "out": args.out,
+                      "wall_s": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     ray = _ray_session(args.num_cpus)
     if args.kfold:
@@ -227,6 +281,18 @@ def main(argv=None) -> int:
     r.add_argument("--head", type=int, default=20)
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser("dedup",
+                       help="exact + near-dup dedup of a docs parquet")
+    d.add_argument("input", help="input parquet file/dir")
+    d.add_argument("--out", required=True, help="survivors parquet dir")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--num-perm", type=int, default=64)
+    d.add_argument("--bands", type=int, default=32)
+    d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
 
     v = sub.add_parser("evaluate",
                        help="per-label P/R/F1 of the tagger vs gold")

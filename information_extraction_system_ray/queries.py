@@ -4831,6 +4831,75 @@ ORDER BY t.rank
 """
 
 
+def docs_unigram_nll(sf_dir: str):
+    """Perplexity-proxy quality score (KenLM-style filtering, unigram
+    form): train a unigram LM on the corpus itself (term → count /
+    total), then score every doc by its average negative log-likelihood;
+    top 20 most surprising docs. Pass 1 is one narrow (term, count)
+    groupby whose result broadcasts as the model (vocab here is tiny; at
+    web scale: top-K hashed vocab + an OOV bucket, same plan); pass 2 is
+    a vectorized per-batch scorer. Score emitted as integer micro-nats
+    (round(nll·1e6)); dl rides as the exact int anchor."""
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2000)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        terms = []
+        for txt in t["text"].to_pylist():
+            terms.extend(_TERM_RE.findall((txt or "").lower()))
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    freqs = (docs.map_batches(pairs, batch_format="pyarrow")
+             .groupby("term").aggregate(Count(alias_name="n"))
+             .to_pandas())
+    total = int(freqs["n"].sum())
+    lp = {t: float(np.log(n) - np.log(total))
+          for t, n in zip(freqs["term"], freqs["n"])}
+    lp_ref = ray.put(lp)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64()),
+                            ("nll_u", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(lp_ref)
+        ids, dls, nlls = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = _TERM_RE.findall((txt or "").lower())
+            if not toks:
+                continue
+            s = -sum(m[tok] for tok in toks) / len(toks)
+            ids.append(did)
+            dls.append(len(toks))
+            nlls.append(round(s * 1e6))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dl": pa.array(dls, pa.int64()),
+                         "nll_u": pa.array(nlls, pa.int64())}
+                        ).cast(out_schema)
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort(["nll_u", "doc_id"], descending=[True, False])
+            .limit(20))
+
+
+_DOCS_UNIGRAM_NLL_SQL = """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS term
+             FROM documents),
+f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM f),
+sc AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+              AVG(-(ln(f.n) - ln(tot.total))) AS nll
+       FROM tok t JOIN f USING (term), tot
+       GROUP BY t.doc_id)
+SELECT doc_id, dl, CAST(round(nll * 1000000) AS BIGINT) AS nll_u
+FROM sc ORDER BY nll_u DESC, doc_id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4967,6 +5036,7 @@ def queries():
         "events_asof_nearest": events_asof_nearest,
         "emb_mmr_topk": emb_mmr_topk,
         "docs_rag_retrieve": docs_rag_retrieve,
+        "docs_unigram_nll": docs_unigram_nll,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -5091,6 +5161,7 @@ def oracle_sql():
         "docs_kwic": _DOCS_KWIC_SQL,
         "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
         "docs_rag_retrieve": _DOCS_RAG_SQL,
+        "docs_unigram_nll": _DOCS_UNIGRAM_NLL_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
