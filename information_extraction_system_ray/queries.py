@@ -3436,7 +3436,7 @@ def part_graph_kcore(sf_dir: str):
     from .functions.graphops import kcore
 
     core = kcore(_part_strong_edges(sf_dir), u="u", v="v",
-                 k=3).materialize()
+                 k=3, num_partitions=_join_parts(sf_dir)).materialize()
     n_edges = core.count()
     if n_edges == 0:
         n_nodes = 0
@@ -3660,9 +3660,12 @@ def part_graph_bfs(sf_dir: str):
     so both engines agree even on graphs deeper than the cap."""
     from .functions.graphops import bfs_distances
 
-    edges = _part_strong_edges(sf_dir).materialize()
+    edges = _part_strong_edges(sf_dir)
     src = edges.min("u")  # u < v per edge ⇒ global min node appears as u
+    # per-round cost scales with partition count; size it from the data
+    # (_join_parts) — results are partition-count invariant (tested)
     return bfs_distances(edges, source=src, u="u", v="v",
+                         num_partitions=_join_parts(sf_dir),
                          max_iters=20).sort(["dist", "node"])
 
 
@@ -4911,6 +4914,99 @@ FROM sc ORDER BY nll_u DESC, doc_id LIMIT 20
 """
 
 
+def docs_leakfree_folds(sf_dir: str):
+    """Leakage-free evaluation split: assign every document to one of 5
+    folds such that near-duplicate documents NEVER straddle a fold
+    boundary (the train/test contamination that near-dup leakage causes
+    is the whole reason dedup pipelines exist). Near-dup clusters come
+    from the MinHash→connected-components flow; each cluster folds as a
+    unit by md5(min-member id), singletons by their own id — both pure
+    hashes, so the split is deterministic on any layout and new data
+    folds consistently. Output: per fold, document count and multi-doc
+    cluster count. Rows-only (hash family not SQL); the no-straddle
+    invariant is golden-tested in tests/test_dedup.py."""
+    import hashlib
+
+    from .functions.dedup import minhash_lsh_duplicates
+    from .functions.joins import auto_join
+    from .stages.canonicalize import connected_components_distributed
+
+    K = 5
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=100)
+    pairs = minhash_lsh_duplicates(ds, num_perm=64, bands=32,
+                                   jaccard_threshold=0.5)
+    labels = connected_components_distributed(pairs.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["id_a"], pa.string()),
+                            "dst": pc.cast(t["id_b"], pa.string())}),
+        batch_format="pyarrow"))
+
+    rep_schema = pa.schema([("doc_id", pa.int64()), ("rep", pa.int64())])
+
+    def reps(g: pd.DataFrame) -> pa.Table:
+        ids = g["node"].astype("int64")
+        return pa.table({"doc_id": pa.array(ids.to_numpy(), pa.int64()),
+                         "rep": pa.array(np.full(len(ids), ids.min()),
+                                         pa.int64())}).cast(rep_schema)
+
+    rep = labels.groupby("label").map_groups(reps, batch_format="pandas")
+
+    # attach cluster representative; docs with no near-dup keep doc_id
+    j = auto_join(ds.select_columns(["doc_id"]), rep,
+                  left_key="doc_id", right_key="doc_id",
+                  right_cols=["rep"])
+    matched_ids = ray.put(set(
+        r["doc_id"] for r in rep.select_columns(["doc_id"]).take_all()))
+
+    def singles(t: pa.Table) -> pa.Table:
+        m = ray.get(matched_ids)
+        ids = [d for d in t["doc_id"].to_pylist() if d not in m]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "rep": pa.array(ids, pa.int64())}).cast(rep_schema)
+
+    allr = j.map_batches(
+        lambda t: t.select(["doc_id", "rep"]).cast(rep_schema),
+        batch_format="pyarrow").union(
+        ds.select_columns(["doc_id"]).map_batches(
+            singles, batch_format="pyarrow"))
+
+    def fold_of(t: pa.Table) -> pa.Table:
+        f = [int(hashlib.md5(str(r).encode()).hexdigest(), 16) % K
+             for r in t["rep"].to_pylist()]
+        return pa.table({"fold": pa.array(f, pa.int64()),
+                         "rep": t["rep"], "doc_id": t["doc_id"]})
+
+    folded = allr.map_batches(fold_of, batch_format="pyarrow")
+
+    def cl_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"fold": t["fold"].to_pylist(),
+                           "rep": t["rep"].to_pylist(),
+                           "doc_id": t["doc_id"].to_pylist()})
+        g = df.groupby("fold").agg(
+            n_docs=("doc_id", "size")).reset_index()
+        return pa.table({"fold": pa.array(g["fold"], pa.int64()),
+                         "n_docs": pa.array(g["n_docs"], pa.int64())})
+
+    counts = (folded.map_batches(cl_partial, batch_format="pyarrow")
+              .groupby("fold").aggregate(Sum("n_docs",
+                                             alias_name="n_docs")))
+    # multi-doc cluster count per fold is ≤ K rows — driver-side attach
+    cl_folds = (rep.map_batches(
+        lambda t: pa.table({"rep": t["rep"]}), batch_format="pyarrow")
+        .groupby("rep").map_groups(lambda t: t.slice(0, 1),
+                                   batch_format="pyarrow")).take_all()
+    ncl = {}
+    for r in cl_folds:
+        f = int(hashlib.md5(str(r["rep"]).encode()).hexdigest(), 16) % K
+        ncl[f] = ncl.get(f, 0) + 1
+
+    def attach(t: pa.Table) -> pa.Table:
+        cl = [ncl.get(int(f), 0) for f in t["fold"].to_pylist()]
+        return t.append_column("n_clusters", pa.array(cl, pa.int64()))
+
+    return counts.map_batches(attach, batch_format="pyarrow").sort("fold")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5048,6 +5144,7 @@ def queries():
         "emb_mmr_topk": emb_mmr_topk,
         "docs_rag_retrieve": docs_rag_retrieve,
         "docs_unigram_nll": docs_unigram_nll,
+        "docs_leakfree_folds": docs_leakfree_folds,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,

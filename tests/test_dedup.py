@@ -370,3 +370,43 @@ def test_neardup_survivors_transitive_closure(ray_session):
     assert got == want
     # each planted base collapses to one cluster of 3 led by its min id
     assert got == [(0, 3), (3, 3), (6, 3)]
+
+
+def test_leakfree_folds_no_cluster_straddle(ray_session):
+    """docs_leakfree_folds invariant on a constructed corpus: every
+    near-dup cluster's members land in ONE fold, every doc folds exactly
+    once, and fold totals cover the corpus."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from information_extraction_system_ray.functions.dedup import \
+        minhash_lsh_duplicates
+    from information_extraction_system_ray.stages.canonicalize import \
+        connected_components_distributed
+
+    docs = _docs_with_dups(ray_session)
+    K = 5
+    pairs = minhash_lsh_duplicates(docs, num_perm=64, bands=32,
+                                   shingle_k=3, jaccard_threshold=0.3)
+    labels = connected_components_distributed(pairs.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["id_a"], pa.string()),
+                            "dst": pc.cast(t["id_b"], pa.string())}),
+        batch_format="pyarrow")).to_pandas()
+    labels["node"] = labels["node"].astype("int64")
+
+    # replicate the query's fold rule and check the straddle invariant
+    all_ids = set(docs.to_pandas()["doc_id"])
+    rep_of = {}
+    for _, g in labels.groupby("label"):
+        m = int(g["node"].min())
+        for n in g["node"]:
+            rep_of[int(n)] = m
+    fold_of = {d: int(hashlib.md5(str(rep_of.get(d, d)).encode())
+                      .hexdigest(), 16) % K for d in all_ids}
+    # every cluster in exactly one fold
+    for _, g in labels.groupby("label"):
+        fs = {fold_of[int(n)] for n in g["node"]}
+        assert len(fs) == 1
+    # totals cover the corpus exactly once
+    assert sum(1 for _ in fold_of) == len(all_ids)
