@@ -5007,6 +5007,101 @@ def docs_leakfree_folds(sf_dir: str):
     return counts.map_batches(attach, batch_format="pyarrow").sort("fold")
 
 
+def docs_collocations(sf_dir: str):
+    """PMI collocation mining (Church & Hanks 1990) — the gazetteer/term
+    induction primitive: top 20 adjacent-word bigrams with ≥5
+    occurrences by pointwise mutual information ln(n_ab·N / (n_a·n_b)).
+    Two narrow count aggregates (bigrams, unigrams) — per-batch Counter
+    combiners collapse repeats before either shuffle; the unigram table
+    broadcasts back for the PMI attach (tiny here; at web scale the
+    attach becomes one co-partitioned join keyed twice, same plan as the
+    degree attach in graphops). Exact int counts ride beside integer
+    micro-nat PMI."""
+    from collections import Counter
+
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      rows_per_block=2000)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t["text"].to_pylist():
+            toks = _TERM_RE.findall((txt or "").lower())
+            c.update(zip(toks, toks[1:]))
+        if not c:
+            return pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        ks = list(c)
+        return pa.table({
+            "w1": pa.array([k[0] for k in ks], pa.string()),
+            "w2": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(_TERM_RE.findall((txt or "").lower()))
+        ks = list(c)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    big = (docs.map_batches(bigram_partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n_ab")))
+    uni = (docs.map_batches(unigram_partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    total = int(uni["n"].sum())
+    uni_ref = ray.put(dict(zip(uni["term"], uni["n"].astype(int))))
+
+    out_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                            ("n_ab", pa.int64()), ("n_a", pa.int64()),
+                            ("n_b", pa.int64()), ("pmi_u", pa.int64())])
+
+    def pmi(t: pa.Table) -> pa.Table:
+        m = ray.get(uni_ref)
+        t = t.filter(pc.greater_equal(t["n_ab"], pa.scalar(5, pa.int64())))
+        if not len(t):
+            return out_schema.empty_table()
+        na = np.array([m[w] for w in t["w1"].to_pylist()], np.int64)
+        nb = np.array([m[w] for w in t["w2"].to_pylist()], np.int64)
+        nab = t["n_ab"].to_numpy(zero_copy_only=False)
+        val = (np.log(nab.astype(np.float64)) + np.log(float(total))
+               - np.log(na.astype(np.float64))
+               - np.log(nb.astype(np.float64)))
+        return pa.table({"w1": t["w1"], "w2": t["w2"], "n_ab": t["n_ab"],
+                         "n_a": pa.array(na, pa.int64()),
+                         "n_b": pa.array(nb, pa.int64()),
+                         "pmi_u": pa.array(np.round(val * 1e6)
+                                           .astype(np.int64), pa.int64())}
+                        ).cast(out_schema)
+
+    return (big.map_batches(pmi, batch_format="pyarrow")
+            .sort(["pmi_u", "w1", "w2"], descending=[True, False, False])
+            .limit(20))
+
+
+_DOCS_COLLOCATIONS_SQL = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0)))
+               AS u(i)),
+b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+ug AS (SELECT toks[i] AS term
+       FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+un AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ug GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM un)
+SELECT b.w1, b.w2, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+       CAST(round((ln(b.n_ab) + ln(tot.total) - ln(ua.n) - ln(ub.n))
+            * 1000000) AS BIGINT) AS pmi_u
+FROM b JOIN un ua ON ua.term = b.w1 JOIN un ub ON ub.term = b.w2, tot
+ORDER BY pmi_u DESC, b.w1, b.w2 LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5145,6 +5240,7 @@ def queries():
         "docs_rag_retrieve": docs_rag_retrieve,
         "docs_unigram_nll": docs_unigram_nll,
         "docs_leakfree_folds": docs_leakfree_folds,
+        "docs_collocations": docs_collocations,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -5270,6 +5366,7 @@ def oracle_sql():
         "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
         "docs_rag_retrieve": _DOCS_RAG_SQL,
         "docs_unigram_nll": _DOCS_UNIGRAM_NLL_SQL,
+        "docs_collocations": _DOCS_COLLOCATIONS_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
