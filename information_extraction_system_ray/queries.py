@@ -5102,6 +5102,103 @@ ORDER BY pmi_u DESC, b.w1, b.w2 LIMIT 20
 """
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (market share by year): of the revenue on
+    Brand#11 parts, the share supplied by NATION_3 suppliers, per order
+    year. Part keys and supplier→nation collapse to broadcast maps;
+    lineitem pre-filters and pre-aggregates per (orderkey-hash batch) to
+    (orderkey, rev, is_nation_rev) rows; ONE hash join against
+    (orderkey, year) attaches the year; the share is emitted as the
+    exact integer cent pair (nation_cents, total_cents) plus the double
+    their division yields — bit-equal across engines."""
+    from .functions.joins import auto_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    bkeys = ray.put(set(
+        part.loc[part["p_brand"] == "Brand#11", "p_partkey"].astype(int)))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat3 = ray.put(set(
+        supp.loc[supp["s_nationkey"] == 3, "s_suppkey"].astype(int)))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        bk = ray.get(bkeys)
+        n3 = ray.get(nat3)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.array([int(k) in bk for k in pk], bool)
+        if not keep.any():
+            return pa.schema([("l_orderkey", pa.int64()),
+                              ("rev", pa.int64()),
+                              ("nrev", pa.int64())]).empty_table()
+        f = t.filter(pa.array(keep))
+        rev = _cents(pc.multiply(f["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             f["l_discount"])))
+        is3 = np.array([int(s) in n3
+                        for s in f["l_suppkey"].to_numpy(
+                            zero_copy_only=False)], bool)
+        nrev = rev.to_numpy(zero_copy_only=False) * is3
+        return pa.table({"l_orderkey": f["l_orderkey"], "rev": rev,
+                         "nrev": pa.array(nrev.astype(np.int64),
+                                          pa.int64())})
+
+    li_f = li.map_batches(prep, batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+
+    def oyear(t: pa.Table) -> pa.Table:
+        yr = pd.Series(t["o_orderdate"].to_pandas()).dt.year
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pa.array(yr.astype("int64"),
+                                            pa.int64())})
+
+    j = auto_join(li_f, orders.map_batches(oyear, batch_format="pyarrow"),
+                  left_key="l_orderkey", right_key="o_orderkey",
+                  right_cols=["o_year"],
+                  num_partitions=_join_parts(sf_dir))
+
+    agg = (j.groupby("o_year")
+           .aggregate(Sum("nrev", alias_name="nation_cents"),
+                      Sum("rev", alias_name="total_cents")))
+
+    def share(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(t["nation_cents"], pa.float64()),
+                      pc.cast(t["total_cents"], pa.float64()))
+        return pa.table({"o_year": t["o_year"],
+                         "nation_cents": t["nation_cents"],
+                         "total_cents": t["total_cents"],
+                         "mkt_share": s})
+
+    return agg.map_batches(share, batch_format="pyarrow").sort("o_year")
+
+
+_Q8_SQL = """
+WITH f AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS rev,
+         CASE WHEN s_nationkey = 3 THEN
+              CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT) ELSE 0 END AS nrev
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE p_brand = 'Brand#11')
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(nrev) AS BIGINT) AS nation_cents,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST(SUM(nrev) AS DOUBLE) / SUM(rev) AS mkt_share
+FROM f JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5241,6 +5338,7 @@ def queries():
         "docs_unigram_nll": docs_unigram_nll,
         "docs_leakfree_folds": docs_leakfree_folds,
         "docs_collocations": docs_collocations,
+        "q8_market_share": q8_market_share,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -5367,6 +5465,7 @@ def oracle_sql():
         "docs_rag_retrieve": _DOCS_RAG_SQL,
         "docs_unigram_nll": _DOCS_UNIGRAM_NLL_SQL,
         "docs_collocations": _DOCS_COLLOCATIONS_SQL,
+        "q8_market_share": _Q8_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
