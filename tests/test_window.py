@@ -90,3 +90,35 @@ def test_window_single_and_empty_key_partitions(ray_session):
     got = row_number(ds, keys=["k"], order_by=["o"],
                      num_partitions=8).to_pandas()
     assert got.to_dict("records") == [{"k": 7, "o": 3, "rn": 1}]
+
+
+def test_global_running_sum_matches_pandas(ray_session):
+    """global_running_sum == pandas sorted cumsum on random int data,
+    with duplicate sort keys broken by a unique column, across block
+    layouts and partition counts (incl. more partitions than rows)."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+    from information_extraction_system_ray.functions.rank import \
+        global_running_sum
+
+    rng = random.Random(11)
+    n = 500
+    df = pd.DataFrame({
+        "id": range(n),
+        "k": [rng.randrange(40) for _ in range(n)],   # heavy duplicates
+        "v": [rng.randrange(-50, 100) for _ in range(n)],
+    })
+    want = df.sort_values(["k", "id"]).reset_index(drop=True)
+    want["cum"] = want["v"].cumsum()
+
+    for nblocks, nparts in [(6, 8), (1, 4), (13, 3), (4, 1000)]:
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False)).repartition(nblocks)
+        got = global_running_sum(ds, "v", order_by=["k", "id"],
+                                 num_partitions=nparts).to_pandas()
+        got = got.sort_values(["k", "id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "id", "v", "cum"]],
+                                      want[["k", "id", "v", "cum"]],
+                                      check_dtype=False)
