@@ -5199,6 +5199,56 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q12_priority_shipping(sf_dir: str):
+    """TPC-H Q12 shape (CASE-bucketed join counts): per order YEAR of
+    shipment, how many shipped lineitems belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs low. The order→priority-class map is one
+    broadcast BIT per order (a numpy bool array indexed by orderkey
+    would be the production form; dict here) — the join is map-side,
+    the CASE evaluates vectorized, and only per-batch partial counts
+    shuffle."""
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey",
+                                    "o_orderpriority"]).to_pandas()
+    hi = ray.put(set(orders.loc[orders["o_orderpriority"].isin(
+        ["1-URGENT", "2-HIGH"]), "o_orderkey"].astype(int)))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = ray.get(hi)
+        yr = pd.Series(t["l_shipdate"].to_pandas()).dt.year.to_numpy()
+        is_hi = np.array([int(k) in h for k in
+                          t["l_orderkey"].to_numpy(zero_copy_only=False)])
+        df = pd.DataFrame({"ship_year": yr.astype(np.int64),
+                           "hi": is_hi.astype(np.int64),
+                           "lo": (~is_hi).astype(np.int64)})
+        g = df.groupby("ship_year", as_index=False).sum()
+        return pa.table({
+            "ship_year": pa.array(g["ship_year"], pa.int64()),
+            "high_line_count": pa.array(g["hi"], pa.int64()),
+            "low_line_count": pa.array(g["lo"], pa.int64())})
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("ship_year")
+            .aggregate(Sum("high_line_count",
+                           alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count"))
+            .sort("ship_year"))
+
+
+_Q12_SQL = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5339,6 +5389,7 @@ def queries():
         "docs_leakfree_folds": docs_leakfree_folds,
         "docs_collocations": docs_collocations,
         "q8_market_share": q8_market_share,
+        "q12_priority_shipping": q12_priority_shipping,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -5466,6 +5517,7 @@ def oracle_sql():
         "docs_unigram_nll": _DOCS_UNIGRAM_NLL_SQL,
         "docs_collocations": _DOCS_COLLOCATIONS_SQL,
         "q8_market_share": _Q8_SQL,
+        "q12_priority_shipping": _Q12_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
