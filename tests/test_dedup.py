@@ -410,3 +410,21 @@ def test_leakfree_folds_no_cluster_straddle(ray_session):
         assert len(fs) == 1
     # totals cover the corpus exactly once
     assert sum(1 for _ in fold_of) == len(all_ids)
+
+
+def test_leakfree_folds_query_covers_corpus(ray_session):
+    """END-TO-END run of docs_leakfree_folds (round-3 distributed path:
+    anti_join singletons + distributed cluster-count groupby — no
+    corpus-sized take_all on the driver): fold doc totals must cover the
+    corpus exactly once and cluster counts must be non-negative with at
+    least one multi-doc cluster (sf0.001 plants near-dups)."""
+    import pyarrow.parquet as pq
+    from information_extraction_system_ray.queries import docs_leakfree_folds
+
+    sf = "/root/testdata/sf0.001"
+    r = docs_leakfree_folds(sf).to_pandas()
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert int(r["n_docs"].sum()) == n_docs
+    assert (r["fold"].sort_values().to_numpy() == range(len(r))).all()
+    assert (r["n_clusters"] >= 0).all()
+    assert int(r["n_clusters"].sum()) > 0
