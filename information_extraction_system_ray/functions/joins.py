@@ -140,11 +140,27 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     The broadcast path costs O(build rows) driver+object-store memory —
     ``broadcast_limit`` is the explicit scale contract; count() on parquet
-    reads metadata only."""
+    reads metadata only.
+
+    Schema invariance (ADVICE r2, joins.py:153): the chooser flips at
+    runtime on data size, so both paths are normalized to the SAME output
+    schema — left columns followed by ``right_cols``, the right key
+    dropped when its name differs from the left key. Non-key name
+    collisions are rejected up front (the two paths would suffix them
+    differently)."""
     import ray as _ray
 
     cols = right_cols if right_cols is not None \
         else [c for c in right.schema().names if c != right_key]
+    lnames = list(left.schema().names)
+    overlap = [c for c in cols if c in lnames]
+    if overlap:
+        raise ValueError(
+            f"auto_join: right columns {overlap} collide with left "
+            "columns; rename before joining — the broadcast and shuffle "
+            "paths would disambiguate them differently")
+    out_cols = lnames + cols
+
     small = right.count() <= broadcast_limit
     if small:
         build = right.select_columns([right_key] + cols).to_pandas()
@@ -153,13 +169,15 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         def probe(df: pd.DataFrame) -> pd.DataFrame:
             b = _ray.get(build_ref)
             return df.merge(b, how="inner", left_on=left_key,
-                            right_on=right_key)
+                            right_on=right_key)[out_cols]
 
         return left.map_batches(probe, batch_format="pandas")
-    return left.join(right.select_columns([right_key] + cols),
-                     join_type="inner", num_partitions=num_partitions
-                     or default_parts(), on=(left_key,),
-                     right_on=(right_key,))
+    joined = left.join(right.select_columns([right_key] + cols),
+                       join_type="inner", num_partitions=num_partitions
+                       or default_parts(), on=(left_key,),
+                       right_on=(right_key,))
+    return joined.map_batches(lambda t: t.select(out_cols),
+                              batch_format="pyarrow")
 
 
 def cross_join(left: ray.data.Dataset, right: ray.data.Dataset, *,

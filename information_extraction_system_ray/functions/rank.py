@@ -32,6 +32,97 @@ from .partitions import default_parts
 _SAMPLES_PER_SPLIT = 200  # expected sample rows per range boundary
 
 
+def _lex_ge(colvals: "list[np.ndarray]", split_vals: "list",
+            ascending: "list[bool]") -> np.ndarray:
+    """Vectorized lexicographic row >= split over the composite key,
+    honoring per-key sort direction."""
+    n = len(colvals[0])
+    gt = np.zeros(n, bool)
+    eq = np.ones(n, bool)
+    for c, s, asc in zip(colvals, split_vals, ascending):
+        c_gt = (c > s) if asc else (c < s)
+        gt |= eq & c_gt
+        eq &= (c == s)
+    return gt | eq
+
+
+def _range_tag(ds: ray.data.Dataset, order_by: "list[str]",
+               ascending: "list[bool]", num_partitions: int,
+               n_total: int) -> ray.data.Dataset:
+    """Tag every row with its range-partition id ``_rpart`` from a
+    deterministic hash-sample of the sort key.
+
+    Splits normally come from the FIRST key alone (searchsorted fast
+    path) — ties across a split are fine because partition assignment
+    only needs a total PRE-order; the local sort settles the composite
+    order. Skew guard (ADVICE r2, rank.py:63): when the sampled first
+    key is so skewed that split points REPEAT (one dominant value would
+    flood a single range partition, silently degrading the two-pass plan
+    to one giant local sort), and a secondary order key exists, splits
+    become (k0, k1) TUPLES compared lexicographically — still a valid
+    pre-order of the composite sort, but the hot first-key run is now
+    divided by the second key. Fully degenerate with no secondary key →
+    an explicit RuntimeWarning that the partitioning collapsed."""
+    import warnings
+
+    k0 = order_by[0]
+    keys = list(dict.fromkeys(order_by[:2]))
+    mod = max(1, n_total // (num_partitions * _SAMPLES_PER_SPLIT))
+    sample = (ds.select_columns(keys)
+              .map_batches(
+                  lambda t: t.filter(
+                      (pd.util.hash_pandas_object(
+                          pd.Series(t[k0].to_pandas()), index=False)
+                       % mod == 0).to_numpy()),
+                  batch_format="pyarrow")
+              .to_pandas())
+    asc0 = ascending[0]
+    if len(sample) == 0:  # tiny input: single range partition
+        mode, payload = "simple", np.array([])
+    else:
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        s0 = np.sort(sample[k0].to_numpy())
+        idx = np.minimum((qs * len(s0)).astype(int), len(s0) - 1)
+        splits = s0[idx]
+        degenerate = len(splits) > 1 and len(np.unique(splits)) < len(splits)
+        if degenerate and len(keys) > 1:
+            samp = sample.sort_values(
+                keys, ascending=ascending[:len(keys)], kind="mergesort")
+            cidx = np.minimum((qs * len(samp)).astype(int), len(samp) - 1)
+            mode = "composite"
+            payload = [samp[c].to_numpy()[cidx] for c in keys]
+        else:
+            if degenerate and len(np.unique(splits)) == 1:
+                warnings.warn(
+                    f"range partitioning on {k0!r} collapsed (one dominant "
+                    "value, no secondary order key to salt by); the local "
+                    "sort will run as one giant partition", RuntimeWarning)
+            mode, payload = "simple", splits
+    splits_ref = ray.put((mode, payload))
+    asc_keys = ascending[:len(keys)]
+
+    def tag(t: pa.Table) -> pa.Table:
+        m, sp = ray.get(splits_ref)
+        if m == "composite":
+            colvals = [t[c].to_numpy(zero_copy_only=False) for c in keys]
+            pid = np.zeros(len(t), np.int64)
+            for j in range(len(sp[0])):
+                pid += _lex_ge(colvals, [s[j] for s in sp], asc_keys)
+        else:
+            vals = t[k0].to_numpy(zero_copy_only=False)
+            if len(sp) == 0:
+                pid = np.zeros(len(t), dtype=np.int64)
+            elif asc0:
+                pid = np.searchsorted(sp, vals,
+                                      side="right").astype(np.int64)
+            else:
+                pid = (len(sp) - np.searchsorted(
+                    sp, vals, side="left")).astype(np.int64)
+        return t.append_column("_rpart", pa.array(pid, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def global_row_number(ds: ray.data.Dataset, *, order_by: list[str],
                       descending: "bool | list[bool]" = False,
                       out_col: str = "rn",
@@ -47,44 +138,8 @@ def global_row_number(ds: ray.data.Dataset, *, order_by: list[str],
         [(n, schema.field(n).type) for n in schema.names]
         + [(out_col, pa.int64())])
 
-    # 1. split points from a deterministic hash-sample of the FIRST sort
-    # key. The sample rate adapts to the input size (metadata count) so the
-    # driver holds ~num_partitions×200 keys regardless of scale; ties
-    # across a split are fine — partition assignment only needs a total
-    # PRE-order, the local sort settles the composite order.
-    k0 = order_by[0]
     n_total = ds.count()
-    mod = max(1, n_total // (num_partitions * _SAMPLES_PER_SPLIT))
-    sample = (ds.select_columns([k0])
-              .map_batches(
-                  lambda t: t.filter(
-                      (pd.util.hash_pandas_object(
-                          pd.Series(t[k0].to_pandas()), index=False)
-                       % mod == 0).to_numpy()),
-                  batch_format="pyarrow")
-              .to_pandas())
-    if len(sample) == 0:  # tiny input: single range partition
-        splits = np.array([])
-    else:
-        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-        splits = np.sort(sample[k0].to_numpy())[
-            np.minimum((qs * len(sample)).astype(int), len(sample) - 1)]
-    asc0 = ascending[0]
-    splits_ref = ray.put(splits)
-
-    def tag(t: pa.Table) -> pa.Table:
-        sp = ray.get(splits_ref)
-        vals = t[k0].to_numpy(zero_copy_only=False)
-        if len(sp) == 0:
-            pid = np.zeros(len(t), dtype=np.int64)
-        elif asc0:
-            pid = np.searchsorted(sp, vals, side="right").astype(np.int64)
-        else:
-            pid = (len(sp)
-                   - np.searchsorted(sp, vals, side="left")).astype(np.int64)
-        return t.append_column("_rpart", pa.array(pid, pa.int64()))
-
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged = _range_tag(ds, order_by, ascending, num_partitions, n_total)
 
     # 3. per-partition counts → offsets (num_partitions rows on the driver)
     from ray.data.aggregate import Count
@@ -145,50 +200,31 @@ def global_running_sum(ds: ray.data.Dataset, value_col: str, *,
     quota cuts). Same two-pass plan as ``global_row_number``, except the
     driver-side offset table carries per-range-partition SUMS instead of
     counts; the local pass sorts and adds offset + local cumsum. Ties
-    must be broken by a unique column in ``order_by``."""
+    must be broken by a unique column in ``order_by``.
+
+    ``value_col`` must be an INTEGER column (ADVICE r2, rank.py:207):
+    the cross-partition offsets and the local cumsum both accumulate in
+    exact int64 so the result is order-free and hash-stable; floats
+    would be silently truncated. Scale floats to integer units first
+    (the repo-wide cents / micro-unit idiom)."""
     num_partitions = num_partitions or default_parts()
     if isinstance(descending, bool):
         descending = [descending] * len(order_by)
     ascending = [not d for d in descending]
 
     schema = ds.schema().base_schema
+    vt = schema.field(value_col).type
+    if not pa.types.is_integer(vt):
+        raise ValueError(
+            f"global_running_sum requires an integer value_col for exact "
+            f"order-free accumulation; got {value_col}: {vt}. Scale to "
+            "integer units (cents/micros) first.")
     out_schema = pa.schema(
         [(n, schema.field(n).type) for n in schema.names]
         + [(out_col, pa.int64())])
 
-    k0 = order_by[0]
     n_total = ds.count()
-    mod = max(1, n_total // (num_partitions * _SAMPLES_PER_SPLIT))
-    sample = (ds.select_columns([k0])
-              .map_batches(
-                  lambda t: t.filter(
-                      (pd.util.hash_pandas_object(
-                          pd.Series(t[k0].to_pandas()), index=False)
-                       % mod == 0).to_numpy()),
-                  batch_format="pyarrow")
-              .to_pandas())
-    if len(sample) == 0:
-        splits = np.array([])
-    else:
-        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-        splits = np.sort(sample[k0].to_numpy())[
-            np.minimum((qs * len(sample)).astype(int), len(sample) - 1)]
-    asc0 = ascending[0]
-    splits_ref = ray.put(splits)
-
-    def tag(t: pa.Table) -> pa.Table:
-        sp = ray.get(splits_ref)
-        vals = t[k0].to_numpy(zero_copy_only=False)
-        if len(sp) == 0:
-            pid = np.zeros(len(t), dtype=np.int64)
-        elif asc0:
-            pid = np.searchsorted(sp, vals, side="right").astype(np.int64)
-        else:
-            pid = (len(sp)
-                   - np.searchsorted(sp, vals, side="left")).astype(np.int64)
-        return t.append_column("_rpart", pa.array(pid, pa.int64()))
-
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged = _range_tag(ds, order_by, ascending, num_partitions, n_total)
 
     from ray.data.aggregate import Sum
     sums = (tagged.groupby("_rpart")

@@ -37,6 +37,23 @@ def _key_series(df: pd.DataFrame, keys: list[str]) -> pd.Series:
     return s
 
 
+def _changed_vs_prev(part: pd.DataFrame, cols: "list[str]") -> pd.Series:
+    """Null-aware "this row differs from the previous" over composite
+    columns. Plain ``.ne(shift(1))`` treats NaN != NaN, so tied NULL
+    order values got distinct ranks — diverging from SQL's
+    nulls-are-peers tie rule (ADVICE r2, window.py:269). Here
+    NULL == NULL for tie purposes; the first row always counts as
+    changed (it starts the first tie group)."""
+    changed = pd.Series(False, index=part.index)
+    for c in cols:
+        s = part[c]
+        prev = s.shift(1)
+        changed |= s.ne(prev) & ~(s.isna() & prev.isna())
+    if len(changed):
+        changed.iloc[0] = True
+    return changed
+
+
 def row_number(ds: ray.data.Dataset, *, keys: list[str],
                order_by: list[str], descending: "bool | list[bool]" = False,
                out_col: str = "rn",
@@ -264,14 +281,8 @@ def dense_rank(ds: ray.data.Dataset, *, keys: list[str],
         part = part.sort_values(keys + order_by,
                                 ascending=[True] * len(keys) + ascending,
                                 kind="mergesort").reset_index(drop=True)
-        changed = pd.Series(False, index=part.index)
-        for c in order_by:
-            changed |= part[c].ne(part[c].shift(1))
+        changed = _changed_vs_prev(part, list(keys) + list(order_by))
         gkeys = [part[k] for k in keys]
-        new_group = pd.Series(False, index=part.index)
-        for k in keys:
-            new_group |= part[k].ne(part[k].shift(1))
-        changed |= new_group
         part[out_col] = changed.astype("int64") \
             .groupby(gkeys, sort=False).cumsum()
         return to_arrow(part.drop(columns=["_wpart"]), out_schema)
@@ -370,9 +381,7 @@ def percent_rank(ds: ray.data.Dataset, *, keys: list[str],
                 kind="mergesort").reset_index(drop=True)
             grp = part.groupby(keys, sort=False)
             pos = grp.cumcount() + 1
-            changed = pd.Series(False, index=part.index)
-            for c in keys + order_by:
-                changed |= part[c].ne(part[c].shift(1))
+            changed = _changed_vs_prev(part, list(keys) + list(order_by))
             r = pos.where(changed).groupby(
                 [part[k] for k in keys], sort=False).ffill()
         n = grp[order_by[0]].transform("size")
@@ -425,9 +434,7 @@ def cume_dist(ds: ray.data.Dataset, *, keys: list[str],
                 kind="mergesort").reset_index(drop=True)
             grp = part.groupby(keys, sort=False)
             pos = grp.cumcount() + 1
-            changed = pd.Series(False, index=part.index)
-            for c in keys + order_by:
-                changed |= part[c].ne(part[c].shift(1))
+            changed = _changed_vs_prev(part, list(keys) + list(order_by))
             tie_id = changed.cumsum()
             r = pos.groupby(tie_id, sort=False).transform("max")
             n = grp[order_by[0]].transform("size")
@@ -572,9 +579,7 @@ def rank_per_key(ds: ray.data.Dataset, *, keys: list[str],
                 kind="mergesort").reset_index(drop=True)
             grp = part.groupby(keys, sort=False)
             pos = grp.cumcount() + 1
-            changed = pd.Series(False, index=part.index)
-            for c in keys + order_by:
-                changed |= part[c].ne(part[c].shift(1))
+            changed = _changed_vs_prev(part, list(keys) + list(order_by))
             r = pos.where(changed).groupby(
                 [part[k] for k in keys], sort=False).ffill()
             part[out_col] = r.astype("int64")

@@ -739,16 +739,26 @@ ORDER BY q
 
 
 def events_type_approx_users(sf_dir: str):
-    """G6 approximate aggregate: HLL approx COUNT(DISTINCT user_id) per
-    event_type — mergeable register sketches, one per (group, batch).
-    Rows-only for the driver (HLL estimates are engine-specific);
-    tests/test_new_ops.py gates the estimate within the sketch's error
-    bound against the exact distinct."""
+    """G6 approximate aggregate: COUNT(DISTINCT user_id) per event_type
+    via the mergeable sparse→dense HLL sketch (sketches.py). In the
+    sparse regime (≤50k distinct hashes per group — every oracle-run
+    scale factor) the sketch is the exact hash set and the answer equals
+    SQL ``COUNT(DISTINCT ...)``, so this query now carries a full DuckDB
+    oracle (closes the one r2 driver `no_oracle` row); past the
+    threshold it degrades gracefully to ~1.6%-error HLL registers with
+    bounded memory (error-bound tested in tests/test_new_ops.py)."""
     from .functions.sketches import approx_distinct_by_key
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     return approx_distinct_by_key(ds, "event_type", "user_id") \
         .sort("event_type")
+
+
+_EVENTS_APPROX_USERS_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS approx_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def custs_without_events(sf_dir: str):
@@ -5136,39 +5146,39 @@ def q8_market_share(sf_dir: str):
     their division yields — bit-equal across engines."""
     from .functions.joins import auto_join
 
+    # broadcast Arrow arrays probed with vectorized pc.is_in (ADVICE r2:
+    # the per-row Python `in` loop was the slowest possible membership
+    # test in the hot path)
     part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand"]).to_pandas()
-    bkeys = ray.put(set(
-        part.loc[part["p_brand"] == "Brand#11", "p_partkey"].astype(int)))
+                         columns=["p_partkey", "p_brand"],
+                         filters=[("p_brand", "==", "Brand#11")])
+    bkeys = ray.put(pc.cast(part["p_partkey"].combine_chunks(),
+                            pa.int64()))
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    nat3 = ray.put(set(
-        supp.loc[supp["s_nationkey"] == 3, "s_suppkey"].astype(int)))
+                         columns=["s_suppkey", "s_nationkey"],
+                         filters=[("s_nationkey", "==", 3)])
+    nat3 = ray.put(pc.cast(supp["s_suppkey"].combine_chunks(), pa.int64()))
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_partkey", "l_suppkey",
                              "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
-        bk = ray.get(bkeys)
-        n3 = ray.get(nat3)
-        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
-        keep = np.array([int(k) in bk for k in pk], bool)
-        if not keep.any():
+        keep = pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                        value_set=ray.get(bkeys))
+        f = t.filter(keep)
+        if f.num_rows == 0:
             return pa.schema([("l_orderkey", pa.int64()),
                               ("rev", pa.int64()),
                               ("nrev", pa.int64())]).empty_table()
-        f = t.filter(pa.array(keep))
         rev = _cents(pc.multiply(f["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0),
                                              f["l_discount"])))
-        is3 = np.array([int(s) in n3
-                        for s in f["l_suppkey"].to_numpy(
-                            zero_copy_only=False)], bool)
-        nrev = rev.to_numpy(zero_copy_only=False) * is3
+        is3 = pc.is_in(pc.cast(f["l_suppkey"], pa.int64()),
+                       value_set=ray.get(nat3))
+        nrev = pc.if_else(is3, rev, pa.scalar(0, pa.int64()))
         return pa.table({"l_orderkey": f["l_orderkey"], "rev": rev,
-                         "nrev": pa.array(nrev.astype(np.int64),
-                                          pa.int64())})
+                         "nrev": nrev})
 
     li_f = li.map_batches(prep, batch_format="pyarrow")
 
@@ -5225,25 +5235,26 @@ GROUP BY 1 ORDER BY 1
 def q12_priority_shipping(sf_dir: str):
     """TPC-H Q12 shape (CASE-bucketed join counts): per order YEAR of
     shipment, how many shipped lineitems belong to high-priority orders
-    (1-URGENT / 2-HIGH) vs low. The order→priority-class map is one
-    broadcast BIT per order (a numpy bool array indexed by orderkey
-    would be the production form; dict here) — the join is map-side,
-    the CASE evaluates vectorized, and only per-batch partial counts
-    shuffle."""
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey",
-                                    "o_orderpriority"]).to_pandas()
-    hi = ray.put(set(orders.loc[orders["o_orderpriority"].isin(
-        ["1-URGENT", "2-HIGH"]), "o_orderkey"].astype(int)))
+    (1-URGENT / 2-HIGH) vs low. The order→priority-class map broadcasts
+    once as an Arrow int64 array of high-priority orderkeys, probed
+    per batch with vectorized ``pc.is_in`` (ADVICE r2: replaced the
+    per-row Python ``in`` loop) — the join is map-side, the CASE
+    evaluates vectorized, and only per-batch partial counts shuffle."""
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filters=[("o_orderpriority", "in", ["1-URGENT", "2-HIGH"])])
+    hi = ray.put(pc.cast(orders["o_orderkey"].combine_chunks(),
+                         pa.int64()))
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_shipdate"])
 
     def partial(t: pa.Table) -> pa.Table:
-        h = ray.get(hi)
         yr = pd.Series(t["l_shipdate"].to_pandas()).dt.year.to_numpy()
-        is_hi = np.array([int(k) in h for k in
-                          t["l_orderkey"].to_numpy(zero_copy_only=False)])
+        is_hi = pc.is_in(pc.cast(t["l_orderkey"], pa.int64()),
+                         value_set=ray.get(hi)).to_numpy(
+                             zero_copy_only=False)
         df = pd.DataFrame({"ship_year": yr.astype(np.int64),
                            "hi": is_hi.astype(np.int64),
                            "lo": (~is_hi).astype(np.int64)})
@@ -5447,6 +5458,7 @@ def oracle_sql():
         "events_latest_per_user": _EVENTS_LATEST_SQL,
         "events_user_cumspend": _EVENTS_CUMSPEND_SQL,
         "events_sessionize": _EVENTS_SESSION_SQL,
+        "events_type_approx_users": _EVENTS_APPROX_USERS_SQL,
         "events_value_quantiles": _EVENTS_QUANTILES_SQL,
         "events_user_gap": _EVENTS_GAP_SQL,
         "orders_repeat_30d": _ORDERS_REPEAT_SQL,

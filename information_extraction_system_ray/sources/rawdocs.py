@@ -10,11 +10,14 @@ Codec reality in this container (no parser libraries installed):
 - ``.html`` — REAL: bytes pass through as the ``html`` column with
   ``text=None``; the flagship's byte-identical stripper extracts the text,
   preserving the per-url byte-identity invariant.
-- ``.pdf`` / ``.doc`` / ``.docx`` — STUBBED (``decoder="fake"``): a
-  deterministic fake extraction derived from the byte content keeps the
-  Ray-side plumbing (binary-files source, actor signature, pages schema,
-  lang tagging) real and tested; ``decoder="real"`` raises
-  NotImplementedError until a parser library is available.
+- ``.pdf`` / ``.docx`` — REAL under ``decoder="real"`` (round 3): the
+  pure-stdlib extractors in ``sources/pdftext.py`` (FlateDecode via
+  zlib + a content-stream tokenizer; zipfile+ElementTree for docx).
+  ``decoder="fake"`` keeps the deterministic stand-in for plumbing
+  tests and for the unsupported cases.
+- ``.doc`` — STUBBED in both modes (legacy OLE2 binary; no stdlib
+  route): fake-extracted under ``decoder="fake"``, SKIPPED with a
+  counted drop under ``decoder="real"``.
 
 ``warc_ts`` is derived deterministically from the content hash (ingest has
 no crawl timestamp; determinism beats wall-clock for resume/rerun equality).
@@ -74,12 +77,15 @@ class DecodeDocuments:
     actor-pool pattern); __call__ is one pass over the Arrow batch."""
 
     def __init__(self, decoder: str = "fake") -> None:
-        if decoder != "fake":
-            raise NotImplementedError(
-                "no pdf/doc parser library in this container; "
-                "use decoder='fake'")
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self._real = decoder == "real"
         from refimpl.htmlstrip import strip_html
         self._strip = strip_html
+        if self._real:
+            from .pdftext import extract_docx_text, extract_pdf_text
+            self._pdf = extract_pdf_text
+            self._docx = extract_docx_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls, tss, htmls, texts, langs = [], [], [], [], []
@@ -94,11 +100,17 @@ class DecodeDocuments:
             elif ext in _TEXT_EXTS:
                 html, text = b"", payload.decode("utf-8", errors="replace")
                 lang_src = text
-            elif ext in _STUB_EXTS:
+            elif ext == ".pdf" and self._real:
+                html, text = b"", self._pdf(payload)
+                lang_src = text
+            elif ext == ".docx" and self._real:
+                html, text = b"", self._docx(payload)
+                lang_src = text
+            elif ext in _STUB_EXTS and not self._real:
                 html, text = b"", _fake_extract(payload, ext)
                 lang_src = text
-            else:               # unknown extension: skip (logged row count
-                continue        # drop shows up in stage metrics)
+            else:               # unknown extension, or .doc under "real":
+                continue        # skip (drop shows up in stage metrics)
             urls.append("file://" + path)
             tss.append(ts)
             htmls.append(html)

@@ -80,3 +80,39 @@ def test_skewed_hot_key_partial_dedup(ray_session, fixdir):
     hot = edges[edges["src"] == "s::wikipedia"]
     assert len(hot) == len(hot.drop_duplicates())
     assert 1 <= len(hot) <= 3  # hot surface collapses to O(candidates) edges
+
+
+def test_distributed_cc_hot_hub_large(ray_session):
+    """VERDICT r2 next-#8: force the DISTRIBUTED path on a larger
+    synthetic graph with a ~30%-hot hub surface and assert exact parity
+    with the driver union-find plus bounded convergence (the
+    ``max_rounds`` guard doubles as the wall-time bound — star + short
+    chains keep the diameter small, so label propagation must converge
+    in a handful of rounds, not drift toward the 50-round ceiling)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.stages.canonicalize import (
+        _uf_components_from_iter, connected_components_distributed)
+
+    rng = np.random.default_rng(3)
+    n = 100_000
+    hot = int(n * 0.3)
+    hub_dst = np.char.add("E_", rng.integers(0, 20_000, hot).astype(str))
+    src_hot = np.full(hot, "s::hub")
+    rest = n - hot
+    a = rng.integers(0, 40_000, rest)
+    src_r = np.char.add("s::", a.astype(str))
+    dst_r = np.char.add(
+        "E_", ((a * 7 + rng.integers(0, 3, rest)) % 20_000).astype(str))
+    t = pa.table({
+        "src": pa.array(np.concatenate([src_hot, src_r])),
+        "dst": pa.array(np.concatenate([hub_dst, dst_r]))})
+
+    labels = connected_components_distributed(
+        rd.from_arrow(t).repartition(8), num_partitions=8, max_rounds=12)
+    lab = labels.to_pandas()
+    want = _uf_components_from_iter([t])
+    got = dict(zip(lab["node"], lab["label"]))
+    assert got == want

@@ -120,7 +120,10 @@ def test_hll_approx_distinct_within_error(ray_session):
         "k": rng.integers(0, 3, n).astype(np.int64),
         "v": rng.integers(0, 5000, n).astype(np.int64),
     })
-    got = approx_distinct_by_key(_rd(df), "k", "v").to_pandas() \
+    # force the DENSE regime (promote_threshold=0) — the error bound is
+    # the dense path's contract; the sparse regime is exact by design
+    got = approx_distinct_by_key(_rd(df), "k", "v",
+                                 promote_threshold=0).to_pandas() \
         .set_index("k")["approx_distinct"]
     exact = df.groupby("k")["v"].nunique()
     for k in exact.index:
@@ -128,9 +131,31 @@ def test_hll_approx_distinct_within_error(ray_session):
         assert rel < 0.05, (k, got[k], exact[k])   # ~3σ of 1.6% error
 
     # determinism: same input → same estimates
-    again = approx_distinct_by_key(_rd(df), "k", "v").to_pandas() \
+    again = approx_distinct_by_key(_rd(df), "k", "v",
+                                   promote_threshold=0).to_pandas() \
         .set_index("k")["approx_distinct"]
     assert got.to_dict() == again.to_dict()
+
+
+def test_hll_sparse_regime_is_exact(ray_session):
+    """Sparse→dense hybrid (round 3): below the promote threshold the
+    sketch is the exact hash set — estimates EQUAL pandas nunique on any
+    block layout, including a mixed merge where one batch promotes."""
+    from information_extraction_system_ray.functions.sketches import \
+        approx_distinct_by_key
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n).astype(np.int64),
+        "v": rng.integers(0, 3000, n).astype(np.int64),
+    })
+    exact = df.groupby("k")["v"].nunique()
+    for nblocks in (1, 7):
+        ds = _rd(df).repartition(nblocks)
+        got = approx_distinct_by_key(ds, "k", "v").to_pandas() \
+            .set_index("k")["approx_distinct"]
+        assert got.astype(int).to_dict() == exact.astype(int).to_dict()
 
 
 def test_tfidf_knn_matches_numpy(ray_session):
@@ -302,6 +327,37 @@ def test_auto_join_paths_agree(ray_session):
     # 2 left rows x 2 right dups + one 1:1 match = 5 rows
     assert len(bcast) == 5
     assert set(bcast["lk"]) == {2, 3}
+
+
+def test_auto_join_schema_invariant_across_paths(ray_session):
+    """ADVICE r2 (joins.py:153): the physical chooser flips on data
+    size, so the two paths must emit the SAME schema — left columns then
+    right_cols, right key dropped when names differ — and non-key name
+    collisions must be rejected instead of silently suffixed."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.joins import auto_join
+
+    left = rd.from_arrow(pa.table({
+        "lk": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array(list("abc"), pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 4], pa.int64()),
+        "rv": pa.array(list("xyz"), pa.string())}))
+
+    cols_b = auto_join(left, right, left_key="lk", right_key="rk",
+                       broadcast_limit=10).schema().names
+    cols_s = auto_join(left, right, left_key="lk", right_key="rk",
+                       broadcast_limit=0).schema().names
+    assert cols_b == cols_s == ["lk", "lv", "rv"]
+
+    clash = rd.from_arrow(pa.table({
+        "rk": pa.array([2], pa.int64()),
+        "lv": pa.array(["boom"], pa.string())}))
+    with pytest.raises(ValueError, match="collide"):
+        auto_join(left, clash, left_key="lk", right_key="rk")
 
 
 def test_setops_vs_python_sets(ray_session):

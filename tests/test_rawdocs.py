@@ -66,9 +66,9 @@ def test_ingest_deterministic_warc_ts(ray_session, doc_dir):
     assert a == b and len(a) == 3
 
 
-def test_real_decoder_is_explicitly_unimplemented(ray_session):
+def test_unknown_decoder_rejected(ray_session):
     from information_extraction_system_ray.sources.rawdocs import \
         DecodeDocuments
 
-    with pytest.raises(NotImplementedError):
-        DecodeDocuments(decoder="real")
+    with pytest.raises(ValueError):
+        DecodeDocuments(decoder="textract")

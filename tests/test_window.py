@@ -122,3 +122,89 @@ def test_global_running_sum_matches_pandas(ray_session):
         pd.testing.assert_frame_equal(got[["k", "id", "v", "cum"]],
                                       want[["k", "id", "v", "cum"]],
                                       check_dtype=False)
+
+
+def test_global_running_sum_rejects_float_values(ray_session):
+    """ADVICE r2 (rank.py:207): value_col must be integer — floats were
+    silently truncated by the int64 partial sums; now a ValueError."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from information_extraction_system_ray.functions.rank import \
+        global_running_sum
+
+    ds = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()),
+                                 "v": pa.array([1.5, 2.5], pa.float64())}))
+    with pytest.raises(ValueError, match="integer value_col"):
+        global_running_sum(ds, "v", order_by=["id"])
+
+
+def test_global_row_number_skewed_first_key(ray_session):
+    """ADVICE r2 (rank.py:63): one dominant first-key value used to map
+    ~all rows into a single range partition. The composite-split
+    fallback must keep the result identical to pandas while the skew is
+    divided by the secondary key."""
+    import pyarrow as pa
+    import ray.data as rd
+    from information_extraction_system_ray.functions.rank import (
+        global_row_number, global_running_sum)
+
+    n = 2000
+    df = pd.DataFrame({
+        "id": range(n),
+        "k": [5] * (n - 20) + list(range(100, 120)),  # 99% one hot value
+        "v": [(i * 7) % 23 for i in range(n)],
+    })
+    want = df.sort_values(["k", "id"]).reset_index(drop=True)
+    want["rn"] = range(1, n + 1)
+    want["cum"] = want["v"].cumsum()
+
+    for nblocks in (3, 11):
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False)).repartition(nblocks)
+        got = global_row_number(ds, order_by=["k", "id"],
+                                num_partitions=8).to_pandas()
+        got = got.sort_values(["k", "id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "id", "rn"]],
+                                      want[["k", "id", "rn"]],
+                                      check_dtype=False)
+        got2 = global_running_sum(ds, "v", order_by=["k", "id"],
+                                  num_partitions=8).to_pandas()
+        got2 = got2.sort_values(["k", "id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got2[["k", "id", "v", "cum"]],
+                                      want[["k", "id", "v", "cum"]],
+                                      check_dtype=False)
+
+
+def test_dense_rank_null_order_values_are_peers(ray_session):
+    """ADVICE r2 (window.py:269): tied NULL order values must share a
+    rank (SQL nulls-are-peers). Composite ORDER BY path vs DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    from information_extraction_system_ray.functions.window import (
+        dense_rank, rank_per_key)
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "a": pa.array([5, 5, None, None, 7, None, None, 1], pa.int64()),
+        "b": pa.array([1, 1, 2, 2, 3, 4, 4, 5], pa.int64()),
+        "id": pa.array(range(8), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT id,
+               DENSE_RANK() OVER (PARTITION BY k ORDER BY a, b) AS dr,
+               RANK() OVER (PARTITION BY k ORDER BY a, b) AS rk
+        FROM t ORDER BY id""").df()
+
+    ds = rd.from_arrow(t).repartition(3)
+    got_dr = (dense_rank(ds, keys=["k"], order_by=["a", "b"],
+                         out_col="dr", num_partitions=4)
+              .to_pandas().sort_values("id").reset_index(drop=True))
+    got_rk = (rank_per_key(ds, keys=["k"], order_by=["a", "b"],
+                           out_col="rk", num_partitions=4)
+              .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got_dr["dr"].astype(int).tolist() == want["dr"].astype(int).tolist()
+    assert got_rk["rk"].astype(int).tolist() == want["rk"].astype(int).tolist()
