@@ -167,3 +167,76 @@ def kmeans(ds: ray.data.Dataset, *, vec_col: str = "embedding",
                         ).cast(out_schema)
 
     return cents, ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pca_top_component(ds: ray.data.Dataset, *, vec_col: str = "embedding",
+                      iters: int = 60) -> "tuple[np.ndarray, float, int]":
+    """First principal component of an embedding column by DISTRIBUTED
+    covariance accumulation + driver power iteration → ``(component[d]
+    float64 unit vector, explained variance, n)``.
+
+    Scale shape: each batch reduces to ONE (d, d+1) int64 partial — the
+    Gram matrix XᵀX and the column sums, both in exact micro-unit integer
+    arithmetic (order-free, so the result is bit-identical on any block
+    layout; overflow budget: |x|≤1e3 → 1e9 scaled² per element-product →
+    int64 holds ~9e6 such products per cell per partial, merged in
+    Python ints with no bound). Vectors never leave their block; the
+    shuffle is d×(d+1) numbers per batch. Power iteration on the d×d
+    driver matrix starts from a fixed deterministic vector, so no RNG.
+    Sign convention: the component's largest-|coordinate| entry is made
+    positive (eigenvectors are sign-ambiguous)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.schema([("gram", pa.list_(pa.int64())),
+                              ("sums", pa.list_(pa.int64())),
+                              ("n", pa.int64())]).empty_table()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // n
+        x = np.round(flat.astype(np.float64) * _SCALE) \
+            .astype(np.int64).reshape(n, d)
+        amax = int(np.abs(x).max()) if x.size else 0
+        if amax * amax * n > (1 << 62):        # per-cell overflow guard
+            raise OverflowError(
+                "pca_top_component: batch too large for exact int64 Gram "
+                f"accumulation (|x|max={amax}, rows={n}); lower batch_size")
+        gram = x.T @ x                         # exact C-speed int64 matmul
+        return pa.table({
+            "gram": pa.array([gram.ravel().tolist()], pa.list_(pa.int64())),
+            "sums": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    # ≤ one row per block lands on the driver — d×d ints, not vectors
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("pca_top_component: empty input")
+    d = int(round(len(rows[0]["gram"]) ** 0.5))
+    gram = np.zeros((d, d), dtype=object)
+    sums = np.zeros(d, dtype=object)
+    n = 0
+    for r in rows:
+        gram += np.array(r["gram"], dtype=object).reshape(d, d)
+        sums += np.array(r["sums"], dtype=object)
+        n += int(r["n"])
+    gram_f = gram.astype(np.float64) / (_SCALE * _SCALE)
+    mean = sums.astype(np.float64) / (_SCALE * n)
+    cov = gram_f / n - np.outer(mean, mean)
+
+    v = np.ones(d, np.float64) / np.sqrt(d)       # deterministic start
+    for _ in range(iters):
+        w = cov @ v
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            break
+        v = w / nw
+    lam = float(v @ cov @ v)
+    i = int(np.argmax(np.abs(v)))
+    if v[i] < 0:
+        v = -v
+    return v, lam, n

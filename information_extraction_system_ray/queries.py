@@ -5283,6 +5283,385 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (scalar-subquery MAX attach): supplier(s) with the
+    maximum lineitem revenue in 1996-Q1. Per-batch per-suppkey cents
+    combiner → groupby bounded by |supplier| → the max is ONE scalar
+    pulled from that small aggregate (the 'scalar subquery' broadcast) →
+    vectorized equality filter → broadcast name join. Exact integer
+    cents make the max tie-safe across engines."""
+    from .functions.joins import auto_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        cents = _cents(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        g = pa.table({"s_suppkey": t["l_suppkey"], "cents": cents}) \
+            .group_by("s_suppkey").aggregate([("cents", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("cents", alias_name="total_cents"))).materialize()
+    mx = rev.max("total_cents")
+    if mx is None:          # window matched nothing at this scale factor
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="string"),
+                             "total_cents": pd.Series([], dtype="int64")})
+    best = int(mx)
+    top = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["total_cents"],
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow")
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return auto_join(top, supp, left_key="s_suppkey",
+                     right_key="s_suppkey", right_cols=["s_name"]) \
+        .select_columns(["s_suppkey", "s_name", "total_cents"]) \
+        .sort("s_suppkey")
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s_name, total_cents
+FROM supplier s JOIN rev USING (s_suppkey)
+WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q16_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (COUNT DISTINCT per group over a join, lineitem as
+    the partsupp stand-in): distinct supplier count per (p_brand, p_type)
+    excluding Brand#11. Two-stage exact distinct: per-batch distinct
+    (brand, type, suppkey) triples (combiner), global triple dedup by
+    groupby, then a count per (brand, type) — the distinct shuffle
+    carries triples, never raw lineitems. Part attrs broadcast (parts ≪
+    lineitems)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type"])
+    pk = part["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    lut = ray.put({
+        int(k): (b, ty) for k, b, ty in zip(
+            pk, part["p_brand"].to_pylist(), part["p_type"].to_pylist())
+        if b != "Brand#11"})
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(lut)
+        df = pd.DataFrame({
+            "pk": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "sk": t["l_suppkey"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        attrs = df["pk"].map(m)
+        df = df[attrs.notna()]
+        if not len(df):
+            return pa.schema([("p_brand", pa.string()),
+                              ("p_type", pa.string()),
+                              ("s_suppkey", pa.int64())]).empty_table()
+        at = attrs[attrs.notna()]
+        return pa.table({
+            "p_brand": pa.array([a[0] for a in at], pa.string()),
+            "p_type": pa.array([a[1] for a in at], pa.string()),
+            "s_suppkey": pa.array(df["sk"].to_numpy(), pa.int64()),
+        })
+
+    triples = (li.map_batches(partial, batch_format="pyarrow")
+               .groupby(["p_brand", "p_type", "s_suppkey"])
+               .aggregate(Count(alias_name="_n"))
+               .select_columns(["p_brand", "p_type", "s_suppkey"]))
+    out = (triples.groupby(["p_brand", "p_type"])
+           .aggregate(Count(alias_name="supplier_cnt"))
+           .to_pandas()
+           .sort_values(["supplier_cnt", "p_brand", "p_type"],
+                        ascending=[False, True, True])
+           .head(20).reset_index(drop=True))
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+           AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11'
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 20
+"""
+
+
+def q21_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape (multi-EXISTS over per-order supplier sets; 'late'
+    redefined as shipdate > orderdate + 90 days since this corpus has no
+    commit/receipt dates): for multi-supplier orders where EXACTLY ONE
+    supplier shipped late, count such orders per that supplier; top 10.
+    Plan: broadcast order dates (orders ≪ lineitems at TPC-H ratios —
+    the documented auto_join-style size contract), per-batch distinct
+    (orderkey, suppkey, late-flag max) combiner, global pair groupby,
+    then ONE hash-bucketed per-order pandas pass computes (n_suppliers,
+    n_late, sole-late suppkey) and a final bounded groupby counts per
+    supplier."""
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"])
+    ok = orders["o_orderkey"].combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    od = orders["o_orderdate"].combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    date_ref = ray.put(pd.Series(od, index=ok))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        dates = ray.get(date_ref)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        odt = dates.reindex(okey).to_numpy()
+        late = (ship - odt) > np.timedelta64(90, "D")
+        df = (pd.DataFrame({
+            "o": okey, "s": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "late": late.astype(np.int64)})
+            .groupby(["o", "s"], as_index=False)["late"].max())
+        return pa.table({
+            "o_orderkey": pa.array(df["o"].to_numpy(), pa.int64()),
+            "s_suppkey": pa.array(df["s"].to_numpy(), pa.int64()),
+            "late": pa.array(df["late"].to_numpy(), pa.int64())})
+
+    pair = (li.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["o_orderkey", "s_suppkey"])
+            .aggregate(Max("late", alias_name="late")))
+
+    nparts = _join_parts(sf_dir, "orders")
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["o_orderkey"].to_numpy(zero_copy_only=False)),
+            index=False) % nparts
+        return t.append_column("_opart",
+                               pa.array(h.to_numpy(), pa.int64()))
+
+    def per_order(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("o_orderkey").agg(
+            n_supp=("s_suppkey", "nunique"),
+            n_late=("late", "sum"))
+        sole = agg[(agg["n_supp"] > 1) & (agg["n_late"] == 1)].index
+        win = g[g["o_orderkey"].isin(sole) & (g["late"] == 1)]
+        c = win.groupby("s_suppkey").size()
+        return pa.table({
+            "s_suppkey": pa.array(c.index.to_numpy(), pa.int64()),
+            "n_orders": pa.array(c.to_numpy(), pa.int64())})
+
+    out = (pair.map_batches(tag, batch_format="pyarrow")
+           .groupby("_opart").map_groups(per_order, batch_format="pandas")
+           .groupby("s_suppkey")
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas()
+           .sort_values(["n_orders", "s_suppkey"],
+                        ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    out = out.astype({"s_suppkey": "int64", "n_orders": "int64"})
+    return out
+
+
+_Q21_SQL = """
+WITH pair AS (
+  SELECT l_orderkey AS o, l_suppkey AS s,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+ord AS (
+  SELECT o, COUNT(*) AS n_supp, SUM(late) AS n_late FROM pair GROUP BY o)
+SELECT s AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pair JOIN ord USING (o)
+WHERE n_supp > 1 AND n_late = 1 AND late = 1
+GROUP BY 1 ORDER BY n_orders DESC, s_suppkey LIMIT 10
+"""
+
+
+def part_attrs_melt(sf_dir: str):
+    """UNPIVOT/melt (the inverse of the G12 pivot family): part's
+    (p_size, p_retailprice) wide columns become (variable, value) rows —
+    pure per-batch Arrow reshaping, no shuffle — then the first 50 rows
+    by (variable, p_partkey) for a stable comparable result."""
+    from .functions.reshape import melt
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_size", "p_retailprice"])
+    m = melt(part, id_cols=["p_partkey"],
+             value_cols=["p_size", "p_retailprice"])
+    # no arithmetic on `value` anywhere → exact binary float equality
+    # with the UNION ALL oracle
+    return m.sort(["variable", "p_partkey"]).limit(50)
+
+
+_PART_MELT_SQL = """
+SELECT * FROM (
+  SELECT p_partkey, 'p_size' AS variable,
+         CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+  FROM part)
+ORDER BY variable, p_partkey LIMIT 50
+"""
+
+
+def docs_span_dedup(sf_dir: str):
+    """C4-style repeated-span removal (Raffel et al. 2020 used
+    three-sentence spans; this corpus has no sentence structure, so the
+    span unit is a fixed 10-token chunk): delete every chunk whose exact
+    text occurs MORE THAN ONCE corpus-wide, then reassemble each
+    document from its surviving chunks in order. Output per doc:
+    (n_chunks, n_kept, kept_len).
+
+    Scale plan: explode → per-batch partial counts (combiner) → bounded
+    (chunk, n) groupby; the repeated-chunk filter is the distributed
+    ``anti_join`` on the chunk text (co-partitioned membership — no
+    broadcast: at web scale the repeated-span set is itself huge);
+    reassembly is one hash-bucketed per-doc ordered join. Every step is
+    an existing registry operator — this query is the composition."""
+    from .functions.joins import anti_join
+    from .functions.terms import _TERM_RE
+
+    K = 10
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2000)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, chunks = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = _TERM_RE.findall((txt or "").lower())
+            for i in range(0, len(toks), K):
+                ids.append(did)
+                idxs.append(i // K)
+                chunks.append(" ".join(toks[i:i + K]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_idx": pa.array(idxs, pa.int64()),
+                         "chunk": pa.array(chunks, pa.string())})
+
+    chunks = docs.map_batches(explode,
+                              batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"chunk": t["chunk"]}).group_by("chunk") \
+            .aggregate([([], "count_all")])
+        return pa.table({"chunk": g["chunk"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    repeated = (chunks.map_batches(count_partial, batch_format="pyarrow")
+                .groupby("chunk").aggregate(Sum("n", alias_name="n"))
+                .map_batches(
+                    lambda t: t.filter(pc.greater(
+                        t["n"], pa.scalar(1, pa.int64())))
+                    .select(["chunk"]),
+                    batch_format="pyarrow"))
+
+    kept = anti_join(chunks, repeated, left_key="chunk",
+                     right_key="chunk")
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        # mergeable partials: (n_kept, sum of chunk lens); the joiner
+        # spaces (n_kept − 1) are applied once, AFTER the global merge
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "clen": pc.utf8_length(t["chunk"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("doc_id").agg(n_kept=("clen", "size"),
+                                     csum=("clen", "sum")).reset_index()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"], pa.int64()),
+            "n_kept": pa.array(g["n_kept"], pa.int64()),
+            "csum": pa.array(g["csum"], pa.int64())})
+
+    kept_stats = (kept.map_batches(kept_partial, batch_format="pyarrow")
+                  .groupby("doc_id")
+                  .aggregate(Sum("n_kept", alias_name="n_kept"),
+                             Sum("csum", alias_name="csum")))
+
+    totals = (chunks.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Count(alias_name="n_chunks")))
+
+    # both aggregates are ≤ one row per doc — the small outputs of the
+    # wide computation; the final attach is a tiny driver merge
+    out = totals.to_pandas().merge(
+        kept_stats.to_pandas(), on="doc_id", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    csum = out.pop("csum").fillna(0).astype("int64")
+    out["kept_len"] = (csum + out["n_kept"].clip(lower=1) - 1) \
+        .astype("int64")
+    out["n_chunks"] = out["n_chunks"].astype("int64")
+    return (out[["doc_id", "n_chunks", "n_kept", "kept_len"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_DOCS_SPAN_DEDUP_SQL = """
+WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+ch AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+              array_to_string(list_slice(toks, u.i * 10 + 1,
+                                         u.i * 10 + 10), ' ') AS chunk
+       FROM tok, LATERAL (SELECT unnest(range(CAST(ceil(len(toks) / 10.0)
+                                               AS BIGINT))) AS i) u),
+rep AS (SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(*) > 1),
+kept AS (SELECT * FROM ch
+         WHERE chunk NOT IN (SELECT chunk FROM rep)),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        FROM ch GROUP BY doc_id),
+ks AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(length(chunk)) + COUNT(*) - 1 AS BIGINT)
+                  AS kept_len
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.kept_len, 0) AS BIGINT) AS kept_len
+FROM tot t LEFT JOIN ks k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def emb_pca_top_component(sf_dir: str):
+    """V5: first principal component of the embeddings table via
+    distributed exact-integer covariance accumulation + driver power
+    iteration (functions/vectors.py pca_top_component). Output: one row
+    per dimension (dim, loading in micro-units) plus the explained
+    variance — layout-invariant by construction (integer partials).
+    Rows-only (iterative eigensolve, not SQL); numpy-parity golden in
+    tests/test_fuzzy_vectors.py."""
+    from .functions.vectors import pca_top_component
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"],
+                    rows_per_block=2_000)
+    v, lam, n = pca_top_component(ds)
+    return ray.data.from_arrow(pa.table({
+        "dim": pa.array(range(1, len(v) + 1), pa.int64()),
+        "loading_micro": pa.array(
+            np.round(v * 1e6).astype(np.int64), pa.int64()),
+        "explained_var_micro": pa.array(
+            [int(round(lam * 1e6))] * len(v), pa.int64()),
+        "n": pa.array([n] * len(v), pa.int64()),
+    }))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5424,6 +5803,12 @@ def queries():
         "docs_collocations": docs_collocations,
         "q8_market_share": q8_market_share,
         "q12_priority_shipping": q12_priority_shipping,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "part_attrs_melt": part_attrs_melt,
+        "docs_span_dedup": docs_span_dedup,
+        "emb_pca_top_component": emb_pca_top_component,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
         "part_graph_kcore": part_graph_kcore,
@@ -5553,6 +5938,11 @@ def oracle_sql():
         "docs_collocations": _DOCS_COLLOCATIONS_SQL,
         "q8_market_share": _Q8_SQL,
         "q12_priority_shipping": _Q12_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q16_supplier_counts": _Q16_SQL,
+        "q21_sole_late_supplier": _Q21_SQL,
+        "part_attrs_melt": _PART_MELT_SQL,
+        "docs_span_dedup": _DOCS_SPAN_DEDUP_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -71,3 +71,64 @@ def test_label_centroids_match_numpy(ray_session):
         got = out[out.label == lab].sort_values("dim")["centroid_micro"] \
             .to_numpy()
         assert np.array_equal(got, want), lab
+
+
+def test_pca_top_component_matches_numpy(ray_session):
+    """V5 (round 3): distributed integer-Gram PCA == numpy eigh on the
+    same micro-quantized data, across block layouts (exact int partials
+    make it layout-invariant by construction)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from information_extraction_system_ray.functions.vectors import \
+        pca_top_component
+
+    rng = np.random.default_rng(5)
+    n, d = 3000, 8
+    base = rng.normal(size=(n, d))
+    base[:, 0] += 3 * base[:, 1]          # a clearly dominant direction
+    x = np.round(base * 1e6) / 1e6        # match the micro quantization
+
+    tbl = pa.table({"embedding": pa.array(
+        [row.tolist() for row in x], pa.list_(pa.float64()))})
+
+    xq = np.round(x * 1e6) / 1e6
+    mean = xq.mean(axis=0)
+    cov = (xq - mean).T @ (xq - mean) / n
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, -1]
+    i = int(np.argmax(np.abs(ref)))
+    if ref[i] < 0:
+        ref = -ref
+
+    prev = None
+    for nblocks in (1, 7):
+        got_v, got_lam, got_n = pca_top_component(
+            rd.from_arrow(tbl).repartition(nblocks))
+        assert got_n == n
+        assert abs(got_lam - w[-1]) < 1e-6 * max(1.0, w[-1])
+        assert np.abs(got_v - ref).max() < 1e-6
+        key = (tuple(np.round(got_v * 1e9).astype(np.int64)),
+               round(got_lam, 9))
+        if prev is not None:
+            assert key == prev          # layout invariance, bit-level
+        prev = key
+
+
+def test_melt_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from information_extraction_system_ray.functions.reshape import melt
+
+    df = pd.DataFrame({"id": [1, 2, 3], "a": [1.5, 2.5, 3.5],
+                       "b": [10, 20, 30]})
+    want = df.melt(id_vars=["id"], value_vars=["a", "b"]) \
+        .astype({"value": "float64"}) \
+        .sort_values(["variable", "id"]).reset_index(drop=True)
+    got = melt(rd.from_arrow(pa.Table.from_pandas(df,
+                                                  preserve_index=False)),
+               id_cols=["id"], value_cols=["a", "b"]) \
+        .to_pandas().sort_values(["variable", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
