@@ -2,12 +2,17 @@
 
 Media travel as opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample are actor-pool ``map_batches``
-stages. The media codec libraries are NOT in this container, so the decode
-kernels are STUBBED: ``decoder="fake"`` (default) produces a deterministic
-fake decode from the byte content so the Ray-side plumbing — schema, batch
-size, actor signature, output layout — is real and tested
-(tests/test_multimodal.py); ``decoder="real"`` raises NotImplementedError
-until a codec library is available.
+stages. Two decode modes:
+
+- ``decoder="real"`` (round 3): REAL pure-stdlib codecs from
+  ``sources/mediacodec.py`` — PPM/PGM/BMP images, PCM WAV audio with a
+  real numpy-FFT log-mel filterbank, and concatenated-P6 "video"
+  streams. Compressed formats (JPEG/PNG/MP3/MP4) still require codec
+  libraries absent from this container and are rejected with a clear
+  ValueError per payload.
+- ``decoder="fake"`` (default): deterministic pseudo-decode from the
+  byte content, keeping the Ray-side plumbing — schema, batch size,
+  actor signature, output layout — testable for any payload.
 """
 
 from __future__ import annotations
@@ -38,26 +43,37 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
 class DecodeImage:
     """Actor stage: payload bytes → fixed-size feature vector.
 
-    __init__ loads the (stubbed) codec once per actor; __call__ decodes,
-    resizes to (size, size) and emits a 64-d mean-pooled feature column —
-    the exact layout a real embedding model stage would produce."""
+    __init__ binds the codec once per actor; __call__ decodes (REAL
+    PPM/PGM/BMP under decoder="real"), resizes to (size, size) and emits
+    a 64-d mean-pooled feature column — the layout a real embedding
+    model stage would produce."""
 
     def __init__(self, size: int = 32, decoder: str = "fake") -> None:
-        if decoder != "fake":
-            raise NotImplementedError(
-                "no image codec library in this container; use decoder='fake'")
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self._real = decoder == "real"
+        if self._real:
+            from ..sources.mediacodec import decode_image, resize_mean
+            self._decode = decode_image
+            self._resize = resize_mean
         self.size = size
+
+    def _feature(self, px: np.ndarray) -> "list[float]":
+        # 64-d feature: mean over an 8x8 grid of the gray channel
+        gray = px.mean(axis=2)
+        cell = self.size // 8
+        f = gray[:8 * cell, :8 * cell] \
+            .reshape(8, cell, 8, cell).mean(axis=(1, 3)).ravel()
+        return (f / 255.0).astype(np.float32).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for payload in batch["payload"].to_pylist():
-            px = _fake_pixels(payload, self.size, self.size)
-            # 64-d feature: mean over an 8x8 grid of the gray channel
-            gray = px.mean(axis=2)
-            cell = self.size // 8
-            f = gray[:8 * cell, :8 * cell] \
-                .reshape(8, cell, 8, cell).mean(axis=(1, 3)).ravel()
-            feats.append((f / 255.0).astype(np.float32).tolist())
+            if self._real:
+                px = self._resize(self._decode(payload), self.size)
+            else:
+                px = _fake_pixels(payload, self.size, self.size)
+            feats.append(self._feature(px))
         return pa.table({
             "media_id": batch["media_id"],
             "feature": pa.array(feats, pa.list_(pa.float32())),
@@ -65,16 +81,21 @@ class DecodeImage:
 
 
 class DecodeAudio:
-    """Actor stage: audio payload → fixed-size log-mel-like feature matrix
-    flattened to one row (n_mels × n_frames), the layout a real audio
-    embedding stage would produce. Stubbed decode (no codec libs here);
-    framing math — duration → frame count at hop_ms — is real."""
+    """Actor stage: audio payload → log-mel feature matrix flattened to
+    one row (n_mels × n_frames). Under decoder="real" this is a REAL
+    feature extractor: stdlib WAV decode + Hann-windowed |rfft|² + HTK
+    mel filterbank + log10 (mediacodec.log_mel); "fake" keeps the
+    deterministic stand-in for non-WAV payloads."""
 
     def __init__(self, n_mels: int = 16, hop_ms: int = 250,
                  max_frames: int = 32, decoder: str = "fake") -> None:
-        if decoder != "fake":
-            raise NotImplementedError(
-                "no audio codec library in this container; use decoder='fake'")
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self._real = decoder == "real"
+        if self._real:
+            from ..sources.mediacodec import decode_wav, log_mel
+            self._decode = decode_wav
+            self._log_mel = log_mel
         self.n_mels = n_mels
         self.hop_ms = hop_ms
         self.max_frames = max_frames
@@ -84,12 +105,19 @@ class DecodeAudio:
         for mid, payload, dur in zip(batch["media_id"].to_pylist(),
                                      batch["payload"].to_pylist(),
                                      batch["duration_ms"].to_pylist()):
-            frames = min(self.max_frames,
-                         max(1, int(dur or 0) // self.hop_ms))
-            seed = int.from_bytes(
-                hashlib.sha256(payload).digest()[8:16], "big")
-            rng = np.random.default_rng(seed)
-            mel = rng.random((self.n_mels, frames), dtype=np.float32)
+            if self._real:
+                samples, rate = self._decode(payload)
+                mel = self._log_mel(samples, rate, n_mels=self.n_mels,
+                                    hop_ms=self.hop_ms,
+                                    max_frames=self.max_frames)
+                frames = mel.shape[1]
+            else:
+                frames = min(self.max_frames,
+                             max(1, int(dur or 0) // self.hop_ms))
+                seed = int.from_bytes(
+                    hashlib.sha256(payload).digest()[8:16], "big")
+                rng = np.random.default_rng(seed)
+                mel = rng.random((self.n_mels, frames), dtype=np.float32)
             ids.append(mid)
             nfr.append(frames)
             feats.append(mel.ravel().tolist())
@@ -101,13 +129,18 @@ class DecodeAudio:
 
 
 class SampleFrames:
-    """Actor stage: video payload → every-nth-frame pseudo-decode, one output
-    row per sampled frame (explode layout used by real frame pipelines)."""
+    """Actor stage: video payload → one output row per sampled frame
+    (explode layout used by real frame pipelines). Under decoder="real"
+    the payload is a concatenated-P6 stream: frames are actually
+    demuxed and the sampled frame's pixel digest is emitted."""
 
     def __init__(self, every_ms: int = 1000, decoder: str = "fake") -> None:
-        if decoder != "fake":
-            raise NotImplementedError(
-                "no video codec library in this container; use decoder='fake'")
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self._real = decoder == "real"
+        if self._real:
+            from ..sources.mediacodec import iter_ppm_stream
+            self._demux = iter_ppm_stream
         self.every_ms = every_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -115,11 +148,26 @@ class SampleFrames:
         for mid, payload, dur in zip(batch["media_id"].to_pylist(),
                                      batch["payload"].to_pylist(),
                                      batch["duration_ms"].to_pylist()):
-            for t in range(0, max(int(dur or 0), 1), self.every_ms):
-                ids.append(mid)
-                ts.append(t)
-                frames.append(hashlib.sha256(
-                    payload + t.to_bytes(4, "big")).digest()[:16])
+            d = max(int(dur or 0), 1)
+            if self._real:
+                # demux the concatenated-P6 stream; sample the frame
+                # whose (even-spread) timestamp covers each tick
+                decoded = [f for _, f in self._demux(payload)]
+                if not decoded:
+                    continue
+                n = len(decoded)
+                for t in range(0, d, self.every_ms):
+                    idx = min(n - 1, (t * n) // d)
+                    ids.append(mid)
+                    ts.append(t)
+                    frames.append(hashlib.sha256(
+                        decoded[idx].tobytes()).digest()[:16])
+            else:
+                for t in range(0, d, self.every_ms):
+                    ids.append(mid)
+                    ts.append(t)
+                    frames.append(hashlib.sha256(
+                        payload + t.to_bytes(4, "big")).digest()[:16])
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_ms": pa.array(ts, pa.int32()),
@@ -128,30 +176,34 @@ class SampleFrames:
 
 
 def decode_images(media: ray.data.Dataset, *, size: int = 32,
-                  concurrency=(1, 4),
+                  decoder: str = "fake", concurrency=(1, 4),
                   batch_size: int = 64) -> ray.data.Dataset:
     """Small batches: binary payloads are fat rows (SURVEY.md §4)."""
     return media.map_batches(
-        DecodeImage, fn_constructor_kwargs={"size": size},
+        DecodeImage, fn_constructor_kwargs={"size": size,
+                                            "decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
 
 def decode_audio(media: ray.data.Dataset, *, n_mels: int = 16,
-                 hop_ms: int = 250, concurrency=(1, 4),
+                 hop_ms: int = 250, decoder: str = "fake",
+                 concurrency=(1, 4),
                  batch_size: int = 64) -> ray.data.Dataset:
     return media.map_batches(
         DecodeAudio, fn_constructor_kwargs={"n_mels": n_mels,
-                                            "hop_ms": hop_ms},
+                                            "hop_ms": hop_ms,
+                                            "decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
 
 def sample_frames(media: ray.data.Dataset, *, every_ms: int = 1000,
-                  concurrency=(1, 4),
+                  decoder: str = "fake", concurrency=(1, 4),
                   batch_size: int = 32) -> ray.data.Dataset:
     return media.map_batches(
-        SampleFrames, fn_constructor_kwargs={"every_ms": every_ms},
+        SampleFrames, fn_constructor_kwargs={"every_ms": every_ms,
+                                             "decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

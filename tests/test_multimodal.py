@@ -78,13 +78,13 @@ def test_decode_audio_layout(media):
     assert a == b
 
 
-def test_real_decoder_gated(media):
+def test_unknown_decoder_rejected(media):
     from information_extraction_system_ray.stages.multimodal import (
         DecodeAudio, DecodeImage, SampleFrames)
 
-    with pytest.raises(NotImplementedError):
-        DecodeImage(decoder="real")
-    with pytest.raises(NotImplementedError):
-        SampleFrames(decoder="real")
-    with pytest.raises(NotImplementedError):
-        DecodeAudio(decoder="real")
+    with pytest.raises(ValueError):
+        DecodeImage(decoder="libjpeg")
+    with pytest.raises(ValueError):
+        SampleFrames(decoder="ffmpeg")
+    with pytest.raises(ValueError):
+        DecodeAudio(decoder="librosa")
