@@ -82,8 +82,8 @@ def test_multimodal_plumbing(ray_session):
     assert len(frames) > 30  # ≥1 frame per media, more for long durations
     assert set(frames.columns) == {"media_id", "frame_ms", "frame_key"}
 
-    with pytest.raises(NotImplementedError):
-        DecodeImage(decoder="real")
+    with pytest.raises(ValueError):
+        DecodeImage(decoder="libjpeg")
 
 
 def test_mmr_select_matches_driver_greedy(emb_ds, ray_session):
