@@ -101,6 +101,85 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_media(args) -> int:
+    """Directory of media files → MEDIA_SCHEMA rows → real-decoder
+    feature tables (round 3): images (.ppm/.pgm/.bmp) → 64-d features,
+    audio (.wav) → log-mel frames, video (.ppms concatenated-P6
+    streams) → sampled frame keys. One parquet dir per modality under
+    --out. The decode stages are the actor pools from
+    stages/multimodal.py with decoder='real'."""
+    import os
+
+    import pyarrow as pa
+
+    ray = _ray_session(args.num_cpus)
+    from .sources.mediacodec import decode_wav, iter_ppm_stream
+    from .stages.multimodal import (MEDIA_SCHEMA, decode_audio,
+                                    decode_images, sample_frames)
+
+    _KIND = {".ppm": "image", ".pgm": "image", ".bmp": "image",
+             ".wav": "audio", ".ppms": "video"}
+    _MIME = {".ppm": "image/x-portable-pixmap",
+             ".pgm": "image/x-portable-graymap", ".bmp": "image/bmp",
+             ".wav": "audio/wav", ".ppms": "video/x-ppm-stream"}
+
+    def to_media(t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_SCHEMA.names}
+        for i, (path, payload) in enumerate(
+                zip(t["path"].to_pylist(), t["bytes"].to_pylist())):
+            ext = os.path.splitext(path)[1].lower()
+            kind = _KIND.get(ext)
+            if kind is None:
+                continue
+            dur = 0
+            if kind == "audio":
+                samples, rate = decode_wav(payload)
+                dur = int(1000 * len(samples) / rate)
+            elif kind == "video":
+                dur = 1000 * max(1, sum(1 for _ in
+                                        iter_ppm_stream(payload)))
+            rows["media_id"].append(
+                int.from_bytes(os.path.basename(path).encode()[:6],
+                               "big"))
+            rows["kind"].append(kind)
+            rows["payload"].append(payload)
+            rows["mime"].append(_MIME[ext])
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["duration_ms"].append(dur)
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+        }).cast(MEDIA_SCHEMA)
+
+    t0 = time.time()
+    media = ray.data.read_binary_files(args.media, include_paths=True) \
+        .map_batches(to_media, batch_format="pyarrow").materialize()
+    counts = {}
+    for kind, fn, sub_kw in (
+            ("image", decode_images, {"size": args.size}),
+            ("audio", decode_audio, {"n_mels": args.n_mels}),
+            ("video", sample_frames, {"every_ms": args.every_ms})):
+        part = media.filter(expr=f"kind == '{kind}'")
+        if part.count() == 0:
+            counts[kind] = 0
+            continue
+        out_dir = os.path.join(args.out, kind)
+        res = fn(part, decoder="real", **sub_kw)
+        res.write_parquet(out_dir)
+        counts[kind] = ray.data.read_parquet(out_dir).count()
+    print(json.dumps({"cmd": "media", "media": args.media,
+                      "out": args.out, "rows": counts,
+                      "wall_s": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered queries() pipeline over an sf dir; print a head
     sample or write the full result (parquet/csv by extension)."""
@@ -268,11 +347,27 @@ def main(argv=None) -> int:
                        help="raw documents dir → pages-schema Parquet")
     g.add_argument("--docs", required=True, help="directory of raw files")
     g.add_argument("--out", required=True, help="output Parquet dir")
-    g.add_argument("--decoder", default="fake",
-                   help="'fake' (deterministic stub; only option in this "
-                        "container) or 'real'")
+    g.add_argument("--decoder", default="real",
+                   help="'real' (.txt/.html/.pdf/.docx via pure-stdlib "
+                        "extractors; legacy .doc skipped) or 'fake' "
+                        "(deterministic stub for any payload)")
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_ingest)
+
+    m = sub.add_parser("media",
+                       help="media dir → decoded feature Parquet "
+                            "(PPM/PGM/BMP images, WAV audio, "
+                            ".ppms frame streams)")
+    m.add_argument("--media", required=True,
+                   help="directory of media files")
+    m.add_argument("--out", required=True, help="output Parquet dir")
+    m.add_argument("--size", type=int, default=32,
+                   help="image resize edge")
+    m.add_argument("--n-mels", type=int, default=16)
+    m.add_argument("--every-ms", type=int, default=1000,
+                   help="video frame sampling period")
+    m.add_argument("--num-cpus", type=int, default=None)
+    m.set_defaults(fn=cmd_media)
 
     r = sub.add_parser("query", help="run a registered query pipeline")
     r.add_argument("name", help="query name from the registry")
