@@ -380,94 +380,30 @@ def bfs_distances(edges: ray.data.Dataset, *, source,
     """Single-source BFS hop distances — Dataset(node, dist) for every
     node reachable from ``source`` (the source itself at dist 0).
 
-    Level-synchronous frontier expansion: per round the frontier's
-    neighbor set is a co-partitioned semi-join of the symmetrized
-    adjacency against the frontier (functions/joins.py — union+groupby,
-    no aggregator actors, no broadcast), deduped, then anti-joined
-    against the already-labelled set to become the next level. The
-    adjacency materializes once and is re-read every round; labels grow
-    by exactly the new level each round. Rounds = eccentricity of the
-    source — small-world web graphs keep that in the single digits —
-    and ``max_iters`` guards pathological chains (a path graph would
-    need O(n) rounds; for those, pointer-doubling label-prop is the
-    published fixed-round alternative).
+    Round-3 implementation: the generic Pregel shard-actor ring
+    (stages/pregel.py, mode="bfs") — the r2 formulation re-shipped the
+    materialized adjacency through a semi-join + a fused dedup/anti
+    shuffle EVERY round; now edges hash-partition once into shard
+    memory and each round exchanges only (dist+1) candidates of the
+    still-expanding frontier. Rounds = eccentricity of the source
+    (small-world web graphs: single digits); ``max_iters`` guards
+    pathological chains. A source with no edges is emitted at dist 0
+    (parity with the level-synchronous formulation)."""
+    from ..stages.pregel import run_propagation
 
-    Loop state is rebound through ``lineage.snapshot`` every round: the
-    frontier is coalesced (per-partition stages emit one block per
-    partition per round — block count would compound ~3× per round) and
-    its stats ancestry dropped (Ray's driver-side stats summary walks
-    the full ancestor DAG on every execute; left unchecked that walk,
-    not cluster work, dominated — see functions/lineage.py)."""
-    from .joins import anti_join, semi_join
-    from .lineage import snapshot
-
-    nparts = num_partitions or default_parts()
     ktype = edges.schema().base_schema.field(u).type
     out_schema = pa.schema([("node", ktype), ("dist", pa.int64())])
-
-    def sym(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "mid": pa.concat_arrays([t[u].combine_chunks(),
-                                     t[v].combine_chunks()]),
-            "nbr": pa.concat_arrays([t[v].combine_chunks(),
-                                     t[u].combine_chunks()])})
-
-    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
-
-    def level_table(nodes: pa.Array, d: int) -> pa.Table:
-        return pa.table({"node": nodes,
-                         "dist": pa.array([d] * len(nodes), pa.int64())}
-                        ).cast(out_schema)
-
-    src_arr = pa.array([source]).cast(ktype)
-    labels = ray.data.from_arrow(level_table(src_arr, 0))
-    frontier = labels.select_columns(["node"])
-
-    # Fused dedup+anti pass (one shuffle): candidates and labels are
-    # co-partitioned by hash(node); per partition, distinct(candidates)
-    # minus labelled nodes — so a round is exactly two shuffles (expand
-    # by mid, subtract by node), with no schema-inference pre-execution.
-    mem = pa.schema([("node", ktype), ("side", pa.int8()),
-                     ("part", pa.int64())])
-
-    def tag_cand(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": t["nbr"],
-            "side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
-            "part": _hash_part_col(t, "nbr", nparts)}).cast(mem)
-
-    def tag_lab(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": t["node"],
-            "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
-            "part": _hash_part_col(t, "node", nparts)}).cast(mem)
-
-    node_schema = pa.schema([("node", ktype)])
-
-    def subtract(part: pa.Table) -> pa.Table:
-        cand = part.filter(pc.equal(part["side"], 0))["node"]
-        if len(cand) == 0:
-            return node_schema.empty_table()
-        seen = part.filter(pc.equal(part["side"], 1))["node"]
-        fresh = pc.unique(cand.combine_chunks())
-        if len(seen):
-            fresh = fresh.filter(pc.invert(
-                pc.is_in(fresh, value_set=seen.combine_chunks())))
-        return pa.table({"node": fresh}).cast(node_schema)
-
-    for d in range(1, max_iters + 1):
-        hit = semi_join(adj, frontier, left_key="mid", right_key="node",
-                        num_partitions=nparts)
-        new = snapshot(
-            hit.map_batches(tag_cand, batch_format="pyarrow")
-            .union(labels.map_batches(tag_lab, batch_format="pyarrow"))
-            .groupby("part").map_groups(subtract, batch_format="pyarrow"),
-            num_blocks=nparts)
-        if new.count() == 0:
-            return labels
-        frontier = new
-        labels = snapshot(labels.union(
-            new.map_batches(
-                lambda t, _d=d: level_table(t["node"].combine_chunks(), _d),
-                batch_format="pyarrow")), num_blocks=nparts)
-    return labels
+    res = run_propagation(edges, mode="bfs", src_col=u, dst_col=v,
+                          source=source,
+                          num_partitions=num_partitions or 16,
+                          max_rounds=max_iters) \
+        .map_batches(lambda t: t.cast(out_schema), batch_format="pyarrow")
+    found = res.map_batches(
+        lambda t: t.filter(pc.equal(t["node"],
+                                    pa.scalar(source).cast(ktype))),
+        batch_format="pyarrow").count()
+    if not found:           # isolated source: no shard ever saw it
+        res = res.union(ray.data.from_arrow(pa.table({
+            "node": pa.array([source]).cast(ktype),
+            "dist": pa.array([0], pa.int64())}).cast(out_schema)))
+    return res

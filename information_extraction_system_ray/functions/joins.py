@@ -161,9 +161,15 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             "paths would disambiguate them differently")
     out_cols = lnames + cols
 
+    # materialize the build side ONCE: count() alone executes the plan
+    # and the subsequent to_pandas()/join would re-execute it from
+    # scratch (r3 fix — auto_join-heavy queries paid every upstream
+    # shuffle twice). The join consumes the whole right side anyway, so
+    # this adds no extra materialization at any scale.
+    right = right.select_columns([right_key] + cols).materialize()
     small = right.count() <= broadcast_limit
     if small:
-        build = right.select_columns([right_key] + cols).to_pandas()
+        build = right.to_pandas()
         build_ref = _ray.put(build)
 
         def probe(df: pd.DataFrame) -> pd.DataFrame:
@@ -172,8 +178,8 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                             right_on=right_key)[out_cols]
 
         return left.map_batches(probe, batch_format="pandas")
-    joined = left.join(right.select_columns([right_key] + cols),
-                       join_type="inner", num_partitions=num_partitions
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions
                        or default_parts(), on=(left_key,),
                        right_on=(right_key,))
     return joined.map_batches(lambda t: t.select(out_cols),
@@ -188,6 +194,7 @@ def cross_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     pandas merge. No shuffle."""
     import ray as _ray
 
+    right = right.materialize()   # count + to_pandas: execute once
     n = right.count()
     if n > broadcast_limit:
         raise ValueError(

@@ -96,100 +96,6 @@ def connected_components_driver(edges: ray.data.Dataset) -> dict[str, str]:
     return {k: v for k, v in comp.items() if not k.startswith("s::")}
 
 
-@ray.remote(num_cpus=0)
-class _CCShard:
-    """One hash partition of the bidirectional edge list, held in actor
-    memory ACROSS rounds (the Pregel worker pattern — the one piece of
-    state Ray Data cannot express: persistent partitioning between
-    iterations). Edges ship to their shard exactly once; every round
-    exchanges only per-destination MIN label candidates of nodes whose
-    label changed (delta pushing), so round cost decays as the
-    propagation converges instead of re-shipping the edge list."""
-
-    def __init__(self, pid: int, num_parts: int) -> None:
-        self.pid = pid
-        self.P = num_parts
-        self._pend_nodes: "list[np.ndarray]" = []
-        self._pend_others: "list[np.ndarray]" = []
-        self.outbox: "dict[int, tuple]" = {}
-        self.inbox: "list[tuple]" = []
-
-    def add_edges(self, nodes, others) -> None:
-        self._pend_nodes.append(np.asarray(nodes, dtype=object))
-        self._pend_others.append(np.asarray(others, dtype=object))
-
-    def build(self) -> int:
-        import pandas as pd
-        if self._pend_nodes:
-            df = pd.DataFrame({
-                "node": np.concatenate(self._pend_nodes),
-                "other": np.concatenate(self._pend_others),
-            }).drop_duplicates()
-        else:
-            df = pd.DataFrame({"node": np.array([], dtype=object),
-                               "other": np.array([], dtype=object)})
-        self._pend_nodes = self._pend_others = None
-        self.nodes, inv = np.unique(df["node"].to_numpy(),
-                                    return_inverse=True)
-        self.edge_src = inv.astype(np.int64)
-        self.edge_dst = df["other"].to_numpy()
-        self.dst_part = (pd.util.hash_pandas_object(
-            df["other"], index=False) % self.P).to_numpy().astype(np.int64)
-        self.labels = self.nodes.copy()
-        self.changed = np.ones(len(self.nodes), dtype=bool)
-        return int(len(self.nodes))
-
-    def push(self) -> None:
-        import pandas as pd
-        self.outbox = {}
-        if len(self.edge_src) == 0:
-            return
-        m = self.changed[self.edge_src]
-        if not m.any():
-            return
-        df = pd.DataFrame({"dst": self.edge_dst[m],
-                           "cand": self.labels[self.edge_src[m]],
-                           "p": self.dst_part[m]})
-        # per-destination min BEFORE the exchange (combiner: a hub node
-        # receives one candidate per shard, not one per edge)
-        g = df.groupby(["p", "dst"], sort=False)["cand"].min().reset_index()
-        for p, sub in g.groupby("p", sort=False):
-            self.outbox[int(p)] = (sub["dst"].to_numpy(),
-                                   sub["cand"].to_numpy())
-
-    def take_outbox(self, dest: int):
-        return self.outbox.get(dest)
-
-    def recv(self, payload) -> None:
-        if payload is not None:
-            self.inbox.append(payload)
-
-    def apply(self) -> int:
-        import pandas as pd
-        self.changed[:] = False
-        if not self.inbox:
-            return 0
-        dst = np.concatenate([p[0] for p in self.inbox])
-        cand = np.concatenate([p[1] for p in self.inbox])
-        self.inbox = []
-        g = pd.DataFrame({"dst": dst, "cand": cand}) \
-            .groupby("dst", sort=False)["cand"].min()
-        # every destination exists in this shard: edges are bidirectional,
-        # so any node referenced as dst also appears as a node row in its
-        # own hash partition (self.nodes is np.unique → sorted)
-        idx = np.searchsorted(self.nodes, g.index.to_numpy())
-        best = g.to_numpy()
-        better = best < self.labels[idx]
-        if better.any():
-            self.labels[idx[better]] = best[better]
-            self.changed[idx[better]] = True
-        return int(better.sum())
-
-    def labels_table(self) -> pa.Table:
-        return pa.table({"node": pa.array(self.nodes, pa.string()),
-                         "label": pa.array(self.labels, pa.string())})
-
-
 def connected_components_distributed(
         edges: ray.data.Dataset, *, num_partitions: int = 16,
         max_rounds: int = 50) -> ray.data.Dataset:
@@ -197,79 +103,17 @@ def connected_components_distributed(
     L'[x] = min(L[x], min_{(x,y)∈E} L[y]) per round, both directions,
     until no label changes. Deterministic (min is order-free).
 
-    Round-3 rewrite as a PREGEL-STYLE ACTOR RING (_CCShard): the r2
-    formulation expressed each round as two Ray Data sort-shuffles over a
-    union of the edge and label lists — correct, but it re-shipped the
-    edge list every round (~44 s/round at 10⁶ edges) because a Dataset
-    cannot keep a partitioning alive between iterations. This is the
-    documented raw-actor escape hatch (system prompt: "a shared mutable
-    index"): edges hash-partition ONCE into per-shard actor memory, and a
-    round is push (per-destination min of changed labels, combiner
-    applied shard-side) → P×P outbox handoff (object store refs — the
-    driver never touches payloads) → apply (vectorized searchsorted min).
-    Round cost is proportional to the still-changing frontier, the
-    classic Pregel decay. Rounds bound: component diameter ≤ max_rounds.
+    Round-3 implementation: the generic Pregel shard-actor ring in
+    stages/pregel.py (mode="minlabel") — edges hash-partition ONCE into
+    per-shard actor memory, rounds exchange only changed-label minima
+    shard→shard via object-store refs. 8× faster than the r2 per-round
+    groupby formulation at 10⁶ edges (445 s → 55 s, ~1.7 s/round); see
+    pregel.py for the full design + partitioning assumption."""
+    from .pregel import run_propagation
 
-    Partitioning assumption (documented per SURVEY §4): a shard holds its
-    hash partition of the DISTINCT bidirectional edge set in memory —
-    size ≈ 2·|E|/P; pick num_partitions so that holds per node. The
-    driver holds only per-round changed COUNTS. Shards are declared
-    ``num_cpus=0`` (coordinator-style): at most P push/apply calls run at
-    once and each is a short vectorized burst, so they self-throttle,
-    and reserving whole CPUs for P=16 shards would deadlock small
-    clusters (e.g. the 4-CPU test fixture) against the routing tasks."""
-    import pandas as pd
-
-    P = num_partitions
-    shards = [_CCShard.remote(p, P) for p in range(P)]
-
-    def route(t: pa.Table) -> pa.Table:
-        node = pa.concat_arrays([t["src"].combine_chunks(),
-                                 t["dst"].combine_chunks()])
-        other = pa.concat_arrays([t["dst"].combine_chunks(),
-                                  t["src"].combine_chunks()])
-        narr = node.to_numpy(zero_copy_only=False)
-        oarr = other.to_numpy(zero_copy_only=False)
-        part = (pd.util.hash_pandas_object(
-            pd.Series(narr), index=False) % P).to_numpy()
-        refs = []
-        for p in range(P):
-            m = part == p
-            if m.any():
-                refs.append(shards[p].add_edges.remote(narr[m], oarr[m]))
-        ray.get(refs)       # delivery barrier before the task completes
-        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
-
-    try:
-        # ships every edge to its shard exactly once
-        edges.map_batches(route, batch_format="pyarrow").materialize()
-        ray.get([s.build.remote() for s in shards])
-
-        for _ in range(max_rounds):
-            ray.get([s.push.remote() for s in shards])
-            recvs = []
-            for q in range(P):
-                for p in range(P):
-                    # ref-to-ref handoff: payloads move shard→shard via
-                    # the object store, never through the driver
-                    recvs.append(shards[p].recv.remote(
-                        shards[q].take_outbox.remote(p)))
-            ray.get(recvs)
-            changed = sum(ray.get([s.apply.remote() for s in shards]))
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError("label propagation did not converge "
-                               f"in {max_rounds} rounds")
-        tables = [t for t in ray.get(
-            [s.labels_table.remote() for s in shards]) if t.num_rows]
-        if not tables:
-            tables = [pa.schema([("node", pa.string()),
-                                 ("label", pa.string())]).empty_table()]
-        return ray.data.from_arrow(tables)
-    finally:
-        for s in shards:
-            ray.kill(s)
+    return run_propagation(edges, mode="minlabel",
+                           num_partitions=num_partitions,
+                           max_rounds=max_rounds)
 
 
 def cluster_labels(edges: ray.data.Dataset, *,

@@ -1,0 +1,216 @@
+"""Pregel-style shard-actor propagation — the generic machinery behind
+the round-3 connected-components rewrite, factored out so every
+fixpoint-propagation operator shares it (CC min-label, BFS min-distance;
+any monotone min-semiring fits).
+
+Why raw actors (the documented Dataset-API escape hatch): a Ray Dataset
+cannot keep a partitioning alive between iterations, so the r2
+formulations re-shipped the edge list through 2 sort-shuffles every
+round (~44 s/round at 10⁶ edges). Here the bidirectional edge list
+hash-partitions ONCE into per-shard actor memory; a round is
+
+  push   — per-destination MIN over candidates from nodes whose value
+           changed last round (frontier delta + shard-side combiner:
+           a hub receives ≤ one candidate per shard, not per edge),
+  handoff — P×P outbox moves shard→shard as object-store refs (the
+           driver never touches payloads, only per-round counts),
+  apply  — vectorized searchsorted + min per shard.
+
+Round cost decays with the still-changing frontier (classic Pregel).
+Partitioning assumption (SURVEY §4): a shard holds ≈ 2·|E|/P edges in
+memory — size num_partitions to the cluster. Shards are ``num_cpus=0``
+coordinators: at most P short vectorized calls run at once, and
+reserving whole CPUs would deadlock small clusters against the routing
+tasks (seen on the 4-CPU test fixture).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote(num_cpus=0)
+class PropagationShard:
+    """One hash partition of the bidirectional edge list, held across
+    rounds. ``mode``: "minlabel" (CC — values start as the node's own
+    id, min-label wins) or "bfs" (values start unset except ``source``
+    at 0; candidates are value+1; min wins)."""
+
+    def __init__(self, pid: int, num_parts: int, mode: str = "minlabel",
+                 source=None) -> None:
+        if mode not in ("minlabel", "bfs"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.pid = pid
+        self.P = num_parts
+        self.mode = mode
+        self.source = source
+        self._pend_nodes: "list[np.ndarray]" = []
+        self._pend_others: "list[np.ndarray]" = []
+        self.outbox: "dict[int, tuple]" = {}
+        self.inbox: "list[tuple]" = []
+
+    def add_edges(self, nodes, others) -> None:
+        self._pend_nodes.append(np.asarray(nodes))
+        self._pend_others.append(np.asarray(others))
+
+    def build(self) -> int:
+        import pandas as pd
+        if self._pend_nodes:
+            df = pd.DataFrame({
+                "node": np.concatenate(self._pend_nodes),
+                "other": np.concatenate(self._pend_others),
+            }).drop_duplicates()
+        else:
+            df = pd.DataFrame({"node": np.array([], dtype=object),
+                               "other": np.array([], dtype=object)})
+        self._pend_nodes = self._pend_others = None
+        self.nodes, inv = np.unique(df["node"].to_numpy(),
+                                    return_inverse=True)
+        self.edge_src = inv.astype(np.int64)
+        self.edge_dst = df["other"].to_numpy()
+        self.dst_part = (pd.util.hash_pandas_object(
+            df["other"], index=False) % self.P).to_numpy().astype(np.int64)
+        n = len(self.nodes)
+        if self.mode == "minlabel":
+            self.values = self.nodes.copy()
+            self.changed = np.ones(n, dtype=bool)
+        else:
+            self.values = np.full(n, -1, dtype=np.int64)
+            self.changed = np.zeros(n, dtype=bool)
+            i = int(np.searchsorted(self.nodes, self.source)) if n else 0
+            if n and i < n and self.nodes[i] == self.source:
+                self.values[i] = 0
+                self.changed[i] = True
+        return n
+
+    def push(self) -> None:
+        import pandas as pd
+        self.outbox = {}
+        if len(self.edge_src) == 0:
+            return
+        m = self.changed[self.edge_src]
+        if not m.any():
+            return
+        cand = self.values[self.edge_src[m]]
+        if self.mode == "bfs":
+            cand = cand + 1
+        df = pd.DataFrame({"dst": self.edge_dst[m], "cand": cand,
+                           "p": self.dst_part[m]})
+        # per-destination min BEFORE the exchange (combiner)
+        g = df.groupby(["p", "dst"], sort=False)["cand"].min().reset_index()
+        for p, sub in g.groupby("p", sort=False):
+            self.outbox[int(p)] = (sub["dst"].to_numpy(),
+                                   sub["cand"].to_numpy())
+
+    def take_outbox(self, dest: int):
+        return self.outbox.get(dest)
+
+    def recv(self, payload) -> None:
+        if payload is not None:
+            self.inbox.append(payload)
+
+    def apply(self) -> int:
+        import pandas as pd
+        self.changed[:] = False
+        if not self.inbox:
+            return 0
+        dst = np.concatenate([p[0] for p in self.inbox])
+        cand = np.concatenate([p[1] for p in self.inbox])
+        self.inbox = []
+        g = pd.DataFrame({"dst": dst, "cand": cand}) \
+            .groupby("dst", sort=False)["cand"].min()
+        # every destination exists in this shard: edges are
+        # bidirectional, so any dst also appears as a node row in its
+        # own hash partition (self.nodes is np.unique → sorted)
+        idx = np.searchsorted(self.nodes, g.index.to_numpy())
+        best = g.to_numpy()
+        cur = self.values[idx]
+        if self.mode == "bfs":
+            better = (cur == -1) | (best < cur)
+        else:
+            better = best < cur
+        if better.any():
+            self.values[idx[better]] = best[better]
+            self.changed[idx[better]] = True
+        return int(better.sum())
+
+    def result_table(self) -> pa.Table:
+        if self.mode == "minlabel":
+            return pa.table({"node": pa.array(self.nodes, pa.string()),
+                             "label": pa.array(self.values, pa.string())})
+        keep = self.values >= 0
+        return pa.table({"node": pa.array(self.nodes[keep]),
+                         "dist": pa.array(self.values[keep], pa.int64())})
+
+
+def run_propagation(edges: ray.data.Dataset, *, mode: str,
+                    src_col: str = "src", dst_col: str = "dst",
+                    source=None, num_partitions: int = 16,
+                    max_rounds: int = 50) -> ray.data.Dataset:
+    """Route → build → rounds → collect, over (src_col, dst_col) edges.
+    Returns Dataset(node, label) for "minlabel", Dataset(node, dist)
+    (reachable nodes only) for "bfs"."""
+    import pandas as pd
+
+    P = num_partitions
+    shards = [PropagationShard.remote(p, P, mode, source)
+              for p in range(P)]
+
+    def route(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t[src_col].combine_chunks(),
+                                 t[dst_col].combine_chunks()])
+        other = pa.concat_arrays([t[dst_col].combine_chunks(),
+                                  t[src_col].combine_chunks()])
+        narr = node.to_numpy(zero_copy_only=False)
+        oarr = other.to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_pandas_object(
+            pd.Series(narr), index=False) % P).to_numpy()
+        refs = []
+        for p in range(P):
+            m = part == p
+            if m.any():
+                refs.append(shards[p].add_edges.remote(narr[m], oarr[m]))
+        ray.get(refs)       # delivery barrier before the task completes
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    try:
+        # ships every edge to its shard exactly once
+        edges.map_batches(route, batch_format="pyarrow").materialize()
+        ray.get([s.build.remote() for s in shards])
+
+        for _ in range(max_rounds):
+            ray.get([s.push.remote() for s in shards])
+            recvs = []
+            for q in range(P):
+                for p in range(P):
+                    # ref-to-ref handoff: payloads move shard→shard via
+                    # the object store, never through the driver
+                    recvs.append(shards[p].recv.remote(
+                        shards[q].take_outbox.remote(p)))
+            ray.get(recvs)
+            changed = sum(ray.get([s.apply.remote() for s in shards]))
+            if changed == 0:
+                break
+        else:
+            # mode-dependent max_rounds semantics: BFS's cap is a
+            # TRUNCATION contract (distances ≤ max_rounds are exact —
+            # round k only ever assigns distance k); min-label left
+            # unconverged would be silently WRONG labels, so it raises
+            if mode == "minlabel":
+                raise RuntimeError(
+                    f"{mode} propagation did not converge "
+                    f"in {max_rounds} rounds")
+        tables = [t for t in ray.get(
+            [s.result_table.remote() for s in shards]) if t.num_rows]
+        if not tables:
+            cols = ("label", pa.string()) if mode == "minlabel" \
+                else ("dist", pa.int64())
+            tables = [pa.schema([("node", pa.string()),
+                                 cols]).empty_table()]
+        return ray.data.from_arrow(tables)
+    finally:
+        for s in shards:
+            ray.kill(s)
