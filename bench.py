@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "events_sessionize", "events_latest_per_user", "docs_top_terms",
     "parts_with_lineitems", "docs_chunks", "orders_global_rank",
     "events_user_heavy_hitters",
+    # round-3 operators
+    "docs_span_dedup", "part_attrs_melt", "emb_pca_top_component",
+    "q15_top_supplier",
 ]
 
 

@@ -12,11 +12,11 @@ Scale design:
   entity ("Wikipedia"-scale hubs) contributes at most one edge per batch per
   alias, so no reducer sees the raw hot-key volume.
 - components over the distinct edges: driver union-find when the edge set is
-  provably small (streamed via iter_batches, bounded memory), else iterated
-  distributed min-label propagation (hash-join labels onto edges, propagate
-  min across each edge, groupby-min per node) until fixpoint — 2 joins + 1
-  groupby per round over the (small) distinct-edge set, rounds bounded by
-  component diameter (star-shaped here ⇒ a handful).
+  provably small (streamed via iter_batches, bounded memory), else the
+  Pregel-style shard-actor min-label propagation in stages/pregel.py —
+  edges hash-partition once into actor memory, rounds exchange only
+  changed-label minima, rounds bounded by component diameter
+  (star-shaped here ⇒ a handful).
 """
 
 from __future__ import annotations
