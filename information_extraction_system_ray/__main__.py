@@ -85,6 +85,34 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Incremental KG update: append a NEW pages batch to an existing
+    checkpointed extract output — per-page stages run for the delta
+    only, the graph stage rebuilds over old ∪ delta (see
+    pipelines/flagship.py update_flagship)."""
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.flagship import update_flagship
+    from .sources.pages import read_pages
+    from .state.manifest import corpus_fingerprint
+
+    t0 = time.time()
+    pages = read_pages(args.pages)
+    fp = corpus_fingerprint(args.pages)
+    ncpu = args.num_cpus or 8
+    res = update_flagship(pages, args.out,
+                          num_parts_new=args.num_parts_new,
+                          concurrency=(max(2, ncpu * 3 // 4),
+                                       max(2, ncpu)),
+                          batch_size=args.batch_size,
+                          input_fingerprint=fp)
+    print(json.dumps({"cmd": "update", "out_dir": res["out_dir"],
+                      "base_part": res["base_part"],
+                      "metrics": res["metrics"],
+                      "wall_s": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """Raw documents (.txt/.html/.pdf/...) → pages-schema Parquet, ready
     for ``extract --pages``."""
@@ -342,6 +370,19 @@ def main(argv=None) -> int:
     e.add_argument("--batch-size", type=int, default=128)
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_extract)
+
+    upd = sub.add_parser("update",
+                         help="incrementally add a pages batch to an "
+                              "existing extract checkpoint")
+    upd.add_argument("--pages", required=True,
+                     help="NEW pages Parquet path/dir (the delta)")
+    upd.add_argument("--out", required=True,
+                     help="existing checkpoint dir from `extract --out`")
+    upd.add_argument("--num-parts-new", type=int, default=16,
+                     help="partitions for the delta namespace")
+    upd.add_argument("--batch-size", type=int, default=128)
+    upd.add_argument("--num-cpus", type=int, default=None)
+    upd.set_defaults(fn=cmd_update)
 
     g = sub.add_parser("ingest",
                        help="raw documents dir → pages-schema Parquet")

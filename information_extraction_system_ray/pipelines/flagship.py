@@ -281,3 +281,148 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
     return {"out_dir": out_dir, "extracted_dir": ext_dir,
             "annotated_dir": ann_dir, "nodes_dir": nodes_dir,
             "edges_dir": edges_dir, "metrics": metrics}
+
+
+def update_flagship(new_pages: ray.data.Dataset, out_dir: str, *,
+                    langs=DEFAULT_LANGS, num_parts_new: int = 16,
+                    concurrency=(1, 8), batch_size: int = 256,
+                    driver_threshold: int = 2_000_000,
+                    input_fingerprint: str = "") -> dict:
+    """Incremental KG update (round 3): append a NEW batch of pages to an
+    existing checkpointed flagship output, re-running the per-page stages
+    for the delta only.
+
+    - **Delta partition namespace**: new pages land in part ids
+      ``[base, base + num_parts_new)`` where ``base`` = max committed
+      part + 1. Old extracted/annotated partitions are never rewritten
+      or re-annotated — the per-page ~80% of the pipeline is paid only
+      for the delta — and the delta itself is resumable with the same
+      per-partition manifest rules as a fresh run.
+    - **The graph stage is REBUILT over all annotated partitions**
+      (old ∪ delta): canonicalization is global — a single new co-link
+      can merge two previously separate clusters, so merging node/edge
+      rows without re-clustering would be semantically wrong. Distinct
+      mention edges ≪ pages keeps the rebuild cheap (graph ≈ 15 % of
+      e2e wall at bench scale).
+    - **Equivalence contract** (tests/test_resume.py): a batch run over
+      A∪B and a run over A followed by ``update_flagship(B)`` produce
+      identical nodes/edges tables row for row.
+    """
+    import json
+    import shutil
+
+    man = Manifest(out_dir)
+    done = man.completed("extracted")
+    if not done:
+        raise ValueError("update_flagship requires an existing "
+                         "checkpointed run (run_flagship first)")
+    # Delta-namespace registry: the base part id is allocated ONCE per
+    # delta fingerprint and persisted, so a crashed/retried update
+    # RESUMES its own namespace instead of allocating a fresh one
+    # (which would duplicate the delta's pages), and re-applying an
+    # already-applied delta is a committed no-op.
+    reg_path = os.path.join(out_dir, "_manifest", "deltas.json")
+    registry: dict = {"next": max(done) + 1, "deltas": {}}
+    if os.path.exists(reg_path):
+        with open(reg_path) as fh:
+            registry = json.load(fh)
+    key = input_fingerprint or "<unnamed-delta>"
+    if key in registry["deltas"]:
+        rec = registry["deltas"][key]
+        if rec["num_parts"] != num_parts_new:
+            raise ValueError(
+                f"delta {key!r} was registered with num_parts="
+                f"{rec['num_parts']}; retry with the same value")
+        base = rec["base"]
+    else:
+        base = max(registry["next"], max(done) + 1)
+        registry["deltas"][key] = {"base": base,
+                                   "num_parts": num_parts_new}
+        registry["next"] = base + num_parts_new
+        os.makedirs(os.path.dirname(reg_path), exist_ok=True)
+        tmp = reg_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(registry, fh)
+        os.replace(tmp, reg_path)
+    fp = f"{input_fingerprint}@delta{base}"
+    metrics: dict[str, dict] = {}
+
+    ext_dir = os.path.join(out_dir, "extracted")
+    ann_dir = os.path.join(out_dir, "annotated")
+    delta = list(range(base, base + num_parts_new))
+
+    def _delta_pending(stage: str, data_dir: str) -> list[int]:
+        rec = man.completed(stage)
+        pend = [p for p in delta
+                if p not in rec
+                or rec[p].get("input_fingerprint", "") != fp]
+        for p in pend:          # crash safety: clear uncommitted dirs
+            d = os.path.join(data_dir, f"part_id={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return pend
+
+    def _shift(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("part_id")
+        shifted = pc.cast(pc.add(t["part_id"],
+                                 pa.scalar(base, pa.int32())), pa.int32())
+        return t.set_column(i, "part_id", shifted)
+
+    # ---- stage 1: extract the delta ---------------------------------
+    pend = _delta_pending("extracted", ext_dir)
+    if pend:
+        t0 = time.time()
+        ext = extract_text(new_pages, num_parts=num_parts_new,
+                           with_sha=True) \
+            .map_batches(_shift, batch_format="pyarrow")
+        if len(pend) < num_parts_new:
+            ext = _filter_parts(ext, set(pend))
+        ext.write_parquet(ext_dir, partition_cols=["part_id"])
+        commit_partitions_from_dir(
+            man, "extracted", ext_dir, wall_s=time.time() - t0,
+            input_fingerprint=fp, part_ids=sorted(pend))
+    metrics["extracted"] = man.stage_stats("extracted")
+
+    # ---- stage 2: annotate the delta --------------------------------
+    pend = _delta_pending("annotated", ann_dir)
+    if pend:
+        t0 = time.time()
+        model_ref = put_once("crf_model", get_model)
+        ext_ds = _normalize_part_id(ray.data.read_parquet(
+            ext_dir, columns=["url", "part_id", "lang", "text"]))
+        src = _filter_parts(_filter_langs(ext_ds, langs), set(pend))
+        ann = src.map_batches(
+            FusedAnnotator, fn_constructor_args=(model_ref,),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1.0)
+        ann.write_parquet(ann_dir, partition_cols=["part_id"])
+        commit_partitions_from_dir(
+            man, "annotated", ann_dir, wall_s=time.time() - t0,
+            input_fingerprint=fp, part_ids=sorted(pend))
+    metrics["annotated"] = man.stage_stats("annotated")
+
+    # ---- stage 3: rebuild the graph over ALL annotated parts --------
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+    if man.pending("graph", 1, fp):
+        for d in (nodes_dir, edges_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        t0 = time.time()
+        annotated = _normalize_part_id(ray.data.read_parquet(ann_dir))
+        g = build_graph(annotated, driver_threshold=driver_threshold)
+        g["nodes"].write_parquet(nodes_dir)
+        g["edges"].write_parquet(edges_dir)
+        import pyarrow.parquet as pq
+        n_rows = sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for d in (nodes_dir, edges_dir) for f in os.listdir(d)
+            if f.endswith(".parquet"))
+        man.commit("graph", 0, n_rows=n_rows, wall_s=time.time() - t0,
+                   output_path=out_dir, input_fingerprint=fp)
+    metrics["graph"] = man.stage_stats("graph")
+
+    return {"out_dir": out_dir, "extracted_dir": ext_dir,
+            "annotated_dir": ann_dir, "nodes_dir": nodes_dir,
+            "edges_dir": edges_dir, "base_part": base,
+            "metrics": metrics}

@@ -114,3 +114,67 @@ def test_stale_input_fingerprint_forces_recompute(ray_session, fixdir,
                for f in os.listdir(ext)}
     assert all(changed[f] != m for f, m in mtimes.items()
                if f in changed) or set(changed) != set(mtimes)
+
+
+def test_incremental_update_equals_batch(ray_session, tmp_path):
+    """Round-3 incremental KG update: run_flagship(A) then
+    update_flagship(B) must produce nodes/edges IDENTICAL to one batch
+    run over A∪B (canonicalization is global — the update rebuilds the
+    graph stage over old∪delta annotations), and re-applying the same
+    update must be a committed no-op."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from information_extraction_system_ray.pipelines.flagship import (
+        run_flagship, update_flagship)
+    from information_extraction_system_ray.sources.pages import synth_pages
+
+    N, CUT = 300, 200
+
+    def _rng(lo, hi):
+        def f(t: pa.Table) -> pa.Table:
+            idx = pc.cast(pc.struct_field(
+                pc.extract_regex(t["url"], r"p(?P<i>\d+)$"), "i"),
+                pa.int64())
+            return t.filter(pc.and_(pc.greater_equal(idx, lo),
+                                    pc.less(idx, hi)))
+        return synth_pages(N).map_batches(f, batch_format="pyarrow")
+
+    batch_dir, inc_dir = str(tmp_path / "batch"), str(tmp_path / "inc")
+    run_flagship(synth_pages(N), batch_dir, num_parts=6,
+                 input_fingerprint="all")
+    run_flagship(_rng(0, CUT), inc_dir, num_parts=6,
+                 input_fingerprint="partA")
+    up = update_flagship(_rng(CUT, N), inc_dir, num_parts_new=3,
+                         input_fingerprint="partB")
+    assert up["base_part"] == 6
+
+    def _load(out, sub, keys):
+        df = rd.read_parquet(f"{out}/{sub}").to_pandas() \
+            .sort_values(keys).reset_index(drop=True)
+        for c in df.columns:
+            if df[c].dtype == object and len(df) and \
+                    isinstance(df[c].iloc[0], (list, tuple)) or \
+                    str(df[c].dtype) == "object" and len(df) and \
+                    hasattr(df[c].iloc[0], "__len__") and \
+                    not isinstance(df[c].iloc[0], (str, bytes)):
+                df[c] = df[c].map(tuple)
+        return df[sorted(df.columns)]
+
+    for sub, keys in (("nodes", ["entity_id"]),
+                      ("edges", ["subj_id", "pred", "obj_id"])):
+        a = _load(batch_dir, sub, keys)
+        b = _load(inc_dir, sub, keys)
+        pd.testing.assert_frame_equal(a, b)
+
+    # idempotence: re-applying the same delta resumes its registered
+    # namespace (no duplicate pages) and leaves the graph untouched
+    up2 = update_flagship(_rng(CUT, N), inc_dir, num_parts_new=3,
+                          input_fingerprint="partB")
+    assert up2["base_part"] == up["base_part"]
+    for sub, keys in (("nodes", ["entity_id"]),
+                      ("edges", ["subj_id", "pred", "obj_id"])):
+        pd.testing.assert_frame_equal(_load(batch_dir, sub, keys),
+                                      _load(inc_dir, sub, keys))
