@@ -1337,8 +1337,11 @@ def emb_cosine_dup_pairs(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# multimodal (binary payload columns, stubbed codecs) — rows-only; the
-# Ray-side plumbing oracle is tests/test_multimodal.py
+# multimodal (binary payload columns) — rows-only. media_* run the
+# deterministic fake codec over opaque payloads (plumbing oracle:
+# tests/test_multimodal.py); media_real_image_features runs the REAL
+# pure-stdlib PPM codec end-to-end (pixel-level oracle:
+# tests/test_mediacodec.py)
 # --------------------------------------------------------------------------
 
 def _n_media(sf_dir: str) -> int:
@@ -1375,6 +1378,37 @@ def media_frame_sample(sf_dir: str):
                         every_ms=1000).to_pandas()
     out["frame_key"] = out["frame_key"].map(bytes.hex)
     return out.sort_values(["media_id", "frame_ms"]).reset_index(drop=True)
+
+
+def media_real_image_features(sf_dir: str):
+    """Actor-pool image decode with the REAL pure-stdlib PPM codec
+    (sources/mediacodec.py): a deterministic PPM corpus (seeded pixels,
+    encoded per-row) → DecodeImage(decoder="real") → 64-d features from
+    ACTUAL pixels, emitted as integer micro-unit sums for a stable
+    value hash. Rows-only (pixel-exactness golden-tested in
+    tests/test_mediacodec.py)."""
+    from .sources.mediacodec import encode_ppm
+    from .stages.multimodal import MEDIA_SCHEMA, decode_images
+
+    n = _n_media(sf_dir)
+    rng = np.random.default_rng(17)
+    payloads = [encode_ppm(rng.integers(0, 256, size=(24, 24, 3),
+                                        dtype=np.uint8))
+                for _ in range(n)]
+    t = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/x-portable-pixmap"] * n, pa.string()),
+        "width": pa.array([24] * n, pa.int32()),
+        "height": pa.array([24] * n, pa.int32()),
+        "duration_ms": pa.array([0] * n, pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+    out = decode_images(ray.data.from_arrow(t), size=24,
+                        decoder="real").to_pandas()
+    out["feat_sum_micro"] = out.pop("feature").map(
+        lambda f: int(round(sum(f) * 1e6)))
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -5763,6 +5797,7 @@ def queries():
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
         "media_frame_sample": media_frame_sample,
+        "media_real_image_features": media_real_image_features,
         "kg_extracted": kg_extracted,
         "kg_triples": kg_triples,
         "kg_mentions": kg_mentions,
