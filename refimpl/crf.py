@@ -317,3 +317,88 @@ def save_model(path: str, W: np.ndarray, T: np.ndarray) -> None:
 def load_model(path: str) -> tuple[np.ndarray, np.ndarray]:
     z = np.load(path)
     return z["W"].astype(np.float32), z["T"].astype(np.float32)
+
+
+def _logsumexp(x: np.ndarray, axis: int) -> np.ndarray:
+    m = np.max(x, axis=axis, keepdims=True)
+    return (m + np.log(np.sum(np.exp(x - m), axis=axis,
+                              keepdims=True))).squeeze(axis)
+
+
+def sequence_log_likelihood(feats: np.ndarray, gold: np.ndarray,
+                            W: np.ndarray, T: np.ndarray) -> float:
+    """log p(gold | feats) under the linear-chain CRF (log-space
+    forward pass for Z)."""
+    E = W[feats].sum(axis=1)                       # (n, L)
+    n = E.shape[0]
+    score = float(E[np.arange(n), gold].sum()
+                  + T[gold[:-1], gold[1:]].sum())
+    a = E[0].astype(np.float64)
+    for i in range(1, n):
+        a = E[i] + _logsumexp(a[:, None] + T, axis=0)
+    return score - float(_logsumexp(a[None, :], axis=1)[0])
+
+
+def train_mle(sequences: "list[tuple[np.ndarray, np.ndarray]]", *,
+              iters: int = 60, lr: float = 40.0,
+              l2: float = 1e-4) -> "tuple[np.ndarray, np.ndarray]":
+    """L2-regularized MAXIMUM-LIKELIHOOD training — the reference's
+    CRFsuite objective `[PK]` (SURVEY §0; VERDICT r2 "What's missing"
+    #4), optimized with plain full-batch gradient ascent instead of
+    CRFsuite's L-BFGS (no scipy in this sandbox; the OBJECTIVE is the
+    parity point, the optimizer is an implementation detail — fixed
+    iteration count + fixed data order keep it bit-reproducible).
+
+    Gradient per sequence = empirical feature counts − model-expected
+    counts from forward-backward marginals (Lafferty et al. 2001, the
+    standard derivation), all in log-space float64:
+
+        ∂ℓ/∂W[f,l] = Σ_i [feats(i)∋f]([gold_i=l] − p(y_i=l))
+        ∂ℓ/∂T[l,l'] = Σ_i ([gold=(l,l')] − p(y_i=l, y_i+1=l'))
+
+    Returns float32 (W, T) in the same layout the perceptron produces,
+    so the batched Viterbi decoder consumes either interchangeably
+    (tested: decode accuracy parity in tests/test_crf.py)."""
+    W = np.zeros((D, L), dtype=np.float64)
+    T = np.zeros((L, L), dtype=np.float64)
+    seqs = [(f, g) for f, g in sequences if f.shape[0] > 0]
+    n_tok = float(sum(f.shape[0] for f, _ in seqs)) or 1.0
+    for _ in range(iters):
+        gW = np.zeros_like(W)
+        gT = np.zeros_like(T)
+        for feats, gold in seqs:
+            n = feats.shape[0]
+            E = W[feats].sum(axis=1)               # (n, L)
+            # forward (log-alpha) / backward (log-beta)
+            A = np.empty((n, L))
+            A[0] = E[0]
+            for i in range(1, n):
+                A[i] = E[i] + _logsumexp(A[i - 1][:, None] + T, axis=0)
+            B = np.zeros((n, L))
+            for i in range(n - 2, -1, -1):
+                B[i] = _logsumexp(T + E[i + 1] + B[i + 1], axis=1)
+            logZ = float(_logsumexp(A[n - 1][None, :], axis=1)[0])
+            # node marginals (n, L)
+            P = np.exp(A + B - logZ)
+            # empirical − expected, scattered over the hashed features
+            upd = -P
+            upd[np.arange(n), gold] += 1.0
+            np.add.at(gW, feats.ravel(),
+                      np.repeat(upd, feats.shape[1], axis=0)
+                      .reshape(-1, L))
+            # edge marginals, summed over positions
+            if n > 1:
+                for i in range(n - 1):
+                    Q = np.exp(A[i][:, None] + T + E[i + 1][None, :]
+                               + B[i + 1][None, :] - logZ)
+                    gT -= Q
+                np.add.at(gT, (gold[:-1], gold[1:]), 1.0)
+        # per-token gradient normalization keeps the step size
+        # corpus-size-invariant (full-batch ascent diverges otherwise)
+        gW /= n_tok
+        gT /= n_tok
+        gW -= l2 * W
+        gT -= l2 * T
+        W += lr * gW
+        T += lr * gT
+    return W.astype(np.float32), T.astype(np.float32)

