@@ -1380,6 +1380,55 @@ def media_frame_sample(sf_dir: str):
     return out.sort_values(["media_id", "frame_ms"]).reset_index(drop=True)
 
 
+def events_props_redact(sf_dir: str):
+    """M10 (round 3): PII-style redaction — the standard pre-training
+    scrub step (emails/phones/ids → placeholder tokens), exercised on
+    the digit runs in the events.props JSON column. Fully vectorized
+    Arrow kernels per batch (``replace_substring_regex`` +
+    ``count_substring_regex``; no Python over rows), with per-batch
+    partial sums before one bounded groupby. Output per event_type:
+    events, redaction count, digit chars removed."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        props = t["props"]
+        n_red = pc.count_substring_regex(props, r"[0-9]+")
+        removed = pc.subtract(
+            pc.utf8_length(props),
+            pc.utf8_length(pc.replace_substring_regex(
+                props, r"[0-9]+", "")))
+        g = pa.table({
+            "event_type": t["event_type"],
+            "n_red": pc.cast(n_red, pa.int64()),
+            "removed": pc.cast(removed, pa.int64()),
+        }).group_by("event_type").aggregate(
+            [("n_red", "sum"), ("removed", "sum"),
+             ("event_type", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n_events": pc.cast(g["event_type_count"], pa.int64()),
+            "n_redactions": pc.cast(g["n_red_sum"], pa.int64()),
+            "digits_removed": pc.cast(g["removed_sum"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_redactions", alias_name="n_redactions"),
+                       Sum("digits_removed", alias_name="digits_removed"))
+            .sort("event_type"))
+
+
+_EVENTS_REDACT_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+           AS n_redactions,
+       CAST(SUM(length(props)
+                - length(regexp_replace(props, '[0-9]+', '', 'g')))
+            AS BIGINT) AS digits_removed
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def media_real_image_features(sf_dir: str):
     """Actor-pool image decode with the REAL pure-stdlib PPM codec
     (sources/mediacodec.py): a deterministic PPM corpus (seeded pixels,
@@ -5798,6 +5847,7 @@ def queries():
         "media_audio_features": media_audio_features,
         "media_frame_sample": media_frame_sample,
         "media_real_image_features": media_real_image_features,
+        "events_props_redact": events_props_redact,
         "kg_extracted": kg_extracted,
         "kg_triples": kg_triples,
         "kg_mentions": kg_mentions,
@@ -6000,6 +6050,7 @@ def oracle_sql():
         "q21_sole_late_supplier": _Q21_SQL,
         "part_attrs_melt": _PART_MELT_SQL,
         "docs_span_dedup": _DOCS_SPAN_DEDUP_SQL,
+        "events_props_redact": _EVENTS_REDACT_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
