@@ -381,3 +381,41 @@ def test_setops_vs_python_sets(ray_session):
     assert len(inter) == len(set(la) & set(rb))      # distinct, no dups
     assert set(zip(exc["k"], exc["v"])) == set(la) - set(rb)
     assert len(exc) == len(set(la) - set(rb))
+
+
+def test_unigram_nll_capped_vocab_planted_oov(ray_session, tmp_path):
+    """VERDICT r3 item #2: the top-K-vocab + OOV path. A corpus whose
+    vocabulary exceeds vocab_limit must score OOV tokens at
+    log(oov_mass/total) with the model dict capped at K entries — the
+    expected micro-nat scores are recomputed here by hand."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.queries import docs_unigram_nll
+
+    # vocab: 'aa' ×6, 'bb' ×4, 'cc' ×2, 'dd' ×1 → total 13.
+    # vocab_limit=2 keeps {aa, bb}; oov_mass = 3.
+    texts = ["aa aa aa bb bb cc",      # doc 1: 3×aa 2×bb 1×OOV(cc)
+             "aa aa aa bb bb cc dd"]   # doc 2: 3×aa 2×bb 2×OOV
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    got = docs_unigram_nll(str(tmp_path), vocab_limit=2).to_pandas() \
+        .set_index("doc_id")
+
+    total = 13.0
+    lp = {"aa": math.log(6 / total), "bb": math.log(4 / total)}
+    oov = math.log(3 / total)
+    exp1 = -(3 * lp["aa"] + 2 * lp["bb"] + 1 * oov) / 6
+    exp2 = -(3 * lp["aa"] + 2 * lp["bb"] + 2 * oov) / 7
+    assert got.loc[1, "nll_u"] == round(exp1 * 1e6)
+    assert got.loc[2, "nll_u"] == round(exp2 * 1e6)
+    assert got.loc[1, "dl"] == 6 and got.loc[2, "dl"] == 7
+
+    # and the exact path (limit above vocab) must differ: cc/dd scored
+    # by their own counts, not the pooled OOV bucket
+    exact = docs_unigram_nll(str(tmp_path), vocab_limit=100).to_pandas() \
+        .set_index("doc_id")
+    e1 = -(3 * lp["aa"] + 2 * lp["bb"] + math.log(2 / total)) / 6
+    assert exact.loc[1, "nll_u"] == round(e1 * 1e6)
