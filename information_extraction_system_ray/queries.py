@@ -129,28 +129,29 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 def q3_top_orders(sf_dir: str):
     """J3 + G + O2: broadcast semi-join (small side) → hash join (large) →
     grouped aggregate → top-k."""
+    from .functions.joins import auto_semi_join
+
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_mktsegment"])
-    # broadcast small side ONCE as a ready-to-use Arrow value set (ray.put →
-    # plasma; per-batch ray.get is a local zero-copy read, no rebuild)
-    keys = ray.put(pa.array(sorted(set(
-        cust.map_batches(
-            lambda t: t.filter(
-                pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
-            .select(["c_custkey"]),
-            batch_format="pyarrow").to_pandas()["c_custkey"])), pa.int64()))
+    building = cust.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+        .select(["c_custkey"]), batch_format="pyarrow")
 
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def filt_orders(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.is_in(t["o_custkey"], ray.get(keys)),
-            pc.less(t["o_orderdate"],
-                    pa.scalar(np.datetime64("1995-03-15", "us"))))
-        return t.filter(mask).select(["o_orderkey", "o_orderdate"])
-
-    orders_f = orders.map_batches(filt_orders, batch_format="pyarrow")
+    orders_d = orders.map_batches(
+        lambda t: t.filter(pc.less(
+            t["o_orderdate"],
+            pa.scalar(np.datetime64("1995-03-15", "us")))),
+        batch_format="pyarrow")
+    # segment-customer filter: broadcast is_in below the key threshold,
+    # co-partitioned semi join above it (the key set grows with sf —
+    # VERDICT r3 item #5)
+    orders_f = auto_semi_join(orders_d, building, left_key="o_custkey",
+                              right_key="c_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount",
@@ -4062,47 +4063,51 @@ def q17_small_qty_revenue(sf_dir: str):
     rational (sum_qty, cnt) and compared by cross-multiplication
     (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg — l_quantity is
     integer-valued), so no float boundary can flip a row vs the SQL.
-    The (part → sum,cnt) map is ≤ brand-part count entries → broadcast
-    back for the final filter instead of a second shuffle."""
+    Both the brand-key filter and the (part → sum,cnt) attach route
+    through the auto_semi_join / auto_join threshold choosers (VERDICT
+    r3 item #5): broadcast below the key limit, co-partitioned shuffle
+    above — the brand key set grows with sf."""
+    from .functions.joins import auto_join, auto_semi_join
+
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
     brand_keys = part.map_batches(
         lambda t: t.filter(pc.equal(t["p_brand"], pa.scalar("Brand#11")))
-        .select(["p_partkey"]), batch_format="pyarrow").to_pandas()
-    keys_ref = ray.put(set(brand_keys["p_partkey"].tolist()))
+        .select(["p_partkey"]), batch_format="pyarrow")
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
-    def brand_only(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pc.is_in(t["l_partkey"],
-                        value_set=pa.array(list(ks), pa.int64()))
-        f = t.filter(mask)
+    def shape(t: pa.Table) -> pa.Table:
         return pa.table({
-            "l_partkey": f["l_partkey"],
-            "qty": pc.cast(f["l_quantity"], pa.int64()),
-            "price_cents": _cents(f["l_extendedprice"]),
+            "l_partkey": t["l_partkey"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_cents": _cents(t["l_extendedprice"]),
         })
 
-    bl = li.map_batches(brand_only, batch_format="pyarrow").materialize()
+    bl = auto_semi_join(
+        li.map_batches(shape, batch_format="pyarrow"), brand_keys,
+        left_key="l_partkey", right_key="p_partkey").materialize()
     stats = (bl.groupby("l_partkey")
              .aggregate(Sum("qty", alias_name="sum_qty"),
-                        Count(alias_name="cnt"))).to_pandas()
-    stats_ref = ray.put({int(r.l_partkey): (int(r.sum_qty), int(r.cnt))
-                         for r in stats.itertuples()})
+                        Count(alias_name="cnt")))
+    stats = stats.map_batches(
+        lambda t: pa.table({"st_partkey": t["l_partkey"],
+                            "sum_qty": t["sum_qty"], "cnt": t["cnt"]}),
+        batch_format="pyarrow")
+    attached = auto_join(bl, stats, left_key="l_partkey",
+                         right_key="st_partkey",
+                         right_cols=["sum_qty", "cnt"])
 
     def small(t: pa.Table) -> pa.Table:
-        sm = ray.get(stats_ref)
-        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
         qty = t["qty"].to_numpy(zero_copy_only=False)
-        sums = np.array([sm[k][0] for k in pk], np.int64)
-        cnts = np.array([sm[k][1] for k in pk], np.int64)
+        sums = t["sum_qty"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
         keep = 5 * qty * cnts < sums
         s = int(t["price_cents"].to_numpy(
             zero_copy_only=False)[keep].sum())
         return pa.table({"rev_cents": pa.array([s], pa.int64())})
 
-    total = bl.map_batches(small, batch_format="pyarrow")
+    total = attached.map_batches(small, batch_format="pyarrow")
     return ray.data.from_arrow(pa.table({
         "rev_cents": pa.array([int(total.sum("rev_cents") or 0)],
                               pa.int64())}))
@@ -5276,43 +5281,41 @@ def q8_market_share(sf_dir: str):
     (orderkey, year) attaches the year; the share is emitted as the
     exact integer cent pair (nation_cents, total_cents) plus the double
     their division yields — bit-equal across engines."""
-    from .functions.joins import auto_join
+    from .functions.joins import auto_join, auto_semi_join
 
-    # broadcast Arrow arrays probed with vectorized pc.is_in (ADVICE r2:
-    # the per-row Python `in` loop was the slowest possible membership
-    # test in the hot path)
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand"],
-                         filters=[("p_brand", "==", "Brand#11")])
-    bkeys = ray.put(pc.cast(part["p_partkey"].combine_chunks(),
-                            pa.int64()))
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"],
-                         filters=[("s_nationkey", "==", 3)])
-    nat3 = ray.put(pc.cast(supp["s_suppkey"].combine_chunks(), pa.int64()))
+    # both growing dim sides route through the threshold choosers
+    # (VERDICT r3 item #5): part keys as an auto_semi_join filter,
+    # supplier nation as an auto_join attach — broadcast below the
+    # limit, hash shuffle above
+    brand_keys = read_table(sf_dir, "part",
+                            columns=["p_partkey", "p_brand"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"],
+                                        pa.scalar("Brand#11")))
+            .select(["p_partkey"]), batch_format="pyarrow")
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_partkey", "l_suppkey",
                              "l_extendedprice", "l_discount"])
+    li_b = auto_semi_join(li, brand_keys, left_key="l_partkey",
+                          right_key="p_partkey")
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    li_s = auto_join(li_b, supp, left_key="l_suppkey",
+                     right_key="s_suppkey", right_cols=["s_nationkey"])
 
     def prep(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
-                        value_set=ray.get(bkeys))
-        f = t.filter(keep)
-        if f.num_rows == 0:
-            return pa.schema([("l_orderkey", pa.int64()),
-                              ("rev", pa.int64()),
-                              ("nrev", pa.int64())]).empty_table()
-        rev = _cents(pc.multiply(f["l_extendedprice"],
+        rev = _cents(pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0),
-                                             f["l_discount"])))
-        is3 = pc.is_in(pc.cast(f["l_suppkey"], pa.int64()),
-                       value_set=ray.get(nat3))
+                                             t["l_discount"])))
+        is3 = pc.equal(pc.cast(t["s_nationkey"], pa.int64()),
+                       pa.scalar(3, pa.int64()))
         nrev = pc.if_else(is3, rev, pa.scalar(0, pa.int64()))
-        return pa.table({"l_orderkey": f["l_orderkey"], "rev": rev,
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev,
                          "nrev": nrev})
 
-    li_f = li.map_batches(prep, batch_format="pyarrow")
+    li_f = li_s.map_batches(prep, batch_format="pyarrow")
 
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderdate"])
@@ -5480,40 +5483,38 @@ def q16_supplier_counts(sf_dir: str):
     """TPC-H Q16 shape (COUNT DISTINCT per group over a join, lineitem as
     the partsupp stand-in): distinct supplier count per (p_brand, p_type)
     excluding Brand#11. Two-stage exact distinct: per-batch distinct
-    (brand, type, suppkey) triples (combiner), global triple dedup by
-    groupby, then a count per (brand, type) — the distinct shuffle
-    carries triples, never raw lineitems. Part attrs broadcast (parts ≪
-    lineitems)."""
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand", "p_type"])
-    pk = part["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
-    lut = ray.put({
-        int(k): (b, ty) for k, b, ty in zip(
-            pk, part["p_brand"].to_pylist(), part["p_type"].to_pylist())
-        if b != "Brand#11"})
+    (partkey, suppkey) pairs (combiner), part attrs attached via the
+    auto_join threshold chooser (VERDICT r3 item #5 — broadcast below
+    the limit, hash join above; the inner join drops Brand#11 because
+    the build side is pre-filtered), global triple dedup by groupby,
+    then a count per (brand, type) — the distinct shuffle carries
+    triples, never raw lineitems."""
+    from .functions.joins import auto_join
+
+    part_f = read_table(sf_dir, "part",
+                        columns=["p_partkey", "p_brand", "p_type"]) \
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["p_brand"],
+                                            pa.scalar("Brand#11"))),
+            batch_format="pyarrow")
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(lut)
+    def pair_distinct(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "pk": t["l_partkey"].to_numpy(zero_copy_only=False),
-            "sk": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
         }).drop_duplicates()
-        attrs = df["pk"].map(m)
-        df = df[attrs.notna()]
-        if not len(df):
-            return pa.schema([("p_brand", pa.string()),
-                              ("p_type", pa.string()),
-                              ("s_suppkey", pa.int64())]).empty_table()
-        at = attrs[attrs.notna()]
         return pa.table({
-            "p_brand": pa.array([a[0] for a in at], pa.string()),
-            "p_type": pa.array([a[1] for a in at], pa.string()),
-            "s_suppkey": pa.array(df["sk"].to_numpy(), pa.int64()),
-        })
+            "l_partkey": pa.array(df["l_partkey"].to_numpy(), pa.int64()),
+            "s_suppkey": pa.array(df["s_suppkey"].to_numpy(),
+                                  pa.int64())})
 
-    triples = (li.map_batches(partial, batch_format="pyarrow")
+    pairs = li.map_batches(pair_distinct, batch_format="pyarrow")
+    attached = auto_join(pairs, part_f, left_key="l_partkey",
+                         right_key="p_partkey",
+                         right_cols=["p_brand", "p_type"])
+    triples = (attached
                .groupby(["p_brand", "p_type", "s_suppkey"])
                .aggregate(Count(alias_name="_n"))
                .select_columns(["p_brand", "p_type", "s_suppkey"]))

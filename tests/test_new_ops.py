@@ -419,3 +419,36 @@ def test_unigram_nll_capped_vocab_planted_oov(ray_session, tmp_path):
         .set_index("doc_id")
     e1 = -(3 * lp["aa"] + 2 * lp["bb"] + math.log(2 / total)) / 6
     assert exact.loc[1, "nll_u"] == round(e1 * 1e6)
+
+
+def test_auto_semi_join_paths_agree(ray_session):
+    """VERDICT r3 item #5: the broadcast-is_in and co-partitioned
+    semi_join physical plans must return identical rows for both semi
+    and anti, so the size chooser is purely physical."""
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.joins import (
+        auto_semi_join)
+
+    rng = np.random.default_rng(7)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 50, 400), pa.int64()),
+        "v": pa.array(np.arange(400), pa.int64())})).repartition(7)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rng.integers(25, 60, 120), pa.int64())}
+    )).repartition(3)
+
+    for anti in (False, True):
+        a = auto_semi_join(left, right, left_key="k", right_key="rk",
+                           anti=anti, broadcast_limit=1_000_000) \
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        b = auto_semi_join(left, right, left_key="k", right_key="rk",
+                           anti=anti, broadcast_limit=0) \
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        rset = set(right.to_pandas()["rk"])
+        expect = [(k, v) for k, v in zip(
+            left.to_pandas()["k"], left.to_pandas()["v"])
+            if (k in rset) != anti]
+        assert set(zip(a["k"], a["v"])) == set(expect)
+        assert len(a) == len(expect)
