@@ -51,7 +51,19 @@ def _consume(res) -> int:
 
 
 def run_once() -> dict:
+    """Flagship e2e measured ``RAY_GRAFT_REPEATS`` times (default 3) in one
+    warm Ray session; the HEADLINE value is the median wall, and all
+    per-run walls plus a pre-Ray busy-loop host probe ride in the JSON so
+    a host-interference artifact (BENCH_r03's uniform ~2.3× inflation)
+    can never masquerade as a code regression (VERDICT r3 item #7)."""
     import ray
+
+    repeats = max(1, int(os.environ.get("RAY_GRAFT_REPEATS", "3")))
+    # host probe BEFORE ray.init: single-proc and NUM_CPUS-wide busy-loop
+    # rates. On an idle host wide/narrow ≈ NUM_CPUS; under throttling or
+    # a noisy neighbor it collapses — the interference fingerprint.
+    cpu1 = _cpu_throughput(1, seconds=0.5)
+    cpuN = _cpu_throughput(NUM_CPUS, seconds=0.5)
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -71,25 +83,31 @@ def run_once() -> dict:
     n_pages = _n_pages(SF_DIR)
     sf = n_pages / 4000 * 0.001  # pages corpus scales 4k/40k/400k with sf
 
-    t0 = time.time()
-    ann = annotate(synth_pages(n_pages), num_parts=64,
-                   concurrency=(max(2, NUM_CPUS * 3 // 4), NUM_CPUS),
-                   batch_size=128).materialize()
-    t_ann = time.time()
-    g = build_graph(ann)
-    t_cc = time.time()
-    # nodes and edges are independent DAGs over the same materialized input:
-    # drive them concurrently (ray.get releases the GIL)
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(2) as ex:
-        f_edges = ex.submit(_consume, g["edges"])
-        f_nodes = ex.submit(_consume, g["nodes"])
-        n_edges, n_nodes = f_edges.result(), f_nodes.result()
-    t_end = time.time()
-    flagship_s = t_end - t0
-    phases = {"annotate": round(t_ann - t0, 3),
+
+    def flagship_run() -> tuple:
+        t0 = time.time()
+        ann = annotate(synth_pages(n_pages), num_parts=64,
+                       concurrency=(max(2, NUM_CPUS * 3 // 4), NUM_CPUS),
+                       batch_size=128).materialize()
+        t_ann = time.time()
+        g = build_graph(ann)
+        t_cc = time.time()
+        # nodes and edges are independent DAGs over the same materialized
+        # input: drive them concurrently (ray.get releases the GIL)
+        with ThreadPoolExecutor(2) as ex:
+            f_edges = ex.submit(_consume, g["edges"])
+            f_nodes = ex.submit(_consume, g["nodes"])
+            n_edges, n_nodes = f_edges.result(), f_nodes.result()
+        t_end = time.time()
+        ph = {"annotate": round(t_ann - t0, 3),
               "canonicalize": round(t_cc - t_ann, 3),
               "graph": round(t_end - t_cc, 3)}
+        return t_end - t0, ph, n_nodes, n_edges
+
+    runs = [flagship_run() for _ in range(repeats)]
+    runs_by_wall = sorted(runs, key=lambda r: r[0])
+    flagship_s, phases, n_nodes, n_edges = runs_by_wall[len(runs) // 2]
 
     q = queries()
     q_times: dict[str, float] = {}
@@ -110,6 +128,14 @@ def run_once() -> dict:
         "phases": phases,
         "nodes": n_nodes,
         "edges": n_edges,
+        "flagship_runs_sec": [round(r[0], 3) for r in runs],
+        "flagship_stat": f"median_of_{repeats}",
+        "host_probe": {
+            "cpu_rate_1proc": round(cpu1, 0),
+            "cpu_rate_wide": round(cpuN, 0),
+            "wide_over_narrow": round(cpuN / cpu1, 2) if cpu1 else None,
+            "wide_procs": NUM_CPUS,
+        },
     }
     ray.shutdown()
     return out
