@@ -1,13 +1,15 @@
 """Pure-stdlib media codecs (round 3 — upgrades the multimodal stages'
 stubbed decode kernels the same way pdftext.py upgraded rawdocs).
 
-No media library exists in this container, but three real formats ARE
+No media library exists in this container, but several real formats ARE
 decodable with the standard library + numpy alone, which makes the
 actor-pool decode stages honest end-to-end for those formats:
 
 - **PPM (P6) / PGM (P5)**: header + raw pixels — parsed directly.
 - **BMP**: uncompressed 24-bit BI_RGB via ``struct`` (bottom-up rows,
   4-byte row padding).
+- **PNG** (round 4): zlib inflate + the five per-row unfilters
+  (None/Sub/Up/Average/Paeth); 8-bit gray/GA/RGB/RGBA non-interlaced.
 - **WAV**: stdlib ``wave`` (PCM 8/16-bit, any channel count → mono
   float32 in [-1, 1]).
 - **PPM-stream "video"**: a sequence of concatenated P6 frames (the
@@ -16,7 +18,7 @@ actor-pool decode stages honest end-to-end for those formats:
 
 A real log-mel filterbank (HTK mel scale, triangular filters over an
 ``np.fft.rfft`` magnitude spectrum) replaces the fake audio features —
-numpy's FFT needs no codec library. Compressed formats (JPEG/PNG/MP3/
+numpy's FFT needs no codec library. Entropy-coded formats (JPEG/MP3/
 MP4) remain library-blocked and are rejected with a clear error.
 """
 
@@ -115,15 +117,155 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + raw
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (VERDICT r3 item #8): zlib inflate + the
+    five per-row unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced → (h, w, 3)
+    uint8 (alpha dropped, gray replicated). Sub is a per-byte-lane
+    cumsum mod 256 and Up a vectorized previous-row add; Average/Paeth
+    are inherently pixel-sequential and loop only within their rows.
+    Palette, 16-bit and Adam7 raise with a clear message."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # length + type + body + CRC
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"PNG color type {color} (palette) not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 1:                        # Sub: prefix sum per lane
+            rec = np.cumsum(row.reshape(w, nch), axis=0).ravel() % 256
+        elif f == 2:                        # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):                   # Average / Paeth: sequential
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) \
+                        else (b if pb_ <= pc_ else c)
+                    rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, nch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0,
+               color: int = 2) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (tests / synthetic corpora).
+    ``filter_type`` applies one filter to every row so the decoder's
+    unfilter paths are each exercisable; ``color``=0 emits grayscale
+    from channel 0."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if color == 0:
+        px, nch = a[:, :, 0:1], 1
+    elif color == 2:
+        px, nch = a[:, :, :3], 3
+    else:
+        raise ValueError("encode_png emits color type 0 or 2 only")
+    p = px.astype(np.int64)
+    rows = []
+    prev = np.zeros((w, nch), np.int64)
+    for y in range(h):
+        cur = p[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.vstack([np.zeros((1, nch), np.int64), cur[:-1]])
+            filt = (cur - left) % 256
+        elif filter_type == 2:
+            filt = (cur - prev) % 256
+        elif filter_type == 3:
+            left = np.vstack([np.zeros((1, nch), np.int64), cur[:-1]])
+            filt = (cur - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            left = np.vstack([np.zeros((1, nch), np.int64), cur[:-1]])
+            ul = np.vstack([np.zeros((1, nch), np.int64), prev[:-1]])
+            pp = left + prev - ul
+            pa_ = np.abs(pp - left)
+            pb_ = np.abs(pp - prev)
+            pc_ = np.abs(pp - ul)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, ul))
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError("bad filter_type")
+        rows.append(bytes([filter_type])
+                    + filt.astype(np.uint8).tobytes())
+        prev = cur
+    body = zlib.compress(b"".join(rows))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body)
+            + chunk(b"IEND", b""))
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-sniffing image decode → (h, w, 3) uint8."""
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)[0]
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise ValueError(
-        "unsupported image format (pure-stdlib codecs cover PPM/PGM/BMP; "
-        "JPEG/PNG need a codec library absent from this container)")
+        "unsupported image format (pure-stdlib codecs cover "
+        "PPM/PGM/BMP/PNG; JPEG needs a codec library absent from this "
+        "container)")
 
 
 def resize_mean(arr: np.ndarray, size: int) -> np.ndarray:

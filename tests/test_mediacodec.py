@@ -158,3 +158,80 @@ def test_real_multimodal_stages_end_to_end(ray_session):
     want_keys = [hashlib.sha256(f.tobytes()).digest()[:16]
                  for f in vid_frames]
     assert [bytes(k) for k in vid["frame_key"]] == want_keys
+
+
+def test_png_roundtrip_all_filters():
+    """PNG decode (VERDICT r3 item #8): every unfilter path (None/Sub/
+    Up/Average/Paeth) must reconstruct the exact pixels the encoder
+    filtered, on a gradient-plus-noise image that exercises carries."""
+    import numpy as np
+
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_image, decode_png, encode_png)
+
+    rng = np.random.default_rng(11)
+    grad = (np.arange(23)[:, None, None] * 7
+            + np.arange(17)[None, :, None] * 3
+            + np.arange(3)[None, None, :] * 50)
+    img = ((grad + rng.integers(0, 40, (23, 17, 3))) % 256) \
+        .astype(np.uint8)
+
+    for ft in range(5):
+        data = encode_png(img, filter_type=ft)
+        out = decode_png(data)
+        assert out.shape == (23, 17, 3)
+        assert (out == img).all(), f"filter {ft} mismatch"
+        # and via the magic-sniffing dispatcher
+        assert (decode_image(data) == img).all()
+
+
+def test_png_grayscale_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_png, encode_png)
+
+    img = (np.arange(7 * 5 * 3).reshape(7, 5, 3) % 256).astype(np.uint8)
+    g = decode_png(encode_png(img, filter_type=2, color=0))
+    assert g.shape == (7, 5, 3)
+    assert (g[:, :, 0] == img[:, :, 0]).all()
+    assert (g[:, :, 1] == g[:, :, 0]).all()      # gray replicated
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNG\r\n\x1a\x00junk")
+    # 16-bit: patch depth byte in IHDR (keep CRC unchecked by decoder)
+    import struct as _struct
+    data = bytearray(encode_png(img))
+    assert data[24] == 8
+    data[24] = 16
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_png(bytes(data))
+
+
+def test_png_through_real_image_stage(ray_session):
+    """decode_images(decoder='real') accepts image/png payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.sources.mediacodec import (
+        encode_png, resize_mean)
+    from information_extraction_system_ray.stages.multimodal import (
+        MEDIA_SCHEMA, decode_images)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (20, 28, 3)).astype(np.uint8)
+    rows = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "mime": pa.array(["image/png"], pa.string()),
+        "payload": pa.array([encode_png(img)], pa.binary()),
+    })
+    media = rd.from_arrow(rows)
+    out = decode_images(media, size=16, decoder="real",
+                        concurrency=(1, 2)).to_pandas()
+    px = resize_mean(img, 16)
+    gray = px.mean(axis=2)
+    want = (gray.reshape(8, 2, 8, 2).mean(axis=(1, 3)).ravel() / 255.0)
+    assert np.abs(np.array(out.loc[0, "feature"]) - want).max() < 1e-6
