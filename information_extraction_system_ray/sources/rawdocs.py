@@ -15,9 +15,9 @@ Codec reality in this container (no parser libraries installed):
   zlib + a content-stream tokenizer; zipfile+ElementTree for docx).
   ``decoder="fake"`` keeps the deterministic stand-in for plumbing
   tests and for the unsupported cases.
-- ``.doc`` — STUBBED in both modes (legacy OLE2 binary; no stdlib
-  route): fake-extracted under ``decoder="fake"``, SKIPPED with a
-  counted drop under ``decoder="real"``.
+- ``.doc`` — REAL under ``decoder="real"`` (round 4): the pure-stdlib
+  OLE2 FAT/miniFAT walk + FIB piece-table extractor in
+  ``sources/doctext.py``; fake-extracted under ``decoder="fake"``.
 
 ``warc_ts`` is derived deterministically from the content hash (ingest has
 no crawl timestamp; determinism beats wall-clock for resume/rerun equality).
@@ -83,9 +83,11 @@ class DecodeDocuments:
         from refimpl.htmlstrip import strip_html
         self._strip = strip_html
         if self._real:
+            from .doctext import extract_doc_text
             from .pdftext import extract_docx_text, extract_pdf_text
             self._pdf = extract_pdf_text
             self._docx = extract_docx_text
+            self._doc = extract_doc_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls, tss, htmls, texts, langs = [], [], [], [], []
@@ -105,6 +107,9 @@ class DecodeDocuments:
                 lang_src = text
             elif ext == ".docx" and self._real:
                 html, text = b"", self._docx(payload)
+                lang_src = text
+            elif ext == ".doc" and self._real:
+                html, text = b"", self._doc(payload)
                 lang_src = text
             elif ext in _STUB_EXTS and not self._real:
                 html, text = b"", _fake_extract(payload, ext)
