@@ -1,12 +1,16 @@
-"""One-off sf1 (4M pages) flagship + scaling evidence (VERDICT r2 next-#5).
+"""sf1 (4M pages) flagship + scaling evidence (VERDICT r2 next-#5; r3
+next-#10 adds the forced-Pregel graph phase).
 
 Runs the flagship KG pipeline over a deterministically synthesized 4M-page
 corpus (10× the sf0.1 bench) at two parallelism levels in FRESH subprocess
 Ray sessions (the sandbox stand-in for the north rule's N vs 4N cluster
-sizes), and writes BENCH_r3_sf1.json with per-phase walls, throughputs and
-the 8→32 efficiency. The busy-loop hardware ceiling is measured in the same
-run so the ratio is interpretable on this throttling virtualized host
-(BASELINE.md protocol)."""
+sizes), and writes BENCH_r4_sf1.json with per-phase walls, throughputs and
+the 8→32 efficiency. The 32-CPU child additionally re-runs the graph phase
+with ``driver_threshold=0`` so the ARCHIVED numbers exercise the Pregel
+shard-actor connected-components path, not just the driver union-find fast
+path (``graph_distributed``). The busy-loop hardware ceiling is measured in
+the same run so the ratio is interpretable on this throttling virtualized
+host (BASELINE.md protocol)."""
 
 import json
 import subprocess
@@ -56,6 +60,21 @@ out = {"num_cpus": NUM_CPUS, "pages": N_PAGES,
                   "canonicalize": round(t2 - t1, 3),
                   "graph": round(t3 - t2, 3)},
        "nodes": n_nodes, "edges": n_edges}
+if len(sys.argv) > 3 and sys.argv[3] == "distributed":
+    # force the Pregel shard-actor CC (driver_threshold=0) over the same
+    # materialized annotations — the archived evidence that the
+    # distributed graph path holds at sf1 (VERDICT r3 item #10)
+    t4 = time.time()
+    g2 = build_graph(ann, driver_threshold=0)
+    with ThreadPoolExecutor(2) as ex:
+        fe = ex.submit(consume, g2["edges"])
+        fn = ex.submit(consume, g2["nodes"])
+        d_edges, d_nodes = fe.result(), fn.result()
+    t5 = time.time()
+    out["graph_distributed"] = {
+        "wall_s": round(t5 - t4, 3), "driver_threshold": 0,
+        "nodes": d_nodes, "edges": d_edges,
+        "parity_with_driver_uf": (d_nodes, d_edges) == (n_nodes, n_edges)}
 ray.shutdown()
 print("SF1RESULT " + json.dumps(out))
 """
@@ -93,7 +112,7 @@ def run_child(code: str, *args: str) -> dict:
 def main() -> None:
     t_start = time.time()
     lo = run_child(_CHILD, "8", str(N_PAGES))
-    hi = run_child(_CHILD, "32", str(N_PAGES))
+    hi = run_child(_CHILD, "32", str(N_PAGES), "distributed")
     ceil = run_child(_CEILING)
     eff = round(hi["pages_per_s"] / (4 * lo["pages_per_s"]), 3)
     out = {
@@ -105,7 +124,7 @@ def main() -> None:
         "efficiency_vs_ceiling": round(eff / ceil["ceiling"], 3),
         "total_runtime_s": round(time.time() - t_start, 1),
     }
-    with open("BENCH_r3_sf1.json", "w") as f:
+    with open("BENCH_r4_sf1.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
