@@ -102,14 +102,17 @@ class DecodeDocuments:
             elif ext in _TEXT_EXTS:
                 html, text = b"", payload.decode("utf-8", errors="replace")
                 lang_src = text
-            elif ext == ".pdf" and self._real:
-                html, text = b"", self._pdf(payload)
-                lang_src = text
-            elif ext == ".docx" and self._real:
-                html, text = b"", self._docx(payload)
-                lang_src = text
-            elif ext == ".doc" and self._real:
-                html, text = b"", self._doc(payload)
+            elif ext in _STUB_EXTS and self._real:
+                # corrupt/truncated documents are a per-document DROP, not
+                # a pipeline failure: at corpus scale a malformed pdf/doc
+                # must never kill the ingest stage (the drop shows up in
+                # stage metrics like any other skip)
+                fn = {".pdf": self._pdf, ".docx": self._docx,
+                      ".doc": self._doc}[ext]
+                try:
+                    html, text = b"", fn(payload)
+                except Exception:
+                    continue
                 lang_src = text
             elif ext in _STUB_EXTS and not self._real:
                 html, text = b"", _fake_extract(payload, ext)
