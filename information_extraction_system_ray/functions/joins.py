@@ -50,6 +50,8 @@ def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                               num_partitions=num_partitions)
             return definite.union(exact)
         left = bloom_prefilter(left, bits_ref, left_key)
+    if left.schema() is None:
+        return left   # zero-block left: semi AND anti of empty = empty
     num_partitions = num_partitions or default_parts()
     schema = left.schema().base_schema
     names = list(schema.names)
@@ -150,6 +152,11 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     differently)."""
     import ray as _ray
 
+    if left.schema() is None:
+        # a zero-block left (e.g. a groupby whose input filtered to
+        # nothing at small sf) inner-joins to nothing; pass the same
+        # empty dataset through instead of crashing on schema access
+        return left
     cols = right_cols if right_cols is not None \
         else [c for c in right.schema().names if c != right_key]
     lnames = list(left.schema().names)
@@ -225,6 +232,9 @@ def auto_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return identical rows (tested: path agreement on both limits)."""
     import ray as _ray
 
+    if left.schema() is None:
+        return left   # zero-block left: semi AND anti of empty = empty
+
     key_type = left.schema().base_schema.field(left_key).type
 
     def batch_unique(t: pa.Table) -> pa.Table:
@@ -233,6 +243,11 @@ def auto_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     kd = (right.select_columns([right_key])
           .map_batches(batch_unique, batch_format="pyarrow")
           .materialize())
+    if kd.count() == 0:
+        # empty probe side: anti keeps everything, semi keeps nothing
+        # (slice keeps the left schema so downstream selects still work)
+        return left if anti else left.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow")
     if kd.count() <= broadcast_limit:
         keys = pc.unique(pc.cast(
             pa.concat_tables(_ray.get(kd.to_arrow_refs()))

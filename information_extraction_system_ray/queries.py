@@ -6169,6 +6169,273 @@ FROM sc ORDER BY nll_u DESC, doc_id LIMIT 20
 """
 
 
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (correlated MIN subquery + multi-way dim attach):
+    for every LARGE part sized 10–20, the supplier(s) achieving the
+    minimum observed cost — cost here is MIN lineitem extendedprice in
+    cents per (part, supplier), since this schema has no partsupp table
+    (TESTDATA.md). Plan: semi-filter lineitem by the part predicate
+    (auto_semi_join — broadcast key set below the threshold, shuffle
+    semi join above), reduce to the (part, supplier) cost table, derive
+    the per-part MIN with a second tiny groupby, and attach it back with
+    ``auto_join`` — the correlated-subquery decorrelation every engine
+    performs. Supplier name and nation attach through the same chooser.
+    Ties (several suppliers at the min cost) keep every winner, exactly
+    like the SQL."""
+    from .functions.joins import auto_join, auto_semi_join
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_type", "p_size"])
+    pk = part.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["p_type"], "LARGE"),
+                    pc.and_(pc.greater_equal(t["p_size"], 10),
+                            pc.less_equal(t["p_size"], 20))))
+        .select(["p_partkey"]),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    li_f = auto_semi_join(li, pk, left_key="l_partkey",
+                          right_key="p_partkey")
+
+    pairs = (li_f.map_batches(
+        lambda t: pa.table({"p_partkey": t["l_partkey"],
+                            "s_suppkey": t["l_suppkey"],
+                            "cost_cents": _cents(t["l_extendedprice"])}),
+        batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cost_cents", alias_name="cost_cents")))
+
+    minc = (pairs.map_batches(
+        lambda t: t.select(["p_partkey", "cost_cents"]),
+        batch_format="pyarrow")
+        .groupby("p_partkey").aggregate(Min("cost_cents",
+                                            alias_name="min_cost")))
+    with_min = auto_join(pairs, minc, left_key="p_partkey",
+                         right_key="p_partkey", right_cols=["min_cost"])
+    winners = with_min.map_batches(
+        lambda t: t.filter(pc.equal(t["cost_cents"], t["min_cost"]))
+        .select(["p_partkey", "s_suppkey", "cost_cents"]),
+        batch_format="pyarrow")
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda t: pa.table({"sk": t["s_suppkey"], "s_name": t["s_name"],
+                            "s_nationkey": pc.cast(t["s_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"])
+    nation = nation.map_batches(
+        lambda t: pa.table({"nk": pc.cast(t["n_nationkey"], pa.int64()),
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow")
+    out = auto_join(winners, supp, left_key="s_suppkey", right_key="sk",
+                    right_cols=["s_name", "s_nationkey"])
+    out = auto_join(out, nation, left_key="s_nationkey", right_key="nk",
+                    right_cols=["n_name"])
+    return (out.map_batches(
+        lambda t: t.select(["p_partkey", "s_suppkey", "s_name", "n_name",
+                            "cost_cents"]),
+        batch_format="pyarrow").sort(["p_partkey", "s_suppkey"]))
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+  GROUP BY 1, 2),
+m AS (SELECT p_partkey, MIN(cost_cents) AS mc FROM ps GROUP BY 1)
+SELECT ps.p_partkey, ps.s_suppkey, s_name, n_name, cost_cents
+FROM ps JOIN m USING (p_partkey)
+JOIN supplier ON supplier.s_suppkey = ps.s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE cost_cents = mc
+ORDER BY ps.p_partkey, ps.s_suppkey
+"""
+
+
+def q20_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (nested aggregate subqueries feeding a semi
+    join): suppliers who shipped MORE than 10% of the total shipped
+    quantity of some 'large…' part — the availqty-vs-share-of-shipped
+    predicate of real Q20 re-expressed over this schema's lineitem (no
+    partsupp; TESTDATA.md). 10% because supplier share flattens with
+    corpus size here (max share ≈ 0.19 at sf0.01): 10% selects a
+    non-degenerate winner set at every test scale. Per-(part, supplier)
+    quantity sums reduce lineitem once; the per-part total is a second
+    groupby over that REDUCED table (not the fact table); the 10·supp >
+    total comparison is exact int64 cross-multiplication. Survivors
+    collapse to distinct suppliers before the name attach, so only
+    winner keys shuffle."""
+    from .functions.joins import auto_join, auto_semi_join
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    pk = part.map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_name"], "large"))
+        .select(["p_partkey"]),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"])
+    li_f = auto_semi_join(li, pk, left_key="l_partkey",
+                          right_key="p_partkey")
+    ps = (li_f.map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["l_partkey"], "s_suppkey": t["l_suppkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Sum("qty", alias_name="qty")))
+    tot = (ps.map_batches(lambda t: t.select(["p_partkey", "qty"]),
+                          batch_format="pyarrow")
+           .groupby("p_partkey").aggregate(Sum("qty", alias_name="tot")))
+    dom = auto_join(ps, tot, left_key="p_partkey", right_key="p_partkey",
+                    right_cols=["tot"])
+    winners = (dom.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["qty"], pa.scalar(10, pa.int64())),
+            pc.cast(t["tot"], pa.int64())))
+        .select(["s_suppkey"]),
+        batch_format="pyarrow")
+        .groupby("s_suppkey").aggregate(Count(alias_name="_n")))
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    supp = supp.map_batches(
+        lambda t: pa.table({"sk": t["s_suppkey"], "s_name": t["s_name"]}),
+        batch_format="pyarrow")
+    out = auto_join(winners, supp, left_key="s_suppkey", right_key="sk",
+                    right_cols=["s_name"])
+    return (out.map_batches(
+        lambda t: t.select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow").sort("s_suppkey"))
+
+
+_Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'large%'
+  GROUP BY 1, 2),
+tot AS (SELECT p_partkey, SUM(qty) AS tot FROM ps GROUP BY 1)
+SELECT DISTINCT ps.s_suppkey, s_name
+FROM ps JOIN tot USING (p_partkey)
+JOIN supplier ON supplier.s_suppkey = ps.s_suppkey
+WHERE ps.qty * 10 > tot
+ORDER BY ps.s_suppkey
+"""
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check for blocking-verified candidates."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def customers_fuzzy_name_pairs(sf_dir: str):
+    """D15 — string-similarity self-join (edit distance ≤ 1) via exact
+    deletion-neighborhood blocking (FastSS, Bocek et al. 2007): two
+    strings are within edit distance 1 ONLY IF deleting ≤ 1 character
+    from each yields a common variant, so every name emits len+1
+    variant keys (itself + each single-character deletion), candidate
+    pairs share a variant bucket, and a cheap exact verifier removes
+    the false positives the necessary-but-not-sufficient filter admits
+    (e.g. "ab"/"ba" share a variant at distance 2). Variants are built
+    with vectorized pandas slicing — a loop over character POSITIONS,
+    not rows; pair generation runs per hash-bucketed partition
+    (bucketed on the variant string, the corpus never gathers) and is
+    deduped by a global pair groupby, so only candidate pairs — output-
+    sized, not corpus-sized — reach the Python verifier. Oracle: the
+    naive O(n²) levenshtein cross join."""
+    from .functions.partitions import default_parts
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    nparts = default_parts()
+
+    def variants(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df["c_name"].astype(str)
+        lens = s.str.len()
+        frames = [pd.DataFrame({"variant": s, "k": df["c_custkey"],
+                                "name": s})]
+        for i in range(int(lens.max()) if len(s) else 0):
+            m = (lens > i).to_numpy()
+            if not m.any():
+                break
+            sub = s[m]
+            frames.append(pd.DataFrame({
+                "variant": sub.str.slice(0, i) + sub.str.slice(i + 1),
+                "k": df.loc[m, "c_custkey"].to_numpy(),
+                "name": sub.to_numpy()}))
+        out = pd.concat(frames, ignore_index=True)
+        out["_p"] = (pd.util.hash_pandas_object(out["variant"],
+                                                index=False)
+                     % nparts).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_pairs(part: pd.DataFrame) -> pa.Table:
+        ak, an, bk, bn = [], [], [], []
+        for _, g in part.groupby("variant", sort=False):
+            g = g.drop_duplicates("k")   # same key via two deletions
+            if len(g) < 2:
+                continue
+            g = g.sort_values("k")
+            k = g["k"].to_numpy()
+            nm = g["name"].to_numpy()
+            ii, jj = np.triu_indices(len(k), 1)
+            ak.append(k[ii]); an.append(nm[ii])
+            bk.append(k[jj]); bn.append(nm[jj])
+        if not ak:
+            return pa.table({"a_custkey": pa.array([], pa.int64()),
+                             "a_name": pa.array([], pa.string()),
+                             "b_custkey": pa.array([], pa.int64()),
+                             "b_name": pa.array([], pa.string())})
+        return pa.table({
+            "a_custkey": pa.array(np.concatenate(ak), pa.int64()),
+            "a_name": pa.array(np.concatenate(an), pa.string()),
+            "b_custkey": pa.array(np.concatenate(bk), pa.int64()),
+            "b_name": pa.array(np.concatenate(bn), pa.string())})
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = pa.array([_ed_le1(x, y) for x, y in
+                         zip(t["a_name"].to_pylist(),
+                             t["b_name"].to_pylist())], pa.bool_())
+        return t.filter(keep).select(
+            ["a_custkey", "a_name", "b_custkey", "b_name"])
+
+    return (cust.map_batches(variants, batch_format="pyarrow")
+            .groupby("_p").map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["a_custkey", "b_custkey", "a_name", "b_name"])
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(verify, batch_format="pyarrow")
+            .sort(["a_custkey", "b_custkey"]))
+
+
+_FUZZY_PAIRS_SQL = """
+SELECT a.c_custkey AS a_custkey, a.c_name AS a_name,
+       b.c_custkey AS b_custkey, b.c_name AS b_name
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a_custkey, b_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6322,6 +6589,9 @@ def queries():
         "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q11_important_parts": q11_important_parts,
         "docs_bigram_nll": docs_bigram_nll,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "customers_fuzzy_name_pairs": customers_fuzzy_name_pairs,
         "emb_pca_top_component": emb_pca_top_component,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
@@ -6462,6 +6732,9 @@ def oracle_sql():
         "q9_profit_by_nation_year": _Q9_SQL,
         "q11_important_parts": _Q11_SQL,
         "docs_bigram_nll": _DOCS_BIGRAM_NLL_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q20_dominant_suppliers": _Q20_SQL,
+        "customers_fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
         "events_props_redact": _EVENTS_REDACT_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,

@@ -452,3 +452,45 @@ def test_auto_semi_join_paths_agree(ray_session):
             if (k in rset) != anti]
         assert set(zip(a["k"], a["v"])) == set(expect)
         assert len(a) == len(expect)
+
+
+def test_join_choosers_handle_empty_inputs(ray_session):
+    """J13 (SURVEY §2.14): a zero-block left (schema None — the shape a
+    groupby over a filtered-to-nothing input produces) must pass through
+    every join chooser as the correct empty result; an empty probe side
+    must short-circuit semi (nothing, schema kept) and anti (everything)."""
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.joins import (
+        anti_join, auto_join, auto_semi_join, semi_join)
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string())}))
+    # a filter-to-nothing then groupby yields a zero-block, schema-None ds
+    none_left = (left.map_batches(lambda t: t.slice(0, 0),
+                                  batch_format="pyarrow")
+                 .groupby("k").count())
+    assert none_left.schema() is None   # the shape under test
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3], pa.int64()),
+        "w": pa.array([20, 30], pa.int64())}))
+
+    assert auto_join(none_left, right, left_key="k",
+                     right_key="rk").count() == 0
+    assert semi_join(none_left, right, left_key="k",
+                     right_key="rk").count() == 0
+    assert auto_semi_join(none_left, right, left_key="k",
+                          right_key="rk").count() == 0
+
+    # empty probe side (WITH schema): semi → zero rows, left schema kept;
+    # anti → all left rows
+    empty_right = right.map_batches(lambda t: t.slice(0, 0),
+                                    batch_format="pyarrow")
+    s = auto_semi_join(left, empty_right, left_key="k", right_key="rk")
+    assert s.count() == 0 and set(s.schema().names) == {"k", "v"}
+    a = auto_semi_join(left, empty_right, left_key="k", right_key="rk",
+                       anti=True)
+    assert a.count() == 3
+    assert anti_join(left, right, left_key="k",
+                     right_key="rk").to_pandas()["k"].tolist() == [1]
