@@ -6436,6 +6436,206 @@ ORDER BY a_custkey, b_custkey
 """
 
 
+def docs_curation_funnel(sf_dir: str):
+    """LLM1 — the composite LLM-corpus curation funnel (the standard
+    C4/Gopher-style sequence) as ONE query: language filter → quality
+    gate (length ≥ 100 chars, punctuation ≤ 5 % — exact-integer
+    ``20·n_punct ≤ n_chars``) → leading-span exact dedup (md5 of the
+    first 60 normalized chars, the C4 leading-span idiom; full-text
+    fingerprints are distinct at test scales so the prefix face keeps
+    the stage non-degenerate). Returns the funnel signature: one row
+    per stage with its surviving-document count.
+
+    Scale shape: stage counts come from ONE streaming pass (per-batch
+    0/1 indicator columns → a single global sum — no shuffle); the
+    dedup count is a second column-pruned pass whose only shuffle is
+    the (fingerprint → count) groupby over already-filtered rows. No
+    corpus-sized driver state: four scalar counts cross to the driver."""
+    from .functions.hashing import md5_hex
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"],
+                    rows_per_block=500)
+
+    def gates(t: pa.Table) -> pa.Table:
+        en = pc.equal(t["lang"], "en")
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(
+            t["text"], r"[^A-Za-z0-9\s]"), pa.int64())
+        q = pc.and_(en, pc.and_(
+            pc.greater_equal(n_chars, 100),
+            pc.less_equal(pc.multiply(n_punct, pa.scalar(20, pa.int64())),
+                          n_chars)))
+        return pa.table({
+            "en": pc.cast(en, pa.int64()),
+            "q": pc.cast(q, pa.int64()),
+            "one": pa.array([1] * len(t), pa.int64())})
+
+    counts = ds.map_batches(gates, batch_format="pyarrow").aggregate(
+        Sum("one", alias_name="n_all"), Sum("en", alias_name="n_en"),
+        Sum("q", alias_name="n_q"))
+
+    def fp(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(
+            t["text"], r"[^A-Za-z0-9\s]"), pa.int64())
+        q = pc.and_(pc.equal(t["lang"], "en"), pc.and_(
+            pc.greater_equal(n_chars, 100),
+            pc.less_equal(pc.multiply(n_punct, pa.scalar(20, pa.int64())),
+                          n_chars)))
+        t = t.filter(q)
+        fps = [md5_hex(" ".join((x or "").lower().split())[:60])
+               for x in t["text"].to_pylist()]
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    n_dedup = (ds.map_batches(fp, batch_format="pyarrow")
+               .groupby("fp").aggregate(Count(alias_name="_n")).count())
+
+    return pa.table({
+        "stage_ord": pa.array([0, 1, 2, 3], pa.int64()),
+        "stage": pa.array(["all", "lang", "quality", "dedup"], pa.string()),
+        "n_docs": pa.array([int(counts["n_all"]), int(counts["n_en"]),
+                            int(counts["n_q"]), int(n_dedup)], pa.int64())})
+
+
+_CURATION_FUNNEL_SQL = r"""
+WITH d AS (
+  SELECT lang, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    1, 60)) AS fp
+  FROM documents),
+q AS (SELECT * FROM d
+      WHERE lang = 'en' AND n_chars >= 100 AND 20 * n_punct <= n_chars)
+SELECT * FROM (
+  SELECT 0 AS stage_ord, 'all' AS stage, COUNT(*) AS n_docs FROM d
+  UNION ALL SELECT 1, 'lang', COUNT(*) FROM d WHERE lang = 'en'
+  UNION ALL SELECT 2, 'quality', COUNT(*) FROM q
+  UNION ALL SELECT 3, 'dedup', COUNT(DISTINCT fp) FROM q)
+ORDER BY stage_ord
+"""
+
+
+def events_retention_cohorts(sf_dir: str):
+    """W23 — retention-cohort analysis (the product-analytics window
+    shape no prior query covered): users cohorted by FIRST-event day,
+    counted as retained on each of the next 7 days they were active.
+    Output one row per (cohort_day, k∈[0,7]) with the distinct-user
+    count; day = epoch-microseconds // 86 400 000 000 in BOTH engines.
+
+    Scale shape: raw events collapse to distinct (user, day) pairs with
+    a per-batch Arrow group_by combiner BEFORE the global pair groupby
+    (a user's daily event burst costs one shuffled row per batch, not
+    per event); the cohort table (one row per user) attaches back via
+    ``auto_join``'s size chooser; the final (cohort_day, k) groupby is
+    calendar-bounded. n_users needs no DISTINCT — (user, day) pairs are
+    unique by construction when counted."""
+    from .functions.joins import auto_join
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return (pa.table({"user_id": t["user_id"], "day": d})
+                .group_by(["user_id", "day"]).aggregate([]))
+
+    pairs = (ev.map_batches(days, batch_format="pyarrow")
+             .groupby(["user_id", "day"]).aggregate(Count(alias_name="_n")))
+    cohort = (pairs.map_batches(
+        lambda t: t.select(["user_id", "day"]), batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("day", alias_name="cohort_day")))
+    joined = auto_join(pairs, cohort, left_key="user_id",
+                       right_key="user_id", right_cols=["cohort_day"])
+
+    def offs(t: pa.Table) -> pa.Table:
+        k = pc.subtract(t["day"], t["cohort_day"])
+        t = t.append_column("k", k)
+        return (t.filter(pc.less_equal(t["k"], 7))
+                .select(["cohort_day", "k"]))
+
+    return (joined.map_batches(offs, batch_format="pyarrow")
+            .groupby(["cohort_day", "k"])
+            .aggregate(Count(alias_name="n_users"))
+            .sort(["cohort_day", "k"]))
+
+
+_RETENTION_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM pairs GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pairs JOIN cohort USING (user_id)
+WHERE day - cohort_day <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def docs_temperature_sample(sf_dir: str):
+    """O9 — temperature-balanced mixture sampling (the multi-source
+    LLM-corpus mixing primitive, alpha = 0.5): each language group g is
+    downsampled at rate (n_min/n_g)^0.5 so head languages shrink toward
+    balance while the smallest keeps everything. Deterministic and
+    engine-independent: doc d survives iff h(d)² · n_g < n_min · M²
+    where h(d) = last-5-hex-digits of md5(doc_id) < M = 16⁵ — an
+    EXACT integer inequality equivalent to u < √(n_min/n_g) for
+    u = h/M (no float boundary can flip a row; int64-safe for group
+    sizes below 2⁴⁰/M² ≈ 8.4M docs — beyond that widen M's type, the
+    predicate shape is unchanged). Returns kept count + kept chars per
+    lang.
+
+    Scale shape: group sizes come from one tiny groupby (bounded by
+    the language inventory) broadcast as a dict; the sample itself is
+    one streaming filter pass — no shuffle touches the corpus."""
+    import hashlib
+
+    import ray as _ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"],
+                    rows_per_block=500)
+    sizes = {r["lang"]: int(r["n"]) for r in
+             ds.groupby("lang").aggregate(Count(alias_name="n"))
+             .take_all()}   # bounded: one row per language
+    n_min = min(sizes.values())
+    rhs = n_min * (16 ** 5) ** 2   # n_min·M², the SQL's right-hand side
+    sizes_ref = _ray.put(sizes)
+
+    def samp(t: pa.Table) -> pa.Table:
+        szs = _ray.get(sizes_ref)
+        hs = np.array([int(hashlib.md5(str(k).encode()).hexdigest()[-5:],
+                           16) for k in t["doc_id"].to_pylist()],
+                      dtype=np.int64)
+        ng = np.array([szs[g] for g in t["lang"].to_pylist()],
+                      dtype=np.int64)
+        # the SQL's exact integer predicate, product form (no floor)
+        keep = pa.array(hs * hs * ng < rhs, pa.bool_())
+        t = t.filter(keep)
+        return pa.table({
+            "lang": t["lang"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+
+    return (ds.map_batches(samp, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_kept"),
+                       Sum("n_chars", alias_name="kept_chars"))
+            .sort("lang"))
+
+
+_TEMP_SAMPLE_SQL = r"""
+WITH sizes AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1),
+mn AS (SELECT MIN(n_g) AS n_min FROM sizes),
+d AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 28, 5))::BIGINT AS h
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM d JOIN sizes USING (lang) CROSS JOIN mn
+WHERE h * h * n_g < n_min * 1099511627776
+GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6592,6 +6792,9 @@ def queries():
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "customers_fuzzy_name_pairs": customers_fuzzy_name_pairs,
+        "docs_curation_funnel": docs_curation_funnel,
+        "events_retention_cohorts": events_retention_cohorts,
+        "docs_temperature_sample": docs_temperature_sample,
         "emb_pca_top_component": emb_pca_top_component,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
@@ -6735,6 +6938,9 @@ def oracle_sql():
         "q2_min_cost_supplier": _Q2_SQL,
         "q20_dominant_suppliers": _Q20_SQL,
         "customers_fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
+        "docs_curation_funnel": _CURATION_FUNNEL_SQL,
+        "events_retention_cohorts": _RETENTION_SQL,
+        "docs_temperature_sample": _TEMP_SAMPLE_SQL,
         "events_props_redact": _EVENTS_REDACT_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
