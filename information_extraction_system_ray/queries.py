@@ -6636,6 +6636,51 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def docs_quality_logreg(sf_dir: str):
+    """LLM2 — distributed quality-classifier TRAINING (the fastText-style
+    filter-model step of the GPT-3 / LLaMA curation recipes): full-batch
+    logistic regression over per-document text features against a
+    weak-supervision label (document length ≥ 300 chars — learnable from
+    the word-count/word-length features without being given the raw
+    length, so convergence is observable), trained with
+    ``functions/logreg.py``'s int64 micro-unit gradient partials — one
+    streaming pass + k-integer aggregate per iteration, bit-identical to
+    the single-process reference loop (refimpl/logreg.py) under ANY
+    partitioning. Returns micro-unit weights + training-accuracy counts.
+    Rows-only registry entry (iterative training is not SQL)."""
+    from .functions.logreg import score_counts, train_logreg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    rows_per_block=500)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.float64())
+        n_words = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                          pa.float64())
+        nw = pc.max_element_wise(n_words, pa.scalar(1.0, pa.float64()))
+        # FIXED-constant centering/scaling (not data statistics, so the
+        # result stays partition- and scale-deterministic): word count
+        # centered near the label boundary, mean word length near its
+        # corpus-typical value — plain GD then converges in ~30 steps
+        x1 = pc.divide(pc.subtract(n_words, pa.scalar(55.0, pa.float64())),
+                       pa.scalar(20.0, pa.float64()))
+        x2 = pc.subtract(pc.divide(n_chars, nw),
+                         pa.scalar(5.4, pa.float64()))
+        return pa.table({
+            "x0": pa.array([1.0] * len(t), pa.float64()),
+            "x1": x1, "x2": x2,
+            "y": pc.cast(pc.greater_equal(n_chars, 300.0), pa.int64())})
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    w, _n = train_logreg(feats, 3, iters=30, lr=2.0)
+    correct, total = score_counts(feats, w)
+    params = [f"w{j}" for j in range(3)] + ["n_correct", "n_total"]
+    vals = [int(round(x * 1_000_000)) for x in w] + \
+        [correct * 1_000_000, total * 1_000_000]
+    return pa.table({"param": pa.array(params, pa.string()),
+                     "value_micro": pa.array(vals, pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6795,6 +6840,7 @@ def queries():
         "docs_curation_funnel": docs_curation_funnel,
         "events_retention_cohorts": events_retention_cohorts,
         "docs_temperature_sample": docs_temperature_sample,
+        "docs_quality_logreg": docs_quality_logreg,
         "emb_pca_top_component": emb_pca_top_component,
         "docs_contamination": docs_contamination,
         "emb_semdedup": emb_semdedup,
