@@ -6681,6 +6681,133 @@ def docs_quality_logreg(sf_dir: str):
                      "value_micro": pa.array(vals, pa.int64())})
 
 
+def events_value_outliers(sf_dir: str):
+    """Per-type 3-sigma outlier detection with an EXACT integer predicate
+    (the data-quality gate shape: flag anomalous numeric rows per group).
+
+    Pass 1 streams (n, S1=Σv, S2=Σv²) per event_type in integer cents —
+    per-batch Arrow group_by combiner, so only a #types-row table ever
+    shuffles. The 3σ test (v − S1/n)² > 9·varₚₒₚ multiplies out to
+    (n·v − S1)² > 9·(n·S2 − S1²); the right side is computed per group in
+    unbounded Python ints (#types scalars on the driver) and isqrt'd —
+    for integers a ≥ 0, a² > T ⇔ a > isqrt(T) — so pass 2 is one
+    streaming filter whose per-row arithmetic |n·v − S1| stays inside
+    int64 (safe while n·v_max < 2⁶³, i.e. ~1.9e14 rows/group at the
+    $490 test ceiling; widen to per-row Python ints beyond). DuckDB runs
+    the identical algebra in HUGEINT, so equality is exact, no float
+    boundary anywhere."""
+    import math
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"])
+        return pa.table({
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "value_cents": v})
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t["value_cents"]
+        return pa.table({
+            "event_type": t["event_type"], "n1": pa.array([1] * len(t)),
+            "s1": v, "s2": pc.multiply(v, v),
+        }).group_by("event_type").aggregate(
+            [("n1", "sum"), ("s1", "sum"), ("s2", "sum")]).rename_columns(
+            ["event_type", "n", "s1", "s2"])
+
+    stats = (cents.map_batches(moments, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s1", alias_name="s1"),
+                        Sum("s2", alias_name="s2"))
+             .take_all())  # ≤ #event_types rows
+    thr = {}
+    for r in stats:
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        t9 = 9 * (n * s2 - s1 * s1)  # exact Python int, ≥ 0
+        thr[r["event_type"]] = (n, s1, math.isqrt(t9))
+    thr_ref = ray.put(thr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        lut = ray.get(thr_ref)
+        types = t["event_type"].to_pandas()
+        n = types.map({k: v[0] for k, v in lut.items()}).to_numpy(np.int64)
+        s1 = types.map({k: v[1] for k, v in lut.items()}).to_numpy(np.int64)
+        tt = types.map({k: v[2] for k, v in lut.items()}).to_numpy(np.int64)
+        v = t["value_cents"].to_numpy()
+        mask = np.abs(n * v - s1) > tt
+        return t.filter(pa.array(mask))
+
+    return (cents.map_batches(flag, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+_EVENTS_OUTLIERS_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(value_cents) AS HUGEINT) AS s1,
+         SUM(CAST(value_cents AS HUGEINT) * value_cents) AS s2
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.value_cents
+FROM v JOIN s USING (event_type)
+WHERE (s.n * v.value_cents - s.s1) * (s.n * v.value_cents - s.s1)
+      > 9 * (s.n * s.s2 - s.s1 * s.s1)
+ORDER BY event_id
+"""
+
+
+def orders_yoy_growth(sf_dir: str):
+    """Year-over-year revenue: per-order-year exact-cents sums with the
+    previous year's total attached (the LAG-over-aggregate reporting
+    shape). The fact table collapses through per-batch (year → cents)
+    combiners into one ≤#years-row aggregate; only that calendar-bounded
+    table reaches the driver for the shift (first year's prev coalesces
+    to 0 so both engines emit non-null int64)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "cents": _cents(t["o_totalprice"]),
+        }).group_by("year").aggregate([("cents", "sum")]).rename_columns(
+            ["year", "cents"])
+
+    years = (orders.map_batches(prep, batch_format="pyarrow")
+             .groupby("year")
+             .aggregate(Sum("cents", alias_name="revenue_cents"))
+             .take_all())  # calendar-bounded: one row per order-year
+    df = pd.DataFrame(years).sort_values("year").reset_index(drop=True)
+    df["prev_revenue_cents"] = (df["revenue_cents"].shift(1)
+                                .fillna(0).astype("int64"))
+    return pa.Table.from_pandas(df[["year", "revenue_cents",
+                                    "prev_revenue_cents"]],
+                                preserve_index=False)
+
+
+_ORDERS_YOY_SQL = """
+WITH y AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT year, revenue_cents,
+       COALESCE(LAG(revenue_cents) OVER (ORDER BY year), 0)
+           AS prev_revenue_cents
+FROM y ORDER BY year
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6850,6 +6977,8 @@ def queries():
         "docs_inverted_index": docs_inverted_index,
         "part_graph_bfs": part_graph_bfs,
         "part_graph_components": part_graph_components,
+        "events_value_outliers": events_value_outliers,
+        "orders_yoy_growth": orders_yoy_growth,
     }
 
 
@@ -6989,6 +7118,8 @@ def oracle_sql():
         "docs_temperature_sample": _TEMP_SAMPLE_SQL,
         "events_props_redact": _EVENTS_REDACT_SQL,
         "events_user_path": _EVENTS_PATH_SQL,
+        "events_value_outliers": _EVENTS_OUTLIERS_SQL,
+        "orders_yoy_growth": _ORDERS_YOY_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
