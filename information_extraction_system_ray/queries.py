@@ -1435,25 +1435,35 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def media_real_image_features(sf_dir: str):
-    """Actor-pool image decode with the REAL pure-stdlib PPM codec
-    (sources/mediacodec.py): a deterministic PPM corpus (seeded pixels,
-    encoded per-row) → DecodeImage(decoder="real") → 64-d features from
-    ACTUAL pixels, emitted as integer micro-unit sums for a stable
-    value hash. Rows-only (pixel-exactness golden-tested in
+    """Actor-pool image decode with the REAL pure-stdlib codecs
+    (sources/mediacodec.py): a deterministic mixed-format corpus — PPM,
+    BMP, PNG (Paeth-filtered) and baseline JPEG round-robin, so every
+    real image decoder runs at the driver surface — →
+    DecodeImage(decoder="real") → 64-d features from ACTUAL pixels,
+    emitted as integer micro-unit sums for a stable value hash.
+    Rows-only (pixel-exactness golden-tested in
     tests/test_mediacodec.py)."""
-    from .sources.mediacodec import encode_ppm
+    from .sources.mediacodec import (encode_bmp, encode_jpeg, encode_png,
+                                     encode_ppm)
     from .stages.multimodal import MEDIA_SCHEMA, decode_images
 
     n = _n_media(sf_dir)
     rng = np.random.default_rng(17)
-    payloads = [encode_ppm(rng.integers(0, 256, size=(24, 24, 3),
-                                        dtype=np.uint8))
-                for _ in range(n)]
+    encoders = [encode_ppm, encode_bmp,
+                lambda a: encode_png(a, filter_type=4),
+                lambda a: encode_jpeg(a, q=1)]
+    mimes = ["image/x-portable-pixmap", "image/bmp", "image/png",
+             "image/jpeg"]
+    payloads, mime_col = [], []
+    for i in range(n):
+        img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        payloads.append(encoders[i % 4](img))
+        mime_col.append(mimes[i % 4])
     t = pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(["image"] * n, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
-        "mime": pa.array(["image/x-portable-pixmap"] * n, pa.string()),
+        "mime": pa.array(mime_col, pa.string()),
         "width": pa.array([24] * n, pa.int32()),
         "height": pa.array([24] * n, pa.int32()),
         "duration_ms": pa.array([0] * n, pa.int32()),

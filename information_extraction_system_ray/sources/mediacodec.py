@@ -16,10 +16,16 @@ actor-pool decode stages honest end-to-end for those formats:
   uncompressed MJPEG analogue) — frame boundaries recovered by parsing
   each header.
 
+- **JPEG** (round 4): baseline sequential DCT (ITU-T T.81) — marker/
+  DQT/DHT parse, canonical Huffman entropy decode with restart
+  intervals, dequantize + float IDCT, 4:4:4 / 4:2:0 chroma upsample,
+  YCbCr→RGB. Progressive (SOF2) and the other non-baseline frame
+  types reject with clear errors.
+
 A real log-mel filterbank (HTK mel scale, triangular filters over an
 ``np.fft.rfft`` magnitude spectrum) replaces the fake audio features —
-numpy's FFT needs no codec library. Entropy-coded formats (JPEG/MP3/
-MP4) remain library-blocked and are rejected with a clear error.
+numpy's FFT needs no codec library. MP3/MP4 remain library-blocked and
+are rejected with a clear error.
 """
 
 from __future__ import annotations
@@ -254,6 +260,419 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0,
             + chunk(b"IEND", b""))
 
 
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), pure stdlib + numpy
+# ---------------------------------------------------------------------------
+
+def _zigzag_order() -> np.ndarray:
+    """Zigzag scan position k → row-major index, generated (not typed)."""
+    idx = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            cells.reverse()                  # even diagonals run up-right
+        idx += [r * 8 + c for r, c in cells]
+    return np.array(idx, np.int64)
+
+
+_JPEG_ZZ = _zigzag_order()
+
+
+def _dct_basis() -> np.ndarray:
+    """M[u, x] = c(u)/2 · cos((2x+1)uπ/16): forward F = M·B·Mᵀ, inverse
+    B = Mᵀ·F·M (the orthonormal 8×8 DCT-II pair from the JPEG spec)."""
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_basis()
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte-unstuffing and RSTn handling (T.81 §B.1.1.5, §E.2.4)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.p, self.buf, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                nxt = self.d[self.p]
+                if nxt == 0x00:
+                    self.p += 1               # stuffed data byte
+                else:
+                    raise ValueError(
+                        f"JPEG entropy stream overran into marker FF{nxt:02X}")
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker between restart intervals."""
+        self.n = 0
+        while self.d[self.p] == 0xFF and self.d[self.p + 1] == 0xFF:
+            self.p += 1                       # fill bytes
+        m = self.d[self.p + 1]
+        if self.d[self.p] != 0xFF or not (0xD0 <= m <= 0xD7):
+            raise ValueError("JPEG restart marker expected, not found")
+        self.p += 2
+
+
+def _huff_table(bits16: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman construction (T.81 Annex C) →
+    {(code_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits16[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: "_JpegBits", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """Magnitude-category bits → signed value (T.81 §F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0/SOF1) → (h, w, 3) uint8 RGB.
+
+    Fully general over the baseline feature set: Huffman + quantization
+    tables read from the file (any DHT/DQT, 8- or 16-bit quant values),
+    1-component grayscale or 3-component YCbCr with arbitrary 1–2×
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals (DRI +
+    RSTn), APPn/COM skipped. Progressive (SOF2) and the other
+    non-baseline frame types reject with a clear message."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, qt, huff, frame, dri = 2, {}, {}, None, 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while data[pos + 1] == 0xFF:          # fill bytes
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (ln,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:                    # DQT, possibly several tables
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if pq:
+                    vals = np.frombuffer(seg, ">u2", 64, off).astype(np.int64)
+                    off += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64,
+                                         off).astype(np.int64)
+                    off += 64
+                qt[tq] = vals                 # zigzag order
+        elif marker == 0xC4:                  # DHT, possibly several tables
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits16 = seg[off + 1:off + 17]
+                nsym = sum(bits16)
+                syms = seg[off + 17:off + 17 + nsym]
+                huff[(tc, th)] = _huff_table(bits16, syms)
+                off += 17 + nsym
+        elif marker in (0xC0, 0xC1):          # SOF0 / SOF1
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported "
+                             "(baseline sequential only)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG frame type FF{marker:02X} not supported "
+                             "(baseline sequential only)")
+        elif marker == 0xDD:                  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                  # SOS — single-scan baseline
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 15})
+            break
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        by_id[s["id"]]["dc_t"] = huff[(0, s["dc"])]
+        by_id[s["id"]]["ac_t"] = huff[(1, s["ac"])]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                                np.float64) for c in comps}
+
+    bits = _JpegBits(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    interleaved = len(scan) > 1
+    n_mcu = mcux * mcuy if interleaved else \
+        (-(-w // 8)) * (-(-h // 8))           # single-comp: one block per MCU
+    for mcu in range(n_mcu):
+        if dri and mcu and mcu % dri == 0:
+            bits.restart()
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcux if interleaved else -(-w // 8))
+        for c in (comps if interleaved else [by_id[scan[0]["id"]]]):
+            nb_v = c["v"] if interleaved else 1
+            nb_h = c["h"] if interleaved else 1
+            for byy in range(nb_v):
+                for bxx in range(nb_h):
+                    zz = np.zeros(64, np.int64)
+                    t = _huff_decode(bits, c["dc_t"])
+                    diff = _extend(bits.bits(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    zz[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(bits, c["ac_t"])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:       # ZRL
+                                k += 16
+                                continue
+                            break             # EOB
+                        k += r
+                        zz[k] = _extend(bits.bits(s), s)
+                        k += 1
+                    blk = np.zeros(64, np.float64)
+                    blk[_JPEG_ZZ] = zz * qt[c["tq"]]
+                    px = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M
+                    y0 = (my * c["v"] + byy) * 8
+                    x0 = (mx * c["h"] + bxx) * 8
+                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out.append(p[:h, :w] + 128.0)
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF00 stuffing and RSTn emission."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def pad_restart(self, idx: int) -> None:
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (idx % 8)])
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)   # 1-pad
+
+
+def _enc_huff_tables():
+    """Simple VALID baseline tables for the encoder: all 12 DC magnitude
+    categories at code length 4 (12·2⁻⁴ ≤ 1) and all 162 AC (run, size)
+    symbols at length 8 (162·2⁻⁸ ≤ 1), canonically assigned. The decoder
+    reads whatever DHT the file carries, so table choice only affects
+    compression ratio, not correctness."""
+    dc_syms = bytes(range(12))
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    ac_syms = bytes(sorted([(r << 4) | s for r in range(16)
+                            for s in range(1, 11)] + [0x00, 0xF0]))
+    ac_bits = bytes([0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8)
+
+    def codes(bits16, syms):
+        enc, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits16[length - 1]):
+                enc[syms[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return enc
+    return (dc_bits, dc_syms, codes(dc_bits, dc_syms),
+            ac_bits, ac_syms, codes(ac_bits, ac_syms))
+
+
+def _mag_cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _dct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float, H/W multiples of 8 → (H//8, W//8, 8, 8) DCT coeffs."""
+    hh, ww = plane.shape
+    b = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    return np.einsum("ux,rcxy,vy->rcuv", _DCT_M, b, _DCT_M)
+
+
+def encode_jpeg(arr: np.ndarray, *, q: int = 1, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JPEG bytes
+    (tests / synthetic corpora). ``q`` fills the quantization table with
+    one constant (q=1 ≈ near-lossless); ``subsample`` emits 4:2:0;
+    ``restart_interval`` emits DRI + RSTn every that many MCUs."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        ycc = [arr.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        a = arr.astype(np.float64)
+        y = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        cb = 128.0 - 0.168736 * a[:, :, 0] - 0.331264 * a[:, :, 1] \
+            + 0.5 * a[:, :, 2]
+        cr = 128.0 + 0.5 * a[:, :, 0] - 0.418688 * a[:, :, 1] \
+            - 0.081312 * a[:, :, 2]
+        ycc = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else \
+            [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def pad_to(p, hh, ww):
+        return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                      mode="edge")
+
+    qt = np.full(64, q, np.int64)
+    coefs = []
+    for (hs, vs), p in zip(samps, ycc):
+        if (hs, vs) != (hmax, vmax):          # box-subsample chroma
+            fy, fx = vmax // vs, hmax // hs
+            p = pad_to(p, -(-p.shape[0] // fy) * fy,
+                       -(-p.shape[1] // fx) * fx)
+            p = p.reshape(p.shape[0] // fy, fy,
+                          p.shape[1] // fx, fx).mean(axis=(1, 3))
+        p = pad_to(p, mcuy * vs * 8, mcux * hs * 8)
+        f = _dct_blocks(p - 128.0)
+        zz = np.round(f.reshape(f.shape[0], f.shape[1], 64)
+                      / q).astype(np.int64)[:, :, _JPEG_ZZ]
+        coefs.append(zz)
+
+    dc_bits, dc_syms, dc_enc, ac_bits, ac_syms, ac_enc = _enc_huff_tables()
+    bw = _JpegBitWriter()
+    preds = [0] * len(ycc)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.pad_restart(rst)
+            rst += 1
+            preds = [0] * len(ycc)
+        my, mx = divmod(mcu, mcux)
+        for ci, (hs, vs) in enumerate(samps):
+            for byy in range(vs):
+                for bxx in range(hs):
+                    zz = coefs[ci][my * vs + byy, mx * hs + bxx]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    s = _mag_cat(diff)
+                    code, ln = dc_enc[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << s) - 1, s)
+                    run = 0
+                    nz = np.nonzero(zz[1:])[0]
+                    last = nz[-1] + 1 if len(nz) else 0
+                    for k in range(1, last + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            code, ln = ac_enc[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s = _mag_cat(v)
+                        code, ln = ac_enc[(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if last < 63:
+                        code, ln = ac_enc[0x00]
+                        bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    ncomp = len(ycc)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (hs, vs) in enumerate(samps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out = (b"\xff\xd8"
+           + seg(0xDB, bytes([0x00]) + qt.astype(np.uint8).tobytes())
+           + seg(0xC0, sof)
+           + seg(0xC4, bytes([0x00]) + dc_bits + dc_syms)
+           + seg(0xC4, bytes([0x10]) + ac_bits + ac_syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    return out + seg(0xDA, sos) + bytes(bw.out) + b"\xff\xd9"
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-sniffing image decode → (h, w, 3) uint8."""
     if data[:2] in (b"P6", b"P5"):
@@ -262,10 +681,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     raise ValueError(
         "unsupported image format (pure-stdlib codecs cover "
-        "PPM/PGM/BMP/PNG; JPEG needs a codec library absent from this "
-        "container)")
+        "PPM/PGM/BMP/PNG and baseline JPEG)")
 
 
 def resize_mean(arr: np.ndarray, size: int) -> np.ndarray:

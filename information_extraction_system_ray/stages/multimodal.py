@@ -4,10 +4,10 @@ Media travel as opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample are actor-pool ``map_batches``
 stages. Two decode modes:
 
-- ``decoder="real"`` (round 3): REAL pure-stdlib codecs from
-  ``sources/mediacodec.py`` — PPM/PGM/BMP images, PCM WAV audio with a
-  real numpy-FFT log-mel filterbank, and concatenated-P6 "video"
-  streams. Compressed formats (JPEG/PNG/MP3/MP4) still require codec
+- ``decoder="real"`` (rounds 3–4): REAL pure-stdlib codecs from
+  ``sources/mediacodec.py`` — PPM/PGM/BMP/PNG/baseline-JPEG images,
+  PCM WAV audio with a real numpy-FFT log-mel filterbank, and
+  concatenated-P6 "video" streams. MP3/MP4 still require codec
   libraries absent from this container and are rejected with a clear
   ValueError per payload.
 - ``decoder="fake"`` (default): deterministic pseudo-decode from the

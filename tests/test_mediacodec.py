@@ -235,3 +235,126 @@ def test_png_through_real_image_stage(ray_session):
     gray = px.mean(axis=2)
     want = (gray.reshape(8, 2, 8, 2).mean(axis=(1, 3)).ravel() / 255.0)
     assert np.abs(np.array(out.loc[0, "feature"]) - want).max() < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 4): baseline sequential DCT codec
+# ---------------------------------------------------------------------------
+
+def test_jpeg_flat_grayscale_exact():
+    """Flat 8×8-aligned grayscale with q=1 roundtrips EXACTLY: only the
+    DC coefficient is nonzero (integer 8·(v−128)), so quantize/round is
+    lossless and the IDCT recovers the constant bit-for-bit."""
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_jpeg, encode_jpeg)
+
+    for v in (0, 7, 128, 200, 255):
+        img = np.full((16, 24), v, np.uint8)
+        got = decode_jpeg(encode_jpeg(img, q=1))
+        assert got.shape == (16, 24, 3)
+        assert (got == v).all()
+
+
+def test_jpeg_grayscale_q1_near_lossless_odd_dims():
+    """Non-multiple-of-8 dims exercise MCU padding + crop; q=1 keeps the
+    per-pixel error within DCT rounding (≤2 gray levels)."""
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, q=1))
+    assert got.shape == (13, 21, 3)
+    err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 2
+    assert (got[:, :, 0] == got[:, :, 1]).all()
+
+
+def test_jpeg_rgb_444_roundtrip_tolerance():
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_jpeg, encode_jpeg)
+
+    img = _img(24, 40, seed=5)
+    got = decode_jpeg(encode_jpeg(img, q=1))
+    err = np.abs(got.astype(int) - img.astype(int))
+    # q=1 DCT rounding + two YCbCr conversions: small, bounded error
+    assert err.max() <= 6
+    assert err.mean() < 1.5
+
+
+def test_jpeg_420_subsampling_smooth_image():
+    """4:2:0 with spatially constant chroma (R=G=B gradient): chroma
+    planes are flat so subsampling loses nothing; luma gradient survives
+    within DCT rounding."""
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_jpeg, encode_jpeg)
+
+    g = np.linspace(30, 220, 32 * 48).reshape(32, 48)
+    img = np.repeat(np.round(g).astype(np.uint8)[:, :, None], 3, axis=2)
+    got = decode_jpeg(encode_jpeg(img, q=1, subsample=True))
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.max() <= 6
+
+
+def test_jpeg_restart_markers_match_unrestarted():
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_jpeg, encode_jpeg)
+
+    img = _img(24, 40, seed=9)
+    plain = decode_jpeg(encode_jpeg(img, q=1))
+    rst = decode_jpeg(encode_jpeg(img, q=1, restart_interval=2))
+    assert (plain == rst).all()
+
+
+def test_jpeg_coarse_quant_still_reasonable():
+    """q=8 loses detail but the mean level of each block must hold (DC
+    quantization error ≤ q/2 spatial ≤ 0.5 gray level per pixel)."""
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_jpeg, encode_jpeg)
+
+    img = _img(16, 16, seed=13)
+    got = decode_jpeg(encode_jpeg(img, q=8))
+    assert abs(float(got.mean()) - float(img.mean())) < 4.0
+
+
+def test_jpeg_rejections_and_sniffing():
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_image, decode_jpeg, encode_jpeg)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+    # a progressive frame header must reject with a clear message
+    img = np.full((8, 8), 100, np.uint8)
+    data = bytearray(encode_jpeg(img, q=1))
+    sof = bytes(data).find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    # magic sniffing routes JPEG through decode_image
+    got = decode_image(encode_jpeg(img, q=1))
+    assert (got == 100).all()
+
+
+def test_jpeg_through_real_image_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_jpeg, encode_jpeg, resize_mean)
+    from information_extraction_system_ray.stages.multimodal import (
+        decode_images)
+
+    img = _img(20, 28, seed=3)
+    payload = encode_jpeg(img, q=1)
+    rows = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "mime": pa.array(["image/jpeg"], pa.string()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = decode_images(rd.from_arrow(rows), size=16, decoder="real",
+                        concurrency=(1, 2)).to_pandas()
+    px = resize_mean(decode_jpeg(payload), 16)
+    gray = px.mean(axis=2)
+    want = (gray.reshape(8, 2, 8, 2).mean(axis=(1, 3)).ravel() / 255.0)
+    assert np.abs(np.array(out.loc[0, "feature"]) - want).max() < 1e-6
