@@ -6818,6 +6818,265 @@ FROM y ORDER BY year
 """
 
 
+def part_graph_sssp(sf_dir: str):
+    """Weighted single-source shortest paths over the part co-occurrence
+    graph — the Pregel shard actors running the min-plus semiring
+    (stages/pregel.py mode="sssp", round 4): edge cost
+    max(1, 8 − support), so strongly co-purchased parts sit "closer";
+    source = global min node id; returns (node, dist) for every
+    reachable node, sorted (dist, node). Edges hash-partition into
+    shard-actor memory ONCE; label-correcting rounds exchange only
+    per-destination minima of the still-changing frontier. Rows-only:
+    the oracle is a pure-Python heapq Dijkstra parity test
+    (tests/test_graph_properties.py) — weighted shortest paths in
+    recursive SQL enumerate every path length and blow up on cycles."""
+    from .stages.pregel import run_propagation
+
+    if sf_dir not in _SSSP_EDGE_MEMO:
+        counted = _part_cooccur_counts(sf_dir)
+
+        def weighted(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t["n"],
+                                          pa.scalar(2, pa.int64())))
+            w = pc.max_element_wise(
+                pc.subtract(pa.scalar(8, pa.int64()),
+                            pc.cast(t["n"], pa.int64())),
+                pa.scalar(1, pa.int64()))
+            return pa.table({"u": t["pa"], "v": t["pb"], "w": w})
+
+        _SSSP_EDGE_MEMO[sf_dir] = counted.map_batches(
+            weighted, batch_format="pyarrow").materialize()
+    edges = _SSSP_EDGE_MEMO[sf_dir]
+    src = edges.min("u")  # u < v per edge ⇒ global min node appears as u
+    return (run_propagation(edges, mode="sssp", src_col="u", dst_col="v",
+                            weight_col="w", source=src,
+                            num_partitions=_join_parts(sf_dir),
+                            max_rounds=500)
+            .sort(["dist", "node"]))
+
+
+_SSSP_EDGE_MEMO: "dict[str, ray.data.Dataset]" = {}
+
+
+def pages_domain_stats(sf_dir: str):
+    """Per-domain hygiene stats over the Common-Crawl-shaped pages table
+    — the FineWeb/CCNet-style per-domain aggregation a web pipeline runs
+    before domain-level filtering: host extracted from the url with ONE
+    vectorized RE2 kernel, then per-domain page count, English count,
+    provided-text count, and total html/text bytes, all exact int64.
+    Per-batch Arrow group_by combiners mean only #domains-row partials
+    ever shuffle — at web scale the registrable-domain key space is
+    millions of rows, never pages. Rows-only: the pages corpus is
+    synthesized (not a driver parquet view); the oracle is an exact
+    golden recomputed from refimpl.pagegen in
+    tests/test_pages_io.py."""
+    from .sources.pages import synth_pages
+
+    pages = synth_pages(_n_pages(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            t["url"], pattern=r"^https?://([^/]+)/.*$", replacement=r"\1")
+        return pa.table({
+            "domain": host,
+            "n1": pa.array([1] * len(t), pa.int64()),
+            "en": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+            "with_text": pc.cast(pc.is_valid(t["text"]), pa.int64()),
+            "html_bytes": pc.cast(pc.binary_length(t["html"]), pa.int64()),
+            "text_chars": pc.coalesce(
+                pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                pa.scalar(0, pa.int64())),
+        }).group_by("domain").aggregate(
+            [("n1", "sum"), ("en", "sum"), ("with_text", "sum"),
+             ("html_bytes", "sum"), ("text_chars", "sum")]
+        ).rename_columns(["domain", "n_pages", "n_en", "n_with_text",
+                          "html_bytes", "text_chars"])
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby("domain")
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Sum("n_en", alias_name="n_en"),
+                       Sum("n_with_text", alias_name="n_with_text"),
+                       Sum("html_bytes", alias_name="html_bytes"),
+                       Sum("text_chars", alias_name="text_chars"))
+            .sort("domain"))
+
+
+def events_weekly_active_users(sf_dir: str):
+    """ISO-week WAU (the engagement-reporting shape): exact distinct
+    users and event totals per calendar week. Raw events collapse to
+    (week, user, partial-count) with a per-batch Arrow group_by
+    combiner BEFORE the global pair groupby, so the wide shuffle
+    carries at most #weeks × #users rows; the per-week rollup then
+    reuses the same combiner trick (distinct users = pair-row count,
+    events = sum of partials), leaving a calendar-bounded result."""
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "week": pc.strftime(t["ts"], format="%G-W%V"),
+            "user_id": t["user_id"],
+            "n1": pa.array([1] * len(t), pa.int64()),
+        }).group_by(["week", "user_id"]).aggregate(
+            [("n1", "sum")]).rename_columns(["week", "user_id", "n"])
+
+    pairs = (ev.map_batches(prep, batch_format="pyarrow")
+             .groupby(["week", "user_id"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    def week_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "week": t["week"],
+            "u1": pa.array([1] * len(t), pa.int64()),
+            "ne": t["n"],
+        }).group_by("week").aggregate(
+            [("u1", "sum"), ("ne", "sum")]).rename_columns(
+            ["week", "au", "ne"])
+
+    return (pairs.map_batches(week_partial, batch_format="pyarrow")
+            .groupby("week")
+            .aggregate(Sum("au", alias_name="active_users"),
+                       Sum("ne", alias_name="n_events"))
+            .sort("week"))
+
+
+_EVENTS_WAU_SQL = """
+SELECT strftime(ts, '%G-W%V') AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+_PROFILE_COLS = ["o_custkey", "o_orderkey", "o_orderpriority",
+                 "o_orderstatus"]
+
+
+def orders_profile(sf_dir: str):
+    """Per-column data-profiling operator (the schema-audit shape a data
+    engine exposes as `df.describe()`/PROFILE): one output row per
+    column with row/null/exact-distinct counts and min/max. Pass 1
+    streams per-batch typed partials — int64 min/max for numeric
+    columns, string min/max for text columns, in SEPARATE typed columns
+    so the merge never compares numbers lexicographically — and reduces
+    them in one #cols-row groupby. Pass 2 reuses the two-level distinct
+    pattern on (column, value-rendered-as-string) pairs (decimal render
+    is injective for int64, so pair-distinctness is exact). Only
+    #cols-row tables reach the driver, where min/max render to one
+    uniform string schema."""
+    orders = read_table(sf_dir, "orders", columns=_PROFILE_COLS)
+    int_cols = {"o_custkey", "o_orderkey"}
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows = {"col_name": [], "n": [], "nulls": [],
+                "min_i": [], "max_i": [], "min_s": [], "max_s": []}
+        for c in _PROFILE_COLS:
+            arr = t[c]
+            mm = pc.min_max(arr)
+            rows["col_name"].append(c)
+            rows["n"].append(len(arr))
+            rows["nulls"].append(arr.null_count)
+            if c in int_cols:
+                rows["min_i"].append(mm["min"].as_py())
+                rows["max_i"].append(mm["max"].as_py())
+                rows["min_s"].append(None)
+                rows["max_s"].append(None)
+            else:
+                rows["min_i"].append(None)
+                rows["max_i"].append(None)
+                rows["min_s"].append(mm["min"].as_py())
+                rows["max_s"].append(mm["max"].as_py())
+        return pa.table({
+            "col_name": pa.array(rows["col_name"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "nulls": pa.array(rows["nulls"], pa.int64()),
+            "min_i": pa.array(rows["min_i"], pa.int64()),
+            "max_i": pa.array(rows["max_i"], pa.int64()),
+            "min_s": pa.array(rows["min_s"], pa.string()),
+            "max_s": pa.array(rows["max_s"], pa.string()),
+        })
+
+    stats = (orders.map_batches(partials, batch_format="pyarrow")
+             .groupby("col_name")
+             .aggregate(Sum("n", alias_name="n_rows"),
+                        Sum("nulls", alias_name="n_null"),
+                        Min("min_i", alias_name="min_i"),
+                        Max("max_i", alias_name="max_i"),
+                        Min("min_s", alias_name="min_s"),
+                        Max("max_s", alias_name="max_s"))
+             .take_all())                     # ≤ #cols rows
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in _PROFILE_COLS:
+            vals = pc.drop_null(t[c])
+            if c in int_cols:
+                vals = pc.cast(vals, pa.string())
+            parts.append(pa.table({
+                "col_name": pa.array([c] * len(vals), pa.string()),
+                "val": pc.cast(vals, pa.string()),
+            }).group_by(["col_name", "val"]).aggregate([]))
+        return pa.concat_tables(parts)
+
+    nd = (orders.map_batches(distinct_pairs, batch_format="pyarrow")
+          .groupby(["col_name", "val"])
+          .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+          .groupby("col_name")
+          .aggregate(Count(alias_name="n_distinct"))
+          .take_all())                        # ≤ #cols rows
+    nd_by = {r["col_name"]: int(r["n_distinct"]) for r in nd}
+
+    out = {"col_name": [], "n_rows": [], "n_null": [], "n_distinct": [],
+           "min_val": [], "max_val": []}
+    for r in sorted(stats, key=lambda r: r["col_name"]):
+        c = r["col_name"]
+        out["col_name"].append(c)
+        out["n_rows"].append(int(r["n_rows"]))
+        out["n_null"].append(int(r["n_null"]))
+        out["n_distinct"].append(nd_by.get(c, 0))
+        if c in int_cols:
+            out["min_val"].append(str(int(r["min_i"])))
+            out["max_val"].append(str(int(r["max_i"])))
+        else:
+            out["min_val"].append(r["min_s"])
+            out["max_val"].append(r["max_s"])
+    return pa.table({
+        "col_name": pa.array(out["col_name"], pa.string()),
+        "n_rows": pa.array(out["n_rows"], pa.int64()),
+        "n_null": pa.array(out["n_null"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "min_val": pa.array(out["min_val"], pa.string()),
+        "max_val": pa.array(out["max_val"], pa.string()),
+    })
+
+
+_ORDERS_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_val FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+         CAST(MIN(o_orderkey) AS VARCHAR),
+         CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+) ORDER BY col_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6989,6 +7248,10 @@ def queries():
         "part_graph_components": part_graph_components,
         "events_value_outliers": events_value_outliers,
         "orders_yoy_growth": orders_yoy_growth,
+        "events_weekly_active_users": events_weekly_active_users,
+        "orders_profile": orders_profile,
+        "part_graph_sssp": part_graph_sssp,
+        "pages_domain_stats": pages_domain_stats,
     }
 
 
@@ -7130,6 +7393,8 @@ def oracle_sql():
         "events_user_path": _EVENTS_PATH_SQL,
         "events_value_outliers": _EVENTS_OUTLIERS_SQL,
         "orders_yoy_growth": _ORDERS_YOY_SQL,
+        "events_weekly_active_users": _EVENTS_WAU_SQL,
+        "orders_profile": _ORDERS_PROFILE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

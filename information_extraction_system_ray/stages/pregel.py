@@ -1,7 +1,8 @@
 """Pregel-style shard-actor propagation — the generic machinery behind
 the round-3 connected-components rewrite, factored out so every
-fixpoint-propagation operator shares it (CC min-label, BFS min-distance;
-any monotone min-semiring fits).
+fixpoint-propagation operator shares it (CC min-label, BFS min-distance,
+weighted single-source shortest paths in the min-plus semiring; any
+monotone min-semiring fits).
 
 Why raw actors (the documented Dataset-API escape hatch): a Ray Dataset
 cannot keep a partitioning alive between iterations, so the r2
@@ -42,7 +43,7 @@ class PropagationShard:
     def __init__(self, pid: int, num_parts: int, mode: str = "minlabel",
                  source=None, node_type: "pa.DataType | None" = None
                  ) -> None:
-        if mode not in ("minlabel", "bfs"):
+        if mode not in ("minlabel", "bfs", "sssp"):
             raise ValueError(f"unknown mode {mode!r}")
         self.pid = pid
         self.P = num_parts
@@ -55,35 +56,49 @@ class PropagationShard:
         self.node_type = node_type or pa.string()
         self._pend_nodes: "list[np.ndarray]" = []
         self._pend_others: "list[np.ndarray]" = []
+        self._pend_weights: "list[np.ndarray]" = []
         self.outbox: "dict[int, tuple]" = {}
         self.inbox: "list[tuple]" = []
 
-    def add_edges(self, nodes, others) -> None:
+    def add_edges(self, nodes, others, weights=None) -> None:
         self._pend_nodes.append(np.asarray(nodes))
         self._pend_others.append(np.asarray(others))
+        if weights is not None:
+            self._pend_weights.append(np.asarray(weights, np.int64))
 
     def build(self) -> int:
         import pandas as pd
+        weighted = self.mode == "sssp"
         if self._pend_nodes:
             df = pd.DataFrame({
                 "node": np.concatenate(self._pend_nodes),
                 "other": np.concatenate(self._pend_others),
-            }).drop_duplicates()
+            })
+            if weighted:
+                # parallel edges keep their MIN weight (the only one a
+                # shortest path can use)
+                df["w"] = np.concatenate(self._pend_weights)
+                df = df.groupby(["node", "other"], sort=False)["w"] \
+                    .min().reset_index()
+            else:
+                df = df.drop_duplicates()
         else:
             df = pd.DataFrame({"node": np.array([], dtype=object),
-                               "other": np.array([], dtype=object)})
-        self._pend_nodes = self._pend_others = None
+                               "other": np.array([], dtype=object),
+                               "w": np.array([], dtype=np.int64)})
+        self._pend_nodes = self._pend_others = self._pend_weights = None
         self.nodes, inv = np.unique(df["node"].to_numpy(),
                                     return_inverse=True)
         self.edge_src = inv.astype(np.int64)
         self.edge_dst = df["other"].to_numpy()
+        self.edge_w = df["w"].to_numpy() if weighted else None
         self.dst_part = (pd.util.hash_pandas_object(
             df["other"], index=False) % self.P).to_numpy().astype(np.int64)
         n = len(self.nodes)
         if self.mode == "minlabel":
             self.values = self.nodes.copy()
             self.changed = np.ones(n, dtype=bool)
-        else:
+        else:                                 # bfs / sssp: -1 = unreached
             self.values = np.full(n, -1, dtype=np.int64)
             self.changed = np.zeros(n, dtype=bool)
             i = int(np.searchsorted(self.nodes, self.source)) if n else 0
@@ -103,6 +118,8 @@ class PropagationShard:
         cand = self.values[self.edge_src[m]]
         if self.mode == "bfs":
             cand = cand + 1
+        elif self.mode == "sssp":             # min-plus semiring
+            cand = cand + self.edge_w[m]
         df = pd.DataFrame({"dst": self.edge_dst[m], "cand": cand,
                            "p": self.dst_part[m]})
         # per-destination min BEFORE the exchange (combiner)
@@ -134,7 +151,7 @@ class PropagationShard:
         idx = np.searchsorted(self.nodes, g.index.to_numpy())
         best = g.to_numpy()
         cur = self.values[idx]
-        if self.mode == "bfs":
+        if self.mode in ("bfs", "sssp"):
             better = (cur == -1) | (best < cur)
         else:
             better = best < cur
@@ -156,13 +173,17 @@ class PropagationShard:
 
 def run_propagation(edges: ray.data.Dataset, *, mode: str,
                     src_col: str = "src", dst_col: str = "dst",
+                    weight_col: "str | None" = None,
                     source=None, num_partitions: int = 16,
                     max_rounds: int = 50) -> ray.data.Dataset:
     """Route → build → rounds → collect, over (src_col, dst_col) edges.
     Returns Dataset(node, label) for "minlabel", Dataset(node, dist)
-    (reachable nodes only) for "bfs"."""
+    (reachable nodes only) for "bfs" and "sssp" (the weighted min-plus
+    semiring over ``weight_col`` int64 costs, undirected)."""
     import pandas as pd
 
+    if mode == "sssp" and weight_col is None:
+        raise ValueError("sssp requires weight_col")
     P = num_partitions
     node_type = edges.schema().base_schema.field(src_col).type
     shards = [PropagationShard.remote(p, P, mode, source, node_type)
@@ -175,13 +196,20 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
                                   t[src_col].combine_chunks()])
         narr = node.to_numpy(zero_copy_only=False)
         oarr = other.to_numpy(zero_copy_only=False)
+        warr = None
+        if weight_col is not None:
+            w1 = t[weight_col].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            warr = np.concatenate([w1, w1])   # both directions, same cost
         part = (pd.util.hash_pandas_object(
             pd.Series(narr), index=False) % P).to_numpy()
         refs = []
         for p in range(P):
             m = part == p
             if m.any():
-                refs.append(shards[p].add_edges.remote(narr[m], oarr[m]))
+                refs.append(shards[p].add_edges.remote(
+                    narr[m], oarr[m],
+                    warr[m] if warr is not None else None))
         ray.get(refs)       # delivery barrier before the task completes
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
@@ -206,9 +234,11 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
         else:
             # mode-dependent max_rounds semantics: BFS's cap is a
             # TRUNCATION contract (distances ≤ max_rounds are exact —
-            # round k only ever assigns distance k); min-label left
-            # unconverged would be silently WRONG labels, so it raises
-            if mode == "minlabel":
+            # round k only ever assigns distance k); min-label or sssp
+            # left unconverged would be silently WRONG labels/distances
+            # (a weighted distance can still improve after round k), so
+            # both raise
+            if mode in ("minlabel", "sssp"):
                 raise RuntimeError(
                     f"{mode} propagation did not converge "
                     f"in {max_rounds} rounds")

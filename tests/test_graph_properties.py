@@ -209,3 +209,109 @@ def test_bfs_matches_brute_force(ray_session):
     src = min(n for e in rand for n in e)
     assert run(rand, src) == brute(rand, src)
     assert run(rand, src, nparts=1) == brute(rand, src)
+
+
+def test_sssp_matches_dijkstra(ray_session):
+    """Pregel min-plus SSSP (stages/pregel.py mode="sssp") equals a
+    pure-Python heapq Dijkstra on a weighted path, a shortcut graph
+    where the hop-shortest route is NOT the cost-shortest one, parallel
+    edges (min weight must win), and a random weighted graph with an
+    unreachable island; layout-invariant."""
+    import heapq
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.stages.pregel import \
+        run_propagation
+
+    def dijkstra(edges, src):
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        dist, heap = {}, [(0, src)]
+        while heap:
+            d, n = heapq.heappop(heap)
+            if n in dist:
+                continue
+            dist[n] = d
+            for m, w in adj.get(n, []):
+                if m not in dist:
+                    heapq.heappush(heap, (d + w, m))
+        return dist
+
+    def run(edges, src, nparts=4):
+        t = pa.table({"u": pa.array([a for a, _, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b, _ in edges], pa.int64()),
+                      "w": pa.array([w for _, _, w in edges], pa.int64())})
+        out = run_propagation(rd.from_arrow(t).repartition(nparts),
+                              mode="sssp", src_col="u", dst_col="v",
+                              weight_col="w", source=src,
+                              num_partitions=3, max_rounds=200)
+        return {r["node"]: r["dist"] for r in out.take_all()}
+
+    path = [(i, i + 1, 2 + (i % 3)) for i in range(10)]
+    assert run(path, 0) == dijkstra(path, 0)
+
+    # hop-shortest (0-9 direct, cost 100) loses to the 9-hop rim
+    ring = [(i, i + 1, 1) for i in range(9)] + [(0, 9, 100)]
+    got = run(ring, 0)
+    assert got == dijkstra(ring, 0)
+    assert got[9] == 9  # not 100: weighted, not hop, distance
+
+    # parallel edges: the cheaper duplicate must win
+    par = [(0, 1, 10), (0, 1, 3), (1, 2, 1)]
+    assert run(par, 0) == {0: 0, 1: 3, 2: 4}
+
+    rng = random.Random(13)
+    nodes = list(range(30))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(70)})
+    rand = [(a, b, 1 + rng.randrange(9)) for a, b in rand]
+    rand += [(200, 201, 5)]  # unreachable island
+    src = min(n for e in rand for n in e[:2])
+    want = dijkstra(rand, src)
+    assert run(rand, src) == want
+    assert run(rand, src, nparts=1) == want
+
+
+def test_part_graph_sssp_query_matches_duckdb_dijkstra(ray_session):
+    """End-to-end oracle for the registry query: derive the weighted
+    co-occurrence edges INDEPENDENTLY in DuckDB (same basket semantics
+    as the BFS oracle, cost = max(1, 8 − support)), run pure-Python
+    Dijkstra, compare to the Ray Pregel result at sf0.001."""
+    import heapq
+
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM '{sf}/lineitem.parquet'),
+        e AS (SELECT a.l_partkey u, b.l_partkey v, COUNT(*) n
+              FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT u, v, GREATEST(1, 8 - n) AS w FROM e
+    """).fetchall()
+    src = min(min(u, v) for u, v, _ in edges)
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist, heap = {}, [(0, src)]
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in dist:
+            continue
+        dist[n] = d
+        for m, w in adj.get(n, []):
+            if m not in dist:
+                heapq.heappush(heap, (d + w, m))
+
+    out = e.queries()["part_graph_sssp"](sf).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == dist

@@ -58,3 +58,32 @@ def test_flagship_from_parquet_matches_synth(ray_session, pages_path):
     a = triples_of(read_pages(pages_path))
     b = triples_of(synth_pages(256))
     assert a.equals(b)
+
+
+def test_pages_domain_stats_golden(ray_session):
+    """pages_domain_stats equals an exact recomputation straight from
+    refimpl.pagegen (independent of every Ray kernel in the query)."""
+    from urllib.parse import urlparse
+
+    import __ray_entry__ as e
+    from information_extraction_system_ray.queries import _n_pages
+    from refimpl import SEED
+    from refimpl.pagegen import gen_page
+
+    sf = "/root/testdata/sf0.001"
+    want = {}
+    for i in range(_n_pages(sf)):
+        p = gen_page(i, SEED)
+        d = urlparse(p.url).netloc
+        row = want.setdefault(d, [0, 0, 0, 0, 0])
+        row[0] += 1
+        row[1] += p.lang == "en"
+        row[2] += p.text_provided
+        row[3] += len(p.html)
+        row[4] += len(p.text) if p.text_provided else 0
+
+    out = e.queries()["pages_domain_stats"](sf).to_pandas()
+    got = {r.domain: [r.n_pages, r.n_en, r.n_with_text, r.html_bytes,
+                      r.text_chars] for r in out.itertuples()}
+    assert got == want
+    assert list(out["domain"]) == sorted(want)
