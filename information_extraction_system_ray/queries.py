@@ -6858,6 +6858,70 @@ def part_graph_sssp(sf_dir: str):
 _SSSP_EDGE_MEMO: "dict[str, ray.data.Dataset]" = {}
 
 
+def media_container_probe(sf_dir: str):
+    """Container-metadata extraction over opaque media payloads — the
+    triage pass a multimodal corpus pipeline runs before deciding what
+    to decode: REAL pure-stdlib ISO-BMFF (MP4) box-tree and MPEG-1
+    Layer III frame-header demux (sources/mediacodec.py probe_mp4/
+    probe_mp3, round 4; sample DECODE for these codecs stays
+    library-blocked and is not claimed). Deterministic stub containers
+    (valid box trees / header-valid frames, no payload) → one
+    map_batches probe stage → (media_id, container, duration_ms,
+    n_units, codec). Rows-only: golden-tested against the probe spec in
+    tests/test_mediacodec.py."""
+    from .sources.mediacodec import (encode_mp3_stub, encode_mp4_stub,
+                                     probe_mp3, probe_mp4)
+
+    n = _n_media(sf_dir)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            payload = encode_mp4_stub(
+                [{"handler": "vide", "codec": "avc1", "width": 64 + i,
+                  "height": 48, "sample_sizes": [100 + i, 200, 300]}],
+                duration_ms=500 + 10 * i)
+            rows.append((i, "mp4", payload))
+        else:
+            payload = encode_mp3_stub(10 + i % 7)
+            rows.append((i, "mp3", payload))
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "container": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+    })
+
+    def probe(batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "container": [], "duration_ms": [],
+               "n_units": [], "codec": []}
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["container"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind == "mp4":
+                info = probe_mp4(payload)
+                tr = info["tracks"][0]
+                out["duration_ms"].append(info["duration_ms"])
+                out["n_units"].append(tr["n_samples"])
+                out["codec"].append(tr["codec"])
+            else:
+                info = probe_mp3(payload)
+                out["duration_ms"].append(info["duration_ms"])
+                out["n_units"].append(info["frames"])
+                out["codec"].append("mp3")
+            out["media_id"].append(mid)
+            out["container"].append(kind)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "container": pa.array(out["container"], pa.string()),
+            "duration_ms": pa.array(out["duration_ms"], pa.int64()),
+            "n_units": pa.array(out["n_units"], pa.int64()),
+            "codec": pa.array(out["codec"], pa.string()),
+        })
+
+    return (ray.data.from_arrow(t)
+            .map_batches(probe, batch_format="pyarrow")
+            .sort("media_id"))
+
+
 def pages_domain_stats(sf_dir: str):
     """Per-domain hygiene stats over the Common-Crawl-shaped pages table
     — the FineWeb/CCNet-style per-domain aggregation a web pipeline runs
@@ -7252,6 +7316,7 @@ def queries():
         "orders_profile": orders_profile,
         "part_graph_sssp": part_graph_sssp,
         "pages_domain_stats": pages_domain_stats,
+        "media_container_probe": media_container_probe,
     }
 
 

@@ -22,10 +22,14 @@ actor-pool decode stages honest end-to-end for those formats:
   YCbCr→RGB. Progressive (SOF2) and the other non-baseline frame
   types reject with clear errors.
 
+- **MP4 / MP3 container demux** (round 4): real ISO-BMFF box-tree and
+  MPEG-1 Layer III frame-header probes (``probe_mp4``/``probe_mp3``) —
+  the metadata/triage layer. Sample DECODE of AAC/H.264/MP3 remains
+  library-blocked and is rejected with a clear error.
+
 A real log-mel filterbank (HTK mel scale, triangular filters over an
 ``np.fft.rfft`` magnitude spectrum) replaces the fake audio features —
-numpy's FFT needs no codec library. MP3/MP4 remain library-blocked and
-are rejected with a clear error.
+numpy's FFT needs no codec library.
 """
 
 from __future__ import annotations
@@ -784,6 +788,212 @@ def log_mel(samples: np.ndarray, rate: int, *, n_mels: int,
     pw = np.stack(frames, axis=1)                      # (bins, T)
     fb = mel_filterbank(n_mels, n_fft, rate)
     return np.log10(fb @ pw + 1e-10).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# container demux probes — MP4 (ISO BMFF) and MP3 (round 4)
+#
+# Sample DECODE for these stays library-blocked (AAC/H.264/MP3 entropy
+# decoding is out of pure-stdlib scope), but the CONTAINER layer — the
+# part a data pipeline needs for metadata columns, sample accounting and
+# corpus triage — is plain struct parsing and is implemented for real.
+# ---------------------------------------------------------------------------
+
+def _mp4_walk(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for each ISO-BMFF box
+    in [start, end) — 32-bit and 64-bit (largesize) boxes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        off = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            off = 16
+        elif size == 0:                       # box extends to end
+            size = end - pos
+        if size < off or pos + size > end:
+            raise ValueError("malformed MP4 box size")
+        yield btype, pos + off, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _mp4_walk(data, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def probe_mp4(data: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) container probe: walks the real box tree —
+    ftyp brand, mvhd movie timescale/duration, per-trak tkhd dims, mdhd
+    timescale/duration, hdlr handler, stsd codec fourcc, stsz sample
+    count + total payload bytes. Returns {brand, duration_ms, tracks:
+    [{track_id, handler, codec, width, height, duration_ms, n_samples,
+    sample_bytes}]}. Raises on non-BMFF input."""
+    top = list(_mp4_walk(data, 0, len(data)))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types or b"moov" not in types:
+        raise ValueError("not an ISO-BMFF (MP4) file: missing ftyp/moov")
+    fs, fe = next((s, e) for t, s, e in top if t == b"ftyp")
+    brand = data[fs:fs + 4].decode("latin-1")
+    ms, me = next((s, e) for t, s, e in top if t == b"moov")
+
+    out = {"brand": brand, "duration_ms": None, "tracks": []}
+    mv = _mp4_find(data, ms, me, b"mvhd")
+    if mv:
+        ver = data[mv[0]]
+        if ver == 1:
+            ts, dur = struct.unpack_from(">IQ", data, mv[0] + 20)
+        else:
+            ts, dur = struct.unpack_from(">II", data, mv[0] + 12)
+        out["duration_ms"] = int(dur * 1000 // ts) if ts else None
+
+    for t, s, e in _mp4_walk(data, ms, me):
+        if t != b"trak":
+            continue
+        tr = {"track_id": None, "handler": None, "codec": None,
+              "width": None, "height": None, "duration_ms": None,
+              "n_samples": None, "sample_bytes": None}
+        tk = _mp4_find(data, s, e, b"tkhd")
+        if tk:
+            ver = data[tk[0]]
+            base = tk[0] + (12 if ver == 0 else 20)
+            (tr["track_id"],) = struct.unpack_from(">I", data, base)
+            # width/height: 16.16 fixed point at payload end
+            w16, h16 = struct.unpack_from(">II", data, tk[1] - 8)
+            tr["width"], tr["height"] = w16 >> 16, h16 >> 16
+        md = _mp4_find(data, s, e, b"mdia")
+        if md:
+            mh = _mp4_find(data, md[0], md[1], b"mdhd")
+            if mh:
+                ver = data[mh[0]]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", data, mh[0] + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", data, mh[0] + 12)
+                tr["duration_ms"] = int(dur * 1000 // ts) if ts else None
+            hd = _mp4_find(data, md[0], md[1], b"hdlr")
+            if hd:
+                tr["handler"] = data[hd[0] + 8:hd[0] + 12] \
+                    .decode("latin-1")
+            mi = _mp4_find(data, md[0], md[1], b"minf")
+            stbl = mi and _mp4_find(data, mi[0], mi[1], b"stbl")
+            if stbl:
+                sd = _mp4_find(data, stbl[0], stbl[1], b"stsd")
+                if sd:
+                    # full box header (4) + entry_count (4) + first
+                    # entry: size (4) + format fourcc (4)
+                    tr["codec"] = data[sd[0] + 12:sd[0] + 16] \
+                        .decode("latin-1")
+                sz = _mp4_find(data, stbl[0], stbl[1], b"stsz")
+                if sz:
+                    uniform, n = struct.unpack_from(">II", data,
+                                                    sz[0] + 4)
+                    tr["n_samples"] = n
+                    if uniform:
+                        tr["sample_bytes"] = uniform * n
+                    else:
+                        sizes = np.frombuffer(data, ">u4", n, sz[0] + 12)
+                        tr["sample_bytes"] = int(sizes.sum())
+        out["tracks"].append(tr)
+    return out
+
+
+def encode_mp4_stub(tracks: "list[dict]", *, duration_ms: int = 1000,
+                    brand: bytes = b"isom") -> bytes:
+    """Minimal VALID ISO-BMFF box tree for tests: ftyp + moov with mvhd
+    and one trak (tkhd/mdia/mdhd/hdlr/minf/stbl/stsd/stsz) per entry of
+    ``tracks`` ({handler, codec, width, height, sample_sizes}). No mdat
+    payload — the probe reads structure, not samples."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    ts = 1000                                 # 1 tick = 1 ms
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", ts, duration_ms)
+               + bytes(80))
+    traks = b""
+    for i, t in enumerate(tracks):
+        tkhd = box(b"tkhd", bytes(12) + struct.pack(">I", i + 1)
+                   + bytes(60)
+                   + struct.pack(">II", t.get("width", 0) << 16,
+                                 t.get("height", 0) << 16))
+        mdhd = box(b"mdhd", bytes(12) + struct.pack(">II", ts,
+                                                    duration_ms)
+                   + bytes(4))
+        hdlr = box(b"hdlr", bytes(8) + t["handler"].encode("latin-1")
+                   + bytes(13))
+        sizes = t.get("sample_sizes", [])
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                   + struct.pack(">I", 16)
+                   + t["codec"].encode("latin-1") + bytes(8))
+        stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, len(sizes))
+                   + b"".join(struct.pack(">I", s) for s in sizes))
+        stbl = box(b"stbl", stsd + stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    return (box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+            + box(b"moov", mvhd + traks))
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320]              # MPEG-1 Layer III, kbit/s
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def probe_mp3(data: bytes) -> dict:
+    """MPEG-1 Layer III frame-header walk: skips an ID3v2 tag, then
+    parses each 4-byte frame header (sync/version/layer/bitrate/
+    samplerate/padding), steps frame-by-frame using the REAL frame-size
+    formula (144·bitrate/samplerate + padding) and accounts frames,
+    bytes and duration (1152 samples per frame). Raises on non-MP3
+    input; sample decode stays library-blocked."""
+    pos = 0
+    if data[:3] == b"ID3":                    # ID3v2: syncsafe size
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + sz
+    frames, rate = 0, None
+    while pos + 4 <= len(data):
+        b0, b1, b2, _b3 = data[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError("only MPEG-1 Layer III frames supported")
+        br = _MP3_BITRATES[b2 >> 4]
+        sr_idx = (b2 >> 2) & 3
+        if b2 >> 4 in (0, 15) or sr_idx == 3:
+            raise ValueError("invalid MP3 bitrate/samplerate index")
+        rate = _MP3_RATES[sr_idx]
+        pad = (b2 >> 1) & 1
+        flen = 144 * br * 1000 // rate + pad
+        pos += flen
+        frames += 1
+    if frames == 0:
+        raise ValueError("not an MPEG-1 Layer III stream")
+    return {"frames": frames, "sample_rate": rate,
+            "duration_ms": frames * 1152 * 1000 // rate,
+            "stream_bytes": pos}
+
+
+def encode_mp3_stub(n_frames: int, *, bitrate_kbps: int = 128,
+                    sample_rate: int = 44100, id3: bytes = b"") -> bytes:
+    """Header-valid MPEG-1 Layer III frames with zero payloads (tests:
+    the probe reads headers, not audio). Optional ID3v2 tag prefix."""
+    bidx = _MP3_BITRATES.index(bitrate_kbps)
+    sidx = _MP3_RATES.index(sample_rate)
+    hdr = bytes([0xFF, 0xFB, (bidx << 4) | (sidx << 2), 0x00])
+    flen = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + bytes(flen - 4)
+    out = b""
+    if id3:
+        sz = len(id3)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        out = b"ID3\x04\x00\x00" + ss + id3
+    return out + frame * n_frames
 
 
 # ---------------------------------------------------------------------------

@@ -358,3 +358,78 @@ def test_jpeg_through_real_image_stage(ray_session):
     gray = px.mean(axis=2)
     want = (gray.reshape(8, 2, 8, 2).mean(axis=(1, 3)).ravel() / 255.0)
     assert np.abs(np.array(out.loc[0, "feature"]) - want).max() < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# container demux probes (round 4): MP4 box tree + MP3 frame walk
+# ---------------------------------------------------------------------------
+
+def test_mp4_probe_reads_real_box_tree():
+    from information_extraction_system_ray.sources.mediacodec import (
+        encode_mp4_stub, probe_mp4)
+
+    data = encode_mp4_stub([
+        {"handler": "vide", "codec": "avc1", "width": 320, "height": 240,
+         "sample_sizes": [1000, 2000, 1500]},
+        {"handler": "soun", "codec": "mp4a", "width": 0, "height": 0,
+         "sample_sizes": [100] * 5},
+    ], duration_ms=2500, brand=b"mp42")
+    info = probe_mp4(data)
+    assert info["brand"] == "mp42"
+    assert info["duration_ms"] == 2500
+    v, a = info["tracks"]
+    assert (v["track_id"], v["handler"], v["codec"]) == (1, "vide", "avc1")
+    assert (v["width"], v["height"]) == (320, 240)
+    assert (v["n_samples"], v["sample_bytes"]) == (3, 4500)
+    assert (a["track_id"], a["handler"], a["codec"]) == (2, "soun", "mp4a")
+    assert (a["n_samples"], a["sample_bytes"]) == (5, 500)
+    assert a["duration_ms"] == 2500
+
+
+def test_mp4_probe_rejects_non_bmff():
+    from information_extraction_system_ray.sources.mediacodec import \
+        probe_mp4
+
+    with pytest.raises(ValueError):
+        probe_mp4(b"RIFFxxxxWAVE" + bytes(64))
+
+
+def test_mp3_probe_frame_walk_and_id3():
+    from information_extraction_system_ray.sources.mediacodec import (
+        encode_mp3_stub, probe_mp3)
+
+    data = encode_mp3_stub(38, bitrate_kbps=128, sample_rate=44100)
+    info = probe_mp3(data)
+    assert info["frames"] == 38
+    assert info["sample_rate"] == 44100
+    assert info["duration_ms"] == 38 * 1152 * 1000 // 44100
+    assert info["stream_bytes"] == len(data)
+
+    with_tag = encode_mp3_stub(5, bitrate_kbps=192, sample_rate=32000,
+                               id3=b"TAGPAYLOAD" * 10)
+    info = probe_mp3(with_tag)
+    assert info["frames"] == 5
+    assert info["sample_rate"] == 32000
+
+    with pytest.raises(ValueError):
+        probe_mp3(b"\x00" * 100)
+
+
+def test_media_container_probe_query(ray_session):
+    """Registry query golden: every probed value must match the stub
+    parameters it was constructed from."""
+    import __ray_entry__ as e
+
+    out = e.queries()["media_container_probe"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(out) >= 64
+    for r in out.itertuples():
+        if r.container == "mp4":
+            assert r.codec == "avc1"
+            assert r.duration_ms == 500 + 10 * r.media_id
+            assert r.n_units == 3
+        else:
+            assert r.codec == "mp3"
+            frames = 10 + r.media_id % 7
+            assert r.n_units == frames
+            assert r.duration_ms == frames * 1152 * 1000 // 44100
