@@ -6858,6 +6858,64 @@ def part_graph_sssp(sf_dir: str):
 _SSSP_EDGE_MEMO: "dict[str, ray.data.Dataset]" = {}
 
 
+def kg_predicate_stats(sf_dir: str):
+    """Ontology-level KG audit (the per-predicate cardinality report an
+    extraction pipeline emits per crawl): for every predicate — edge
+    count, total mention support, and exact distinct subject / object
+    entity counts. Edge partials ride a per-batch combiner; the distinct
+    endpoint counts reuse the two-level pattern on (pred, role, entity)
+    triples so the wide shuffle carries distinct triples, never edges.
+    Only #preds-row tables reach the driver for the final column
+    assembly. Rows-only (golden: independent pandas recomputation over
+    the byte-golden-tested edge table, tests/test_flagship.py)."""
+    edges = _kg_run(sf_dir)["edges"]
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred": t["pred"],
+            "e1": pa.array([1] * len(t), pa.int64()),
+            "sup": pc.cast(t["n_support"], pa.int64()),
+        }).group_by("pred").aggregate(
+            [("e1", "sum"), ("sup", "sum")]).rename_columns(
+            ["pred", "e", "sup"])
+
+    counts = (edges.map_batches(base, batch_format="pyarrow")
+              .groupby("pred")
+              .aggregate(Sum("e", alias_name="n_edges"),
+                         Sum("sup", alias_name="n_support"))
+              .take_all())                    # ≤ #preds rows
+
+    def role_triples(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"pred": t["pred"],
+                      "role": pa.array(["s"] * len(t), pa.string()),
+                      "ent": t["subj_id"]}),
+            pa.table({"pred": t["pred"],
+                      "role": pa.array(["o"] * len(t), pa.string()),
+                      "ent": t["obj_id"]}),
+        ]).group_by(["pred", "role", "ent"]).aggregate([])
+
+    nd = (edges.map_batches(role_triples, batch_format="pyarrow")
+          .groupby(["pred", "role", "ent"])
+          .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+          .groupby(["pred", "role"])
+          .aggregate(Count(alias_name="n"))
+          .take_all())                        # ≤ 2·#preds rows
+    nd_by = {(r["pred"], r["role"]): int(r["n"]) for r in nd}
+
+    rows = sorted(counts, key=lambda r: r["pred"])
+    return pa.table({
+        "pred": pa.array([r["pred"] for r in rows], pa.string()),
+        "n_edges": pa.array([int(r["n_edges"]) for r in rows], pa.int64()),
+        "n_support": pa.array([int(r["n_support"]) for r in rows],
+                              pa.int64()),
+        "n_subjects": pa.array([nd_by.get((r["pred"], "s"), 0)
+                                for r in rows], pa.int64()),
+        "n_objects": pa.array([nd_by.get((r["pred"], "o"), 0)
+                               for r in rows], pa.int64()),
+    })
+
+
 def media_container_probe(sf_dir: str):
     """Container-metadata extraction over opaque media payloads — the
     triage pass a multimodal corpus pipeline runs before deciding what
@@ -7317,6 +7375,7 @@ def queries():
         "part_graph_sssp": part_graph_sssp,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
+        "kg_predicate_stats": kg_predicate_stats,
     }
 
 

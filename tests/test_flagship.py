@@ -137,3 +137,26 @@ def test_dataset_cluster_path_matches_golden(ray_session, flagship_result,
         os.path.join(fixdir, "gold_edges_tiny.parquet")).to_pandas()
     gold_edges["sample_urls"] = gold_edges["sample_urls"].map(list)
     assert edges.to_dict("records") == gold_edges.to_dict("records")
+
+
+def test_kg_predicate_stats_matches_pandas_recomputation(ray_session):
+    """kg_predicate_stats equals an independent pandas recomputation
+    (count/sum/nunique per predicate) over the same materialized edge
+    table — which is itself byte-golden-tested above."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_predicate_stats"](sf).to_pandas()
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    want = (edges.groupby("pred")
+            .agg(n_edges=("pred", "size"),
+                 n_support=("n_support", "sum"),
+                 n_subjects=("subj_id", "nunique"),
+                 n_objects=("obj_id", "nunique"))
+            .reset_index().sort_values("pred").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_edges": "int64", "n_support": "int64",
+                          "n_subjects": "int64", "n_objects": "int64"}))
