@@ -7199,6 +7199,361 @@ SELECT * FROM (
 """
 
 
+def docs_bpe_merges(sf_dir: str):
+    """LLM4 — distributed BPE tokenizer training (functions/bpe.py): the
+    first 8 merge steps learned over the documents corpus. The corpus
+    collapses once to the word-frequency table (per-batch value_counts
+    combiners — only distinct-word partials shuffle); each merge step is
+    one streaming pass over the VOCAB table, never the corpus. Rows-only
+    (iterative); the exact oracle is merge-for-merge equality with
+    refimpl/bpe.py plus layout invariance (tests/test_new_ops.py)."""
+    from .functions.bpe import bpe_train, word_count_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      rows_per_block=2_000)
+    return bpe_train(word_count_table(docs), k=8)
+
+
+def kg_hits(sf_dir: str):
+    """KG3 — HITS hubs/authorities over the materialized KG edge table
+    (stages/hits.py — join-free co-partitioned scatter/gather, BOTH
+    half-steps fused into one pipelined execution per round because the
+    between-step normalization cancels analytically). Rows-only;
+    numerics gated vs the dense numpy reference at 1e-9 in
+    tests/test_pagerank.py."""
+    from .stages.hits import hits
+
+    edges = _kg_run(sf_dir)["edges"].map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        batch_format="pyarrow")
+    sc = hits(edges, iters=10, num_partitions=8)
+
+    def r6(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "hub6": pc.round(pc.multiply(t["hub"], 1e6), ndigits=2),
+            "auth6": pc.round(pc.multiply(t["auth"], 1e6), ndigits=2)})
+
+    return (sc.map_batches(r6, batch_format="pyarrow")
+            .sort(["auth6", "hub6", "node"],
+                  descending=[True, True, False]).limit(20))
+
+
+def docs_gopher_rules(sf_dir: str):
+    """LLM3 — Gopher-style quality-rule audit (Rae et al. 2021, public):
+    the per-rule kill-count report a corpus curator reads before turning
+    filters on. Four rules, every predicate exact-integer so no float
+    boundary can diverge between engines:
+
+    - r1 word count in [50, 100 000];
+    - r2 mean word length in [3, 5]  (``3·wc ≤ ch ≤ 5·wc``);
+    - r3 type-token ratio ≥ 0.4     (``10·distinct_words ≥ 4·wc``);
+    - r4 ≥ 2 distinct stopwords present (padded-substring membership
+      over an 8-word list — identical LIKE predicates in the oracle).
+
+    Output: one row per rule with its fail count, plus the pass-all row.
+
+    Scale shape: ONE streaming pass emits per-batch 0/1 indicator
+    columns -> a single global Sum — no shuffle at all; six scalars
+    reach the driver. The distinct-word count is vectorized (flatten
+    word lists with np.repeat doc indices -> drop_duplicates ->
+    bincount), never a Python loop over rows."""
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    rows_per_block=2_000)
+    stops = ["the", "and", "of", "to", "in", "a", "for", "is"]
+
+    def gates(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        wc = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        ch = pc.subtract(
+            pc.cast(pc.utf8_length(text), pa.int64()),
+            pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64()))
+        low = pc.utf8_lower(text)
+        # distinct lowercased words per doc, vectorized
+        words = pc.split_pattern_regex(low, r"\s+")
+        lens = np.asarray(words.combine_chunks().value_lengths(),
+                          dtype=np.int64)
+        flat = words.combine_chunks().flatten().to_pandas()
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        pairs = pd.DataFrame({"i": idx, "w": flat})
+        pairs = pairs[pairs["w"] != ""].drop_duplicates()
+        dw = np.bincount(pairs["i"].to_numpy(), minlength=len(t)) \
+            .astype(np.int64)
+        dw = pa.array(dw, pa.int64())
+        pad = pc.binary_join_element_wise(
+            pa.array([" "] * len(t)), low, pa.array([" "] * len(t)), "")
+        hits = None
+        for w in stops:
+            ind = pc.cast(pc.match_substring(pad, f" {w} "), pa.int64())
+            hits = ind if hits is None else pc.add(hits, ind)
+        wc_np = wc.to_numpy(zero_copy_only=False)
+        ch_np = ch.to_numpy(zero_copy_only=False)
+        dw_np = dw.to_numpy(zero_copy_only=False)
+        h_np = hits.to_numpy(zero_copy_only=False)
+        f1 = (wc_np < 50) | (wc_np > 100_000)
+        f2 = ~((3 * wc_np <= ch_np) & (ch_np <= 5 * wc_np))
+        f3 = 10 * dw_np < 4 * wc_np
+        f4 = h_np < 2
+        ok = ~(f1 | f2 | f3 | f4)
+        return pa.table({
+            "f1": pa.array(f1.astype(np.int64)),
+            "f2": pa.array(f2.astype(np.int64)),
+            "f3": pa.array(f3.astype(np.int64)),
+            "f4": pa.array(f4.astype(np.int64)),
+            "ok": pa.array(ok.astype(np.int64))})
+
+    agg = ds.map_batches(gates, batch_format="pyarrow").aggregate(
+        Sum("f1", alias_name="f1"), Sum("f2", alias_name="f2"),
+        Sum("f3", alias_name="f3"), Sum("f4", alias_name="f4"),
+        Sum("ok", alias_name="ok"))
+    names = ["word_count", "mean_word_len", "type_token_ratio",
+             "stopwords", "pass_all"]
+    vals = [int(agg["f1"]), int(agg["f2"]), int(agg["f3"]),
+            int(agg["f4"]), int(agg["ok"])]
+    return pa.table({
+        "rule_ord": pa.array(range(5), pa.int64()),
+        "rule": pa.array(names, pa.string()),
+        "n_docs": pa.array(vals, pa.int64())})
+
+
+_DOCS_GOPHER_SQL = r"""
+WITH d AS (
+  SELECT len(regexp_extract_all(text, '\S+')) AS wc,
+         length(regexp_replace(text, '\s', '', 'g')) AS ch,
+         len(list_distinct(list_filter(
+             regexp_extract_all(lower(text), '\S+'), x -> x <> ''))) AS dw,
+         (( ' ' || lower(text) || ' ' LIKE '% the %')::INT
+          + (' ' || lower(text) || ' ' LIKE '% and %')::INT
+          + (' ' || lower(text) || ' ' LIKE '% of %')::INT
+          + (' ' || lower(text) || ' ' LIKE '% to %')::INT
+          + (' ' || lower(text) || ' ' LIKE '% in %')::INT
+          + (' ' || lower(text) || ' ' LIKE '% a %')::INT
+          + (' ' || lower(text) || ' ' LIKE '% for %')::INT
+          + (' ' || lower(text) || ' ' LIKE '% is %')::INT) AS hits
+  FROM documents),
+f AS (
+  SELECT (wc < 50 OR wc > 100000) AS f1,
+         NOT (3 * wc <= ch AND ch <= 5 * wc) AS f2,
+         10 * dw < 4 * wc AS f3,
+         hits < 2 AS f4
+  FROM d)
+SELECT * FROM (
+  SELECT 0 AS rule_ord, 'word_count' AS rule,
+         CAST(SUM(f1::INT) AS BIGINT) AS n_docs FROM f
+  UNION ALL SELECT 1, 'mean_word_len', CAST(SUM(f2::INT) AS BIGINT) FROM f
+  UNION ALL SELECT 2, 'type_token_ratio',
+         CAST(SUM(f3::INT) AS BIGINT) FROM f
+  UNION ALL SELECT 3, 'stopwords', CAST(SUM(f4::INT) AS BIGINT) FROM f
+  UNION ALL SELECT 4, 'pass_all',
+         CAST(SUM((NOT (f1 OR f2 OR f3 OR f4))::INT) AS BIGINT) FROM f)
+ORDER BY rule_ord
+"""
+
+
+def orders_overlap_pairs(sf_dir: str):
+    """J14 — interval self-overlap join: per customer, pairs of orders
+    whose 7-day activity spans [orderdate, orderdate+7d) overlap, i.e.
+    |d1 − d2| < 7 days. The interval × interval shape (distinct from J7's
+    point-in-range join); Ray Data has no native interval join, so it
+    composes as hash-partition by customer + a per-group two-pointer
+    sweep over date-sorted orders.
+
+    Scale shape: only (custkey, orderkey, day) shuffles; per-group work
+    is vectorized — sort once, np.searchsorted finds each order's
+    overlap frontier, np.repeat/concatenate emit the pairs. Per-customer
+    group size is naturally bounded (orders per customer), the same
+    co-partitioning contract as the window family."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                                pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"], "day": day})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "o_orderkey"], kind="mergesort")
+        days = g["day"].to_numpy()
+        keys = g["o_orderkey"].to_numpy()
+        n = len(g)
+        # for each i, js in (i, hi) overlap: days[j] - days[i] < 7
+        hi = np.searchsorted(days, days + 7, side="left")
+        cnt = hi - np.arange(n) - 1
+        if cnt.sum() == 0:
+            return pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                                 "k1": pd.Series([], dtype="int64"),
+                                 "k2": pd.Series([], dtype="int64")})
+        i_idx = np.repeat(np.arange(n), cnt)
+        j_idx = np.concatenate(
+            [np.arange(i + 1, h) for i, h in enumerate(hi) if h > i + 1])
+        a, b = keys[i_idx], keys[j_idx]
+        return pd.DataFrame({
+            "o_custkey": np.full(len(a), g["o_custkey"].iat[0],
+                                 dtype="int64"),
+            "k1": np.minimum(a, b), "k2": np.maximum(a, b)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(pairs, batch_format="pandas")
+            .sort(["o_custkey", "k1", "k2"]))
+
+
+_ORDERS_OVERLAP_SQL = """
+SELECT a.o_custkey,
+       LEAST(a.o_orderkey, b.o_orderkey) AS k1,
+       GREATEST(a.o_orderkey, b.o_orderkey) AS k2
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) < 7
+ORDER BY a.o_custkey, k1, k2
+"""
+
+
+def part_graph_assortativity(sf_dir: str):
+    """G37 — degree assortativity of the part co-occurrence graph
+    (Newman 2002, public): the Pearson correlation of endpoint degrees
+    over all DIRECTED edge slots (each undirected edge counted both
+    ways, so the marginals are symmetric and the correlation reduces to
+    ``(n·Sxy − Sx²) / (n·Sxx − Sx²)`` — a single float division of two
+    EXACT int64 sums, bit-equal in both engines).
+
+    Scale shape: degrees via the endpoints groupby; each degree attaches
+    to the edge table through ``auto_join``'s size chooser (broadcast at
+    driver scale, hash join at web scale); the moments collapse through
+    per-batch combiners to ONE row."""
+    from .functions.joins import auto_join
+
+    edges = _part_strong_edges(sf_dir)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([pa.table({"node": t["u"]}),
+                                 pa.table({"node": t["v"]})])
+
+    deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg")))
+
+    both = edges.map_batches(
+        lambda t: pa.concat_tables([
+            pa.table({"x": t["u"], "y": t["v"]}),
+            pa.table({"x": t["v"], "y": t["u"]})]),
+        batch_format="pyarrow")
+    withx = auto_join(both, deg, left_key="x", right_key="node",
+                      right_cols=["deg"]).map_batches(
+        lambda t: pa.table({"dx": t["deg"], "y": t["y"]}),
+        batch_format="pyarrow")
+    withy = auto_join(withx, deg, left_key="y", right_key="node",
+                      right_cols=["deg"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        dx = t["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "sx": pa.array([int(dx.sum())], pa.int64()),
+            "sxx": pa.array([int((dx * dx).sum())], pa.int64()),
+            "sxy": pa.array([int((dx * dy).sum())], pa.int64())})
+
+    m = withy.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"), Sum("sxy", alias_name="sxy"))
+    n, sx = int(m["n"] or 0), int(m["sx"] or 0)
+    sxx, sxy = int(m["sxx"] or 0), int(m["sxy"] or 0)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    return pa.table({
+        "n_ends": pa.array([n], pa.int64()),
+        "sum_deg": pa.array([sx], pa.int64()),
+        "sum_deg2": pa.array([sxx], pa.int64()),
+        "sum_prod": pa.array([sxy], pa.int64()),
+        "assort": pa.array([r], pa.float64())})
+
+
+_PART_ASSORT_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+slots AS (SELECT du.deg AS dx, dv.deg AS dy
+          FROM (SELECT u AS x, v AS y FROM e
+                UNION ALL SELECT v, u FROM e) s
+          JOIN deg du ON du.node = s.x JOIN deg dv ON dv.node = s.y),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(dx) AS BIGINT) sx,
+             CAST(SUM(dx * dx) AS BIGINT) sxx,
+             CAST(SUM(dx * dy) AS BIGINT) sxy
+      FROM slots)
+SELECT n AS n_ends, sx AS sum_deg, sxx AS sum_deg2, sxy AS sum_prod,
+       CAST(n * sxy - sx * sx AS DOUBLE)
+       / CAST(n * sxx - sx * sx AS DOUBLE) AS assort
+FROM m
+"""
+
+
+def nation_top3_customers(sf_dir: str):
+    """G38 — ordered string aggregation (STRING_AGG ... ORDER BY): per
+    nation, the comma-joined names of its top-3 customers by account
+    balance (cents-exact ordering, custkey tiebreak). The list-valued
+    reporting shape (collect_list with ordering) no prior query covered.
+
+    Scale shape: only (nationkey, custkey, name, cents) shuffles; the
+    per-nation top-3 is a hash-partitioned map_groups whose group size
+    is bounded by the partial top-3 pre-combiner — each batch first
+    keeps its local top-3 per nation, so no group ever exceeds
+    3 × #blocks rows regardless of customer skew."""
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_name", "c_nationkey",
+                             "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "cents": _cents(t["c_acctbal"]),
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"]})
+        # local top-3 per nation: bound the shuffle + group size
+        df = out.to_pandas().sort_values(
+            ["c_nationkey", "cents", "c_custkey"],
+            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("c_nationkey").head(3),
+                                    preserve_index=False)
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "c_custkey"],
+                          ascending=[False, True], kind="mergesort").head(3)
+        return pd.DataFrame({
+            "c_nationkey": [g["c_nationkey"].iat[0]],
+            "top_names": [",".join(g["c_name"].tolist())],
+            "n_top": [len(g)]})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("c_nationkey")
+            .map_groups(top3, batch_format="pandas")
+            .sort("c_nationkey"))
+
+
+_NATION_TOP3_SQL = """
+WITH r AS (
+  SELECT c_nationkey, c_name,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
+                    c_custkey) AS rn,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, c_custkey
+  FROM customer)
+SELECT c_nationkey,
+       STRING_AGG(c_name, ',' ORDER BY cents DESC, c_custkey) AS top_names,
+       CAST(COUNT(*) AS BIGINT) AS n_top
+FROM r WHERE rn <= 3
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7376,6 +7731,12 @@ def queries():
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
+        "docs_gopher_rules": docs_gopher_rules,
+        "orders_overlap_pairs": orders_overlap_pairs,
+        "part_graph_assortativity": part_graph_assortativity,
+        "nation_top3_customers": nation_top3_customers,
+        "docs_bpe_merges": docs_bpe_merges,
+        "kg_hits": kg_hits,
     }
 
 
@@ -7519,6 +7880,10 @@ def oracle_sql():
         "orders_yoy_growth": _ORDERS_YOY_SQL,
         "events_weekly_active_users": _EVENTS_WAU_SQL,
         "orders_profile": _ORDERS_PROFILE_SQL,
+        "docs_gopher_rules": _DOCS_GOPHER_SQL,
+        "orders_overlap_pairs": _ORDERS_OVERLAP_SQL,
+        "part_graph_assortativity": _PART_ASSORT_SQL,
+        "nation_top3_customers": _NATION_TOP3_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

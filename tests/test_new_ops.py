@@ -494,3 +494,65 @@ def test_join_choosers_handle_empty_inputs(ray_session):
     assert a.count() == 3
     assert anti_join(left, right, left_key="k",
                      right_key="rk").to_pandas()["k"].tolist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge training (functions/bpe.py) vs refimpl/bpe.py
+# ---------------------------------------------------------------------------
+
+def _bpe_tuple(t):
+    return list(zip(t["left"].to_pylist(), t["right"].to_pylist(),
+                    t["pair_count"].to_pylist()))
+
+
+def test_bpe_matches_refimpl_on_corpus(ray_session):
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.functions.bpe import (
+        bpe_train, word_count_table)
+    from refimpl.bpe import bpe_merges
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    wc = {}
+    for tx in texts:
+        for w in tx.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_merges(wc, 6)
+
+    import ray.data as rd
+    docs = rd.from_items([{"text": tx} for tx in texts]).repartition(4)
+    got = _bpe_tuple(bpe_train(word_count_table(docs), k=6))
+    assert got == want
+
+
+def test_bpe_overlapping_runs_merge_pairwise(ray_session):
+    # "aaaa" must merge (aa)(aa), not (aa)(a)(a) twice — the left-to-
+    # right pairwise contract both implementations share
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.bpe import bpe_train
+    from refimpl.bpe import bpe_merges
+
+    wc = {"aaaa": 5, "aab": 3, "ba": 2}
+    vocab = rd.from_items([{"word": w, "n": n} for w, n in wc.items()])
+    got = _bpe_tuple(bpe_train(vocab, k=4))
+    want = bpe_merges(wc, 4)
+    assert got == want
+    # first merge is (a,a) with count 5*3 (three adjacent pairs in
+    # aaaa) + 3 (one in aab) = 18
+    assert got[0] == ("a", "a", 18)
+
+
+def test_bpe_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.bpe import bpe_train
+
+    items = [{"word": w, "n": n} for w, n in
+             [("lower", 4), ("lowest", 2), ("newer", 6), ("wider", 3),
+              ("new", 5), ("widest", 1)]]
+    one = _bpe_tuple(bpe_train(rd.from_items(items).repartition(1), k=5))
+    many = _bpe_tuple(bpe_train(rd.from_items(items).repartition(6), k=5))
+    assert one == many and len(one) == 5

@@ -79,3 +79,77 @@ def test_pagerank_parallel_edges_weight_links(ray_session):
     got = _run(ray_session, [("a", "b"), ("a", "b"), ("a", "c"),
                              ("b", "a"), ("c", "a")], max_iters=6)
     assert got["b"] > got["c"]
+
+
+# ---------------------------------------------------------------------------
+# HITS (stages/hits.py) — same contract style: distributed == dense numpy
+# reference, identical iteration count, 1e-9 gate
+# ---------------------------------------------------------------------------
+
+def _run_hits(edge_list, iters=6):
+    import ray.data as rd
+
+    from information_extraction_system_ray.stages.hits import hits
+
+    df = pd.DataFrame(edge_list, columns=["src", "dst"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+    out = hits(ds, iters=iters, num_partitions=4).to_pandas()
+    return {r.node: (r.hub, r.auth) for r in out.itertuples()}
+
+
+def test_hits_matches_numpy_reference(ray_session):
+    from information_extraction_system_ray.stages.hits import hits_reference
+
+    rng = np.random.default_rng(29)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = []
+    for _ in range(150):
+        s = nodes[int(rng.integers(0, 30))]
+        # authority hub: 25% of links point at n0
+        d = "n0" if rng.random() < 0.25 else nodes[int(rng.integers(0, 30))]
+        if s != d:
+            edges.append((s, d))
+    got = _run_hits(edges)
+    want = hits_reference(edges, iters=6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9, ("hub", k)
+        assert abs(got[k][1] - want[k][1]) < 1e-9, ("auth", k)
+    # the in-link magnet is the top authority
+    assert got["n0"][1] == max(v[1] for v in got.values())
+
+
+def test_hits_bipartite_separates_hubs_from_authorities(ray_session):
+    # h1/h2 only point, a1/a2 are only pointed at — hub and authority
+    # mass must land on disjoint node sets
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a2"),
+             ("h2", "a2")]  # parallel edge weights h2's endorsement
+    got = _run_hits(edges, iters=8)
+    assert got["h1"][1] == 0.0 and got["h2"][1] == 0.0
+    assert got["a1"][0] == 0.0 and got["a2"][0] == 0.0
+    assert got["h2"][0] > got["h1"][0]       # extra link ⇒ stronger hub
+    assert got["a2"][1] > got["a1"][1]
+    # L2 normalization holds on each side
+    assert abs(sum(v[0] ** 2 for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] ** 2 for v in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from information_extraction_system_ray.stages.hits import hits
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    one = {r.node: (r.hub, r.auth)
+           for r in hits(rd.from_arrow(t).repartition(1), iters=5,
+                         num_partitions=2).to_pandas().itertuples()}
+    many = {r.node: (r.hub, r.auth)
+            for r in hits(rd.from_arrow(t).repartition(5), iters=5,
+                          num_partitions=3).to_pandas().itertuples()}
+    assert set(one) == set(many)
+    for k in one:
+        assert abs(one[k][0] - many[k][0]) < 1e-12, k
+        assert abs(one[k][1] - many[k][1]) < 1e-12, k
