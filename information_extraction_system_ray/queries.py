@@ -7554,6 +7554,177 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def kg_ppr(sf_dir: str):
+    """KG4 — personalized PageRank (random walk with restart) from the
+    lexicographically-first KG entity: the "related entities" query a
+    KG serves per-entity at runtime. stages/pagerank.py with a seeded
+    teleport vector — restart and dangling mass land only on the seed,
+    mass stays in the seed's reachable component. Rows-only; numerics
+    gated vs the dense numpy PPR reference in tests/test_pagerank.py."""
+    from ray.data.aggregate import Min as _Min
+
+    from .stages.pagerank import pagerank
+
+    edges = _kg_run(sf_dir)["edges"].map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        batch_format="pyarrow")
+    seed = edges.aggregate(_Min("src"))["min(src)"]
+    pr = pagerank(edges, max_iters=10, tol=1e-9, num_partitions=8,
+                  seeds=[seed])
+
+    def r6(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "rank6": pc.round(pc.multiply(
+                             t["rank"], 1e6), ndigits=2)})
+
+    return (pr.map_batches(r6, batch_format="pyarrow")
+            .filter(lambda r: r["rank6"] > 0)
+            .sort(["rank6", "node"], descending=[True, False]).limit(15))
+
+
+def docs_source_mix_weights(sf_dir: str):
+    """LLM5 — mixture-weight computation for multi-source training
+    (the data-recipe step behind every "sampling weights" table in LLM
+    papers): per source, doc and token counts plus the uniform-target
+    resampling weight ``w = total_tokens / (n_sources · src_tokens)``
+    that would equalize the token budget across sources. The weight is
+    emitted in EXACT micro-units via integer floor division — no float
+    crosses the oracle.
+
+    Scale shape: one streaming pass of per-batch (source → docs,
+    tokens) combiners, one ≤#sources-row groupby; the weight math runs
+    on the driver over #sources rows."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"],
+                    rows_per_block=2_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(t["text"]), r"[a-z0-9]+"), pa.int64())
+        return (pa.table({"source": t["source"], "toks": toks})
+                .group_by("source")
+                .aggregate([("toks", "sum"), ("toks", "count")])
+                .rename_columns(["source", "toks", "docs"]))
+
+    per_src = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("source")
+               .aggregate(Sum("docs", alias_name="n_docs"),
+                          Sum("toks", alias_name="n_tokens"))
+               .take_all())                        # ≤ #sources rows
+    total = sum(int(r["n_tokens"]) for r in per_src)
+    S = len(per_src)
+    rows = sorted(per_src, key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+        "n_tokens": pa.array([int(r["n_tokens"]) for r in rows],
+                             pa.int64()),
+        "weight_u": pa.array(
+            [(1_000_000 * total) // (S * int(r["n_tokens"]))
+             for r in rows], pa.int64())})
+
+
+_DOCS_MIX_SQL = """
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(regexp_extract_all(lower(text),
+                                                  '[a-z0-9]+')))
+                       AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS ns FROM s)
+SELECT source, n_docs, n_tokens,
+       (1000000 * t.total) // (t.ns * n_tokens) AS weight_u
+FROM s, t ORDER BY source
+"""
+
+
+def docs_ppl_buckets(sf_dir: str):
+    """LLM6 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    public): every doc scored by the SAME self-trained unigram NLL as
+    ``docs_unigram_nll`` (micro-unit integer contract), then assigned
+    head / middle / tail by fixed nll_u thresholds and aggregated to
+    per-bucket doc and token counts — the triage table a curator uses
+    to pick which perplexity band to keep.
+
+    Scale shape: pass 1 builds the (term, n) LM with per-batch Counter
+    combiners; pass 2 scores + buckets per batch and only ≤3 partial
+    rows per batch enter the final groupby. Empty-token docs drop in
+    both engines (no tok rows in the oracle join)."""
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2_000)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[str]" = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(_TERM_RE.findall((txt or "").lower()))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    freq_ds = (docs.map_batches(pairs, batch_format="pyarrow")
+               .groupby("term").aggregate(Sum("n", alias_name="n"))
+               .materialize())
+    total = int(freq_ds.sum("n"))
+    freqs = freq_ds.to_pandas()   # exact oracle regime (vocab ≪ limit;
+    # the capped top-K/OOV path of docs_unigram_nll applies unchanged
+    # at web scale — shared contract, not re-implemented here)
+    lp = {t: float(np.log(n) - np.log(total))
+          for t, n in zip(freqs["term"], freqs["n"])}
+    lp_ref = ray.put(lp)
+
+    HEAD, MID = 3_400_000, 3_404_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = ray.get(lp_ref)
+        counts = {"head": [0, 0], "middle": [0, 0], "tail": [0, 0]}
+        for txt in t["text"].to_pylist():
+            toks = _TERM_RE.findall((txt or "").lower())
+            if not toks:
+                continue
+            nll_u = round(-sum(m[tok] for tok in toks)
+                          / len(toks) * 1e6)
+            b = ("head" if nll_u < HEAD
+                 else "middle" if nll_u < MID else "tail")
+            counts[b][0] += 1
+            counts[b][1] += len(toks)
+        return pa.table({
+            "bucket": pa.array(list(counts), pa.string()),
+            "n_docs": pa.array([v[0] for v in counts.values()],
+                               pa.int64()),
+            "n_tokens": pa.array([v[1] for v in counts.values()],
+                                 pa.int64())})
+
+    return (docs.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            # the oracle only emits non-empty buckets
+            .filter(expr="n_docs > 0")
+            .sort("bucket"))
+
+
+_DOCS_PPL_BUCKETS_SQL = """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS term
+             FROM documents),
+f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM f),
+sc AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+              CAST(round(AVG(-(ln(f.n) - ln(tot.total))) * 1000000)
+                   AS BIGINT) AS nll_u
+       FROM tok t JOIN f USING (term), tot
+       GROUP BY t.doc_id)
+SELECT CASE WHEN nll_u < 3400000 THEN 'head'
+            WHEN nll_u < 3404000 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS BIGINT) AS n_tokens
+FROM sc GROUP BY bucket ORDER BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7737,6 +7908,9 @@ def queries():
         "nation_top3_customers": nation_top3_customers,
         "docs_bpe_merges": docs_bpe_merges,
         "kg_hits": kg_hits,
+        "kg_ppr": kg_ppr,
+        "docs_source_mix_weights": docs_source_mix_weights,
+        "docs_ppl_buckets": docs_ppl_buckets,
     }
 
 
@@ -7884,6 +8058,8 @@ def oracle_sql():
         "orders_overlap_pairs": _ORDERS_OVERLAP_SQL,
         "part_graph_assortativity": _PART_ASSORT_SQL,
         "nation_top3_customers": _NATION_TOP3_SQL,
+        "docs_source_mix_weights": _DOCS_MIX_SQL,
+        "docs_ppl_buckets": _DOCS_PPL_BUCKETS_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -49,10 +49,23 @@ def _with_part(col: str, num_partitions: int):
 
 def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
              max_iters: int = 30, tol: float = 1e-8,
-             num_partitions: int = 8) -> ray.data.Dataset:
+             num_partitions: int = 8,
+             seeds: "list | None" = None) -> ray.data.Dataset:
     """edges(src, dst) [duplicates allowed — parallel edges weight the
-    link] → Dataset(node, rank); ranks sum to 1."""
+    link] → Dataset(node, rank); ranks sum to 1.
+
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with
+    restart): the teleport distribution concentrates uniformly on the
+    seed set instead of all nodes — both the (1−d) restart mass and the
+    dangling redistribution land only on seeds, and the walk starts at
+    the seed distribution. Implemented as a per-node teleport value
+    ``sv`` carried on the rank rows (uniform 1/N when seeds is None, so
+    the classic path is the same code); seeds absent from the graph are
+    ignored (their restart mass is lost — caller contract). The seed
+    set is a driver-side list: PPR seed sets are query-sized (a handful
+    of entities), never corpus-sized."""
     P = num_partitions
+    seed_set = None if seeds is None else frozenset(seeds)
 
     # ---- setup: out-degrees, node universe ----
     deg = (edges.groupby("src").aggregate(Count(alias_name="deg"))
@@ -90,7 +103,8 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
     edge_schema = pa.schema([("node", pa.string()), ("dst", pa.string()),
                              ("deg", pa.int64()), ("part", pa.int64())])
     rank_schema = pa.schema([("node", pa.string()), ("rank", pa.float64()),
-                             ("dang", pa.int8()), ("part", pa.int64())])
+                             ("dang", pa.int8()), ("sv", pa.float64()),
+                             ("part", pa.int64())])
 
     mixed = (edges.map_batches(_with_part("src", P), batch_format="pyarrow")
              .map_batches(tag(0, "src", dst_col="dst"),
@@ -125,14 +139,22 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
         es["deg"] = es["node"].map(dmap).astype("int64")
         return to_arrow(es[["node", "dst", "deg", "part"]], edge_schema)
 
+    sv_seed = (1.0 / len(seed_set)) if seed_set else 0.0
+
     def split_ranks(part: pd.DataFrame, _r0=r0) -> pa.Table:
         degs = part[part["kind"] == 1]
         ns = part[part["kind"] == 2].copy()
         if not len(ns):
             return rank_schema.empty_table()
-        ns["rank"] = _r0
+        if seed_set is None:
+            ns["sv"] = _r0                    # classic: uniform teleport
+        else:
+            ns["sv"] = np.where(ns["node"].isin(seed_set),
+                                sv_seed, 0.0)
+        ns["rank"] = ns["sv"]                 # walk starts at teleport
         ns["dang"] = (~ns["node"].isin(set(degs["node"]))).astype("int8")
-        return to_arrow(ns[["node", "rank", "dang", "part"]], rank_schema)
+        return to_arrow(ns[["node", "rank", "dang", "sv", "part"]],
+                        rank_schema)
 
     edges_p = (mixed.groupby("part")
                .map_groups(split_edges, batch_format="pandas")
@@ -149,13 +171,16 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
     # ---- iteration ----
     mixr_schema = pa.schema([("node", pa.string()), ("dst", pa.string()),
                              ("deg", pa.int64()), ("rank", pa.float64()),
-                             ("dang", pa.int8()), ("part", pa.int64())])
+                             ("dang", pa.int8()), ("sv", pa.float64()),
+                             ("part", pa.int64())])
     contrib_schema = pa.schema([("dst", pa.string()),
                                 ("contrib", pa.float64()),
                                 ("rank", pa.float64()),
-                                ("dang", pa.int8()), ("part", pa.int64())])
+                                ("dang", pa.int8()), ("sv", pa.float64()),
+                                ("part", pa.int64())])
     out_schema = pa.schema([("node", pa.string()), ("rank", pa.float64()),
-                            ("dang", pa.int8()), ("chg", pa.float64()),
+                            ("dang", pa.int8()), ("sv", pa.float64()),
+                            ("chg", pa.float64()),
                             ("dangm", pa.float64()), ("part", pa.int64())])
 
     def tag_edge_r(t: pa.Table) -> pa.Table:
@@ -164,6 +189,7 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
                          "deg": t["deg"],
                          "rank": pa.nulls(n, pa.float64()),
                          "dang": pa.nulls(n, pa.int8()),
+                         "sv": pa.nulls(n, pa.float64()),
                          "part": t["part"]}).cast(mixr_schema)
 
     def tag_rank_r(t: pa.Table) -> pa.Table:
@@ -172,6 +198,7 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
                          "dst": pa.nulls(n, pa.string()),
                          "deg": pa.nulls(n, pa.int64()),
                          "rank": t["rank"], "dang": t["dang"],
+                         "sv": t["sv"],
                          "part": t["part"]}).cast(mixr_schema)
 
     def scatter(part: pd.DataFrame) -> pa.Table:
@@ -185,13 +212,15 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
             frames.append(pd.DataFrame({
                 "dst": es["dst"].to_numpy(), "contrib": contrib,
                 "rank": np.nan, "dang": pd.array([None] * len(es),
-                                                 dtype="Int8")}))
+                                                 dtype="Int8"),
+                "sv": np.nan}))
         if len(rk):
             frames.append(pd.DataFrame({
                 "dst": rk["node"].to_numpy(),
                 "contrib": np.nan,
                 "rank": rk["rank"].to_numpy(),
-                "dang": rk["dang"].astype("Int8").to_numpy()}))
+                "dang": rk["dang"].astype("Int8").to_numpy(),
+                "sv": rk["sv"].to_numpy(dtype=np.float64)}))
         if not frames:
             return contrib_schema.empty_table()
         df = pd.concat(frames, ignore_index=True)
@@ -199,25 +228,27 @@ def pagerank(edges: ray.data.Dataset, *, damping: float = 0.85,
                       % P).astype("int64")
         return to_arrow(df, contrib_schema)
 
-    base = (1.0 - damping) / n_nodes
+    base_mult = 1.0 - damping       # restart mass lands on sv per node
 
     for _ in range(max_iters):
-        dang_share = damping * dang_mass / n_nodes
+        dang_mult = damping * dang_mass   # dangling mass re-teleports
 
-        def gather(part: pd.DataFrame, _ds=dang_share) -> pa.Table:
+        def gather(part: pd.DataFrame, _dm=dang_mult) -> pa.Table:
             me = part[part["rank"].notna()]       # this partition's nodes
             cs = part[part["contrib"].notna()]
             if not len(me):
                 return out_schema.empty_table()
             in_sum = (cs.groupby("dst", sort=False)["contrib"].sum()
                       if len(cs) else pd.Series(dtype="float64"))
-            new = (base + _ds + damping
+            sv = me["sv"].to_numpy(dtype=np.float64)
+            new = (base_mult * sv + _dm * sv + damping
                    * me["dst"].map(in_sum).fillna(0.0)
                    .to_numpy(dtype=np.float64))
             old = me["rank"].to_numpy(dtype=np.float64)
             dang = me["dang"].to_numpy(dtype=np.int8)
             return to_arrow(pd.DataFrame({
                 "node": me["dst"].to_numpy(), "rank": new, "dang": dang,
+                "sv": sv,
                 "chg": np.abs(new - old), "dangm": new * dang,
                 "part": me["part"].to_numpy()}), out_schema)
 

@@ -153,3 +153,75 @@ def test_hits_layout_invariance(ray_session):
     for k in one:
         assert abs(one[k][0] - many[k][0]) < 1e-12, k
         assert abs(one[k][1] - many[k][1]) < 1e-12, k
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (seeded teleport) — same dense numpy contract
+# ---------------------------------------------------------------------------
+
+def _numpy_ppr(edges, nodes, seeds, damping=0.85, iters=_ITERS):
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d in edges:
+        M[idx[d], idx[s]] += 1.0
+    deg = M.sum(axis=0)
+    out = deg > 0
+    M[:, out] /= deg[out]
+    sv = np.zeros(n)
+    present = [s for s in seeds if s in idx]
+    for s in present:
+        sv[idx[s]] = 1.0 / len(set(seeds))
+    r = sv.copy()
+    for _ in range(iters):
+        dangling = r[~out].sum()
+        r = (1 - damping) * sv + damping * dangling * sv + damping * (M @ r)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_pagerank_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from information_extraction_system_ray.stages.pagerank import pagerank
+
+    rng = np.random.default_rng(41)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = []
+    for _ in range(120):
+        s = nodes[int(rng.integers(0, 25))]
+        d = nodes[int(rng.integers(0, 25))]
+        if s != d:
+            edges.append((s, d))
+    seeds = ["n0", "n1"]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, max_iters=_ITERS, tol=0.0,
+                             num_partitions=4, seeds=seeds).take_all()}
+    univ = sorted({x for e in edges for x in e})
+    want = _numpy_ppr(edges, univ, seeds)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # teleport concentrates mass near the seeds: each seed outranks
+    # the median node
+    med = float(np.median(list(got.values())))
+    assert got["n0"] > med and got["n1"] > med
+
+
+def test_ppr_unreachable_component_gets_zero(ray_session):
+    import ray.data as rd
+
+    from information_extraction_system_ray.stages.pagerank import pagerank
+
+    # two disjoint cycles; seeding in one must leave the other at 0
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, max_iters=6, tol=0.0, num_partitions=2,
+                             seeds=["a"]).take_all()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0.0 and got["b"] > 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9   # no dangling: mass kept
