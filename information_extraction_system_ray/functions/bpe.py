@@ -138,3 +138,39 @@ def bpe_train(vocab: ray.data.Dataset, k: int) -> pa.Table:
         "left": pa.array(merges["left"], pa.string()),
         "right": pa.array(merges["right"], pa.string()),
         "pair_count": pa.array(merges["pair_count"], pa.int64())})
+
+
+def bpe_apply(vocab: ray.data.Dataset,
+              merges: "list[tuple[str, str]]") -> ray.data.Dataset:
+    """Apply a learned merge sequence to Dataset(word, n) and return
+    Dataset(sym, n) — corpus-wide symbol occurrence counts (the encode
+    side of the tokenizer). Same per-word greedy contract as training;
+    one streaming pass applies ALL merges, then a skinny (sym, n)
+    groupby — again vocab-sized, never corpus-sized."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def encode(t: pa.Table) -> pa.Table:
+        counts: "dict[str, int]" = {}
+        for word, n in zip(t["word"].to_pylist(), t["n"].to_pylist()):
+            parts = list(word)
+            for left, right in merges:
+                res = []
+                i = 0
+                while i < len(parts):
+                    if (i + 1 < len(parts) and parts[i] == left
+                            and parts[i + 1] == right):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(parts[i])
+                        i += 1
+                parts = res
+            for s in parts:
+                counts[s] = counts.get(s, 0) + n
+        ks = list(counts)
+        return pa.table({"sym": pa.array(ks, pa.string()),
+                         "n": pa.array([counts[x] for x in ks],
+                                       pa.int64())})
+
+    return (vocab.map_batches(encode, batch_format="pyarrow")
+            .groupby("sym").aggregate(_Sum("n", alias_name="n")))

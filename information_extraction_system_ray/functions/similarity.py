@@ -209,3 +209,63 @@ def mmr_select(emb: ray.data.Dataset, query: np.ndarray, k: int, *,
         picked.append(int(row[id_col]))
         picked_vecs.append(np.asarray(row["vec"], np.float64))
     return picked
+
+
+def lsh_signatures(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, D) × (L, H, D) → (n, L) int64 bucket signatures: bit h of
+    table l is sign(v · planes[l, h])."""
+    L, H, _ = planes.shape
+    sig = np.zeros((vecs.shape[0], L), dtype=np.int64)
+    weights = (1 << np.arange(H, dtype=np.int64))
+    for li in range(L):
+        bits = (vecs @ planes[li].T) > 0          # (n, H) bool
+        sig[:, li] = bits.astype(np.int64) @ weights
+    return sig
+
+
+def knn_lsh(emb: ray.data.Dataset, queries: np.ndarray, k: int, *,
+            num_bits: int = 12, num_tables: int = 4, seed: int = 17,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH (Charikar 2002,
+    public) — the other classic ANN scale path next to IVF: each vector
+    hashes to one ``num_bits``-bit bucket per table (P[bit collision] =
+    1 − θ/π, so near-duplicates share buckets with high probability);
+    a query's candidate set is the union of its ``num_tables`` buckets,
+    then exact cosine ranks the candidates.
+
+    Scale shape: the (L, H, D) hyperplane tensor is seeded-deterministic
+    and broadcast ONCE via ``ray.put``; candidate filtering is one
+    vectorized signature matmul + ``np.isin`` per batch (a streaming
+    filter — no shuffle, no index build); only candidates reach the
+    exact ranker, whose partials are k×Q rows per block. Partitioning
+    assumption: true neighbors collide in ≥1 of L tables — recall is
+    tuned by (num_bits ↓, num_tables ↑) and tested vs brute force in
+    tests/test_similarity.py."""
+    first = emb.take(1)
+    if not first:
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": [],
+                             "rank": []})
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_bits, dim)) \
+        .astype(np.float32)
+    p_ref = ray.put(planes)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    q_sig = lsh_signatures(qn, planes)                     # (Q, L)
+    # wanted (table, signature) pairs, combined into one int64 key space
+    wanted = np.unique((np.arange(num_tables, dtype=np.int64)[None, :]
+                        << num_bits) | q_sig)
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        pl = ray.get(p_ref)
+        v = _normalize(_as_matrix(t[vec_col]))
+        sig = lsh_signatures(v, pl)                        # (n, L)
+        keys = (np.arange(pl.shape[0], dtype=np.int64)[None, :]
+                << num_bits) | sig
+        hit = np.isin(keys, wanted).any(axis=1)
+        return t.filter(pa.array(hit))
+
+    cands = emb.map_batches(keep_candidates, batch_format="pyarrow")
+    return knn_bruteforce(cands, qn, k, id_col=id_col, vec_col=vec_col)

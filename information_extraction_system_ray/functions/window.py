@@ -633,3 +633,43 @@ def densify_time(ds: ray.data.Dataset, *, keys: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_wpart")
             .map_groups(dense, batch_format="pandas"))
+
+
+def rolling_median(ds: ray.data.Dataset, value_col: str, *,
+                   keys: list[str], order_by: list[str], window: int,
+                   out_col: str = "rolling_med",
+                   num_partitions: "int | None" = None
+                   ) -> ray.data.Dataset:
+    """Per-key sliding-window MEDIAN of the last ``window`` rows (current
+    inclusive) — SQL ``median(v) OVER (... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``. The order-statistic window: unlike the
+    linear rolling_sum it cannot ride a cumsum, so each hash bucket pays
+    a pandas rolling().median(). Feed an INTEGER value column: the only
+    float an even-sized window produces is one exact half-sum, identical
+    in both engines."""
+    num_partitions = num_partitions or default_parts()
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.float64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = _hash_part(_key_series(t.select(keys).to_pandas(), keys),
+                          num_partitions)
+        return t.append_column("_wpart",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def roll(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(order_by, kind="mergesort")
+        gkeys = [part[k] for k in keys]
+        med = (part.groupby(gkeys, sort=False)[value_col]
+               .rolling(window, min_periods=1).median())
+        # rolling-on-groupby returns (key..., original_index) — drop the
+        # key levels and assign BY INDEX so values land on their rows
+        med.index = med.index.droplevel(list(range(len(keys))))
+        part[out_col] = med.astype("float64")
+        return to_arrow(part.drop(columns=["_wpart"]), out_schema)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_wpart")
+            .map_groups(roll, batch_format="pandas"))

@@ -7725,6 +7725,135 @@ FROM sc GROUP BY bucket ORDER BY bucket
 """
 
 
+def emb_knn_lsh(sf_dir: str):
+    """V6 — approximate ANN via random-hyperplane LSH
+    (functions/similarity.py ``knn_lsh``): the bucketed scale path next
+    to IVF — seeded hyperplanes broadcast once, candidate filter is one
+    vectorized signature matmul + np.isin per batch (streaming, no
+    index build), exact cosine ranks the survivors. Rows-only; recall
+    vs brute force + layout determinism in tests/test_similarity.py.
+    Short codes / more tables here because the synthetic embeddings are
+    weakly clustered (neighbor cosine ~0.35)."""
+    from .functions.similarity import knn_lsh
+    from .sources.tables import fetch_value
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                    rows_per_block=2_000)
+    q = np.array(fetch_value(sf_dir, "embeddings", key_col="vec_id",
+                             key=0, value_col="embedding"),
+                 dtype=np.float32)
+    return knn_lsh(ds, q[None, :], k=10, num_bits=4, num_tables=6)
+
+
+def docs_bpe_tokens(sf_dir: str):
+    """LLM4b — the ENCODE side of the BPE tokenizer: apply the 8 learned
+    merges back to the corpus and report the top-20 resulting token
+    types by occurrence count (count desc, token asc). Both passes run
+    over the vocab table, never the corpus (functions/bpe.py
+    ``bpe_apply``). Rows-only; exact oracle = refimpl.bpe.encode_counts
+    equality in tests/test_new_ops.py."""
+    from .functions.bpe import bpe_apply, bpe_train, word_count_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      rows_per_block=2_000)
+    vocab = word_count_table(docs).materialize()
+    merges = bpe_train(vocab, k=8)
+    pairs = list(zip(merges["left"].to_pylist(),
+                     merges["right"].to_pylist()))
+    return (bpe_apply(vocab, pairs)
+            .sort(["n", "sym"], descending=[True, False]).limit(20))
+
+
+def events_user_rolling_median(sf_dir: str):
+    """W26 — rolling MEDIAN over ROWS 2 PRECEDING per user: the
+    order-statistic window (rolling sum/avg are linear; a median is
+    not, so it exercises the per-partition sort path). Values go
+    through the integer-cents contract; a 2-row window's half-sum is
+    exact in float64, so both engines emit identical doubles.
+
+    Scale shape: one hash shuffle on user_id, then a partition-local
+    pandas rolling(3).median over each hash bucket (same partition-
+    level map_groups contract as the rest of the window family —
+    functions/window.py ``rolling_median``)."""
+    from .functions.window import rolling_median
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    out = rolling_median(cents, "cents", keys=["user_id"],
+                         order_by=["ts", "event_id"], window=3,
+                         out_col="med3")
+    return (out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "med3"]),
+        batch_format="pyarrow")
+        .sort(["user_id", "event_id"]))
+
+
+_EVENTS_ROLLMED_SQL = """
+SELECT user_id, event_id,
+       CAST(median(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS med3
+FROM (SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+ORDER BY user_id, event_id
+"""
+
+
+def docs_arrow_ipc_roundtrip(sf_dir: str):
+    """S9 — Arrow IPC (Feather v2) source/sink: documents → one IPC
+    stream file per block under /tmp → ``read_binary_files`` +
+    per-batch ``pa.ipc.open_stream`` decode → aggregate. Arrow IPC is
+    THE zero-copy interchange format between Ray Data stages and
+    external Arrow tooling; the oracle runs on the original parquet
+    view, so count+checksum equality proves the round-trip lossless."""
+    import os
+    import shutil
+    import uuid
+
+    out_dir = (f"/tmp/ies_ipc_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_ipc(t: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrows")
+        with open(path, "wb") as f:
+            with pa.ipc.new_stream(f, t.schema) as w:
+                w.write_table(t)
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    # consume the writer fully (side-effect sink), then read back
+    read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]) \
+        .map_batches(write_ipc, batch_format="pyarrow").sum("n")
+
+    def read_ipc(t: pa.Table) -> pa.Table:
+        tables = []
+        for raw in t["bytes"].to_pylist():
+            with pa.ipc.open_stream(pa.BufferReader(raw)) as r:
+                tables.append(r.read_all())
+        return pa.concat_tables(tables)
+
+    back = (ray.data.read_binary_files(out_dir)
+            .map_batches(read_ipc, batch_format="pyarrow"))
+    return (back.groupby("lang")
+            .aggregate(Count(alias_name="n"),
+                       Sum("doc_id", alias_name="sum_doc_id"),
+                       Sum("n_chars", alias_name="sum_chars"))
+            .sort("lang"))
+
+
+_DOCS_IPC_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7911,6 +8040,10 @@ def queries():
         "kg_ppr": kg_ppr,
         "docs_source_mix_weights": docs_source_mix_weights,
         "docs_ppl_buckets": docs_ppl_buckets,
+        "emb_knn_lsh": emb_knn_lsh,
+        "docs_bpe_tokens": docs_bpe_tokens,
+        "events_user_rolling_median": events_user_rolling_median,
+        "docs_arrow_ipc_roundtrip": docs_arrow_ipc_roundtrip,
     }
 
 
@@ -8060,6 +8193,8 @@ def oracle_sql():
         "nation_top3_customers": _NATION_TOP3_SQL,
         "docs_source_mix_weights": _DOCS_MIX_SQL,
         "docs_ppl_buckets": _DOCS_PPL_BUCKETS_SQL,
+        "events_user_rolling_median": _EVENTS_ROLLMED_SQL,
+        "docs_arrow_ipc_roundtrip": _DOCS_IPC_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -59,3 +59,19 @@ def bpe_merges(word_counts: "dict[str, int]",
         vocab = {merge_word(s, (left, right)): n
                  for s, n in vocab.items()}
     return merges
+
+
+def encode_counts(word_counts: "dict[str, int]",
+                  merges: "list[tuple[str, str, int]]"
+                  ) -> "dict[str, int]":
+    """Apply a learned merge sequence to the word table and return the
+    corpus-wide symbol → occurrence-count map (the encode side)."""
+    vocab = {tuple(w): n for w, n in word_counts.items() if w}
+    for left, right, _ in merges:
+        vocab = {merge_word(s, (left, right)): n
+                 for s, n in vocab.items()}
+    out: "dict[str, int]" = {}
+    for syms, n in vocab.items():
+        for s in syms:
+            out[s] = out.get(s, 0) + n
+    return out

@@ -556,3 +556,22 @@ def test_bpe_layout_invariance(ray_session):
     one = _bpe_tuple(bpe_train(rd.from_items(items).repartition(1), k=5))
     many = _bpe_tuple(bpe_train(rd.from_items(items).repartition(6), k=5))
     assert one == many and len(one) == 5
+
+
+def test_bpe_encode_matches_refimpl(ray_session):
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.bpe import (
+        bpe_apply, bpe_train)
+    from refimpl.bpe import bpe_merges, encode_counts
+
+    wc = {"lower": 4, "lowest": 2, "newer": 6, "wider": 3, "new": 5}
+    vocab = rd.from_items(
+        [{"word": w, "n": n} for w, n in wc.items()]).repartition(3)
+    merges_t = bpe_train(vocab, k=4)
+    pairs = list(zip(merges_t["left"].to_pylist(),
+                     merges_t["right"].to_pylist()))
+    got = {r["sym"]: r["n"]
+           for r in bpe_apply(vocab, pairs).take_all()}
+    want = encode_counts(wc, bpe_merges(wc, 4))
+    assert got == want

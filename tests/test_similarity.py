@@ -120,3 +120,40 @@ def test_mmr_select_matches_driver_greedy(emb_ds, ray_session):
     assert got == want
     got2 = mmr_select(emb_ds.repartition(7), query=q, k=k, lam=lam)
     assert got2 == want
+
+
+def test_knn_lsh_recall_and_self_hit(emb_ds):
+    from information_extraction_system_ray.functions.similarity import \
+        knn_bruteforce, knn_lsh
+
+    df = emb_ds.to_pandas()
+    queries = np.stack(
+        [np.asarray(df["embedding"].iloc[i], np.float32)
+         for i in (1, 11, 21)])
+    bf = knn_bruteforce(emb_ds, queries, k=10)
+    lsh = knn_lsh(emb_ds, queries, k=10, num_bits=4, num_tables=6)
+    recalls = []
+    for qi in range(3):
+        want = set(bf[bf["query_id"] == qi]["vec_id"])
+        got = set(lsh[lsh["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    # weakly-clustered synthetic vectors (neighbor cosine ~0.35):
+    # short codes + more tables is the honest operating point here
+    assert sum(recalls) / len(recalls) >= 0.55
+    # a query vector always collides with itself in every table,
+    # so rank 0 is the vector itself
+    for qi, src in enumerate((1, 11, 21)):
+        top = lsh[lsh["query_id"] == qi].sort_values("rank")
+        assert int(top["vec_id"].iloc[0]) == int(df["vec_id"].iloc[src])
+
+
+def test_knn_lsh_deterministic_across_layouts(emb_ds):
+    from information_extraction_system_ray.functions.similarity import \
+        knn_lsh
+
+    df = emb_ds.to_pandas()
+    q = np.asarray(df["embedding"].iloc[3], np.float32)[None, :]
+    a = knn_lsh(emb_ds, q, k=5)
+    b = knn_lsh(emb_ds.repartition(7), q, k=5)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["cosine"].tolist() == b["cosine"].tolist()
