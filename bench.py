@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     # round-3 operators
     "docs_span_dedup", "part_attrs_melt", "emb_pca_top_component",
     "q15_top_supplier",
+    # round-4 operators
+    "docs_curation_funnel", "docs_gopher_rules", "docs_bpe_merges",
+    "events_user_rolling_median", "emb_knn_lsh",
 ]
 
 

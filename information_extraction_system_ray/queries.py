@@ -7637,7 +7637,7 @@ FROM s, t ORDER BY source
 """
 
 
-def docs_ppl_buckets(sf_dir: str):
+def docs_ppl_buckets(sf_dir: str, vocab_limit: int = 500_000):
     """LLM6 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
     public): every doc scored by the SAME self-trained unigram NLL as
     ``docs_unigram_nll`` (micro-unit integer contract), then assigned
@@ -7648,7 +7648,11 @@ def docs_ppl_buckets(sf_dir: str):
     Scale shape: pass 1 builds the (term, n) LM with per-batch Counter
     combiners; pass 2 scores + buckets per batch and only ≤3 partial
     rows per batch enter the final groupby. Empty-token docs drop in
-    both engines (no tok rows in the oracle join)."""
+    both engines (no tok rows in the oracle join). The broadcast LM
+    carries the SAME ``vocab_limit`` cap + OOV bucket as
+    docs_unigram_nll — exact below the cap (the oracle regime),
+    bounded driver memory above it (capped path golden-tested in
+    tests/test_new_ops.py)."""
     from .functions.terms import _TERM_RE
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
@@ -7665,10 +7669,16 @@ def docs_ppl_buckets(sf_dir: str):
     freq_ds = (docs.map_batches(pairs, batch_format="pyarrow")
                .groupby("term").aggregate(Sum("n", alias_name="n"))
                .materialize())
+    vocab_size = freq_ds.count()
     total = int(freq_ds.sum("n"))
-    freqs = freq_ds.to_pandas()   # exact oracle regime (vocab ≪ limit;
-    # the capped top-K/OOV path of docs_unigram_nll applies unchanged
-    # at web scale — shared contract, not re-implemented here)
+    if vocab_size <= vocab_limit:
+        freqs = freq_ds.to_pandas()          # bounded by vocab_limit
+        oov_lp = None                        # exact: every term in-vocab
+    else:
+        freqs = (freq_ds.sort(["n", "term"], descending=[True, False])
+                 .limit(vocab_limit).to_pandas())
+        oov_mass = total - int(freqs["n"].sum())
+        oov_lp = float(np.log(oov_mass) - np.log(total))
     lp = {t: float(np.log(n) - np.log(total))
           for t, n in zip(freqs["term"], freqs["n"])}
     lp_ref = ray.put(lp)
@@ -7682,8 +7692,11 @@ def docs_ppl_buckets(sf_dir: str):
             toks = _TERM_RE.findall((txt or "").lower())
             if not toks:
                 continue
-            nll_u = round(-sum(m[tok] for tok in toks)
-                          / len(toks) * 1e6)
+            if oov_lp is None:
+                s = -sum(m[tok] for tok in toks) / len(toks)
+            else:
+                s = -sum(m.get(tok, oov_lp) for tok in toks) / len(toks)
+            nll_u = round(s * 1e6)
             b = ("head" if nll_u < HEAD
                  else "middle" if nll_u < MID else "tail")
             counts[b][0] += 1

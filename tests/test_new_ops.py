@@ -575,3 +575,41 @@ def test_bpe_encode_matches_refimpl(ray_session):
            for r in bpe_apply(vocab, pairs).take_all()}
     want = encode_counts(wc, bpe_merges(wc, 4))
     assert got == want
+
+
+def test_ppl_buckets_capped_vocab_planted_oov(ray_session, tmp_path):
+    """docs_ppl_buckets carries the same vocab_limit + OOV contract as
+    docs_unigram_nll: with the cap at 2, OOV tokens pool at
+    log(oov_mass/total) and the bucket assignment follows the same
+    hand-computed micro-nat scores."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.queries import docs_ppl_buckets
+
+    texts = ["aa aa aa bb bb cc",      # 3×aa 2×bb 1×OOV(cc), dl=6
+             "aa aa aa bb bb cc dd"]   # 3×aa 2×bb 2×OOV,     dl=7
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    total = 13.0
+    lp = {"aa": math.log(6 / total), "bb": math.log(4 / total)}
+    oov = math.log(3 / total)
+    nll1 = round(-(3 * lp["aa"] + 2 * lp["bb"] + 1 * oov) / 6 * 1e6)
+    nll2 = round(-(3 * lp["aa"] + 2 * lp["bb"] + 2 * oov) / 7 * 1e6)
+
+    def bucket(u):
+        return ("head" if u < 3_400_000
+                else "middle" if u < 3_404_000 else "tail")
+
+    want = {}
+    for u, dl in ((nll1, 6), (nll2, 7)):
+        b = bucket(u)
+        d, t = want.get(b, (0, 0))
+        want[b] = (d + 1, t + dl)
+
+    got = docs_ppl_buckets(str(tmp_path), vocab_limit=2).to_pandas()
+    got_map = {r.bucket: (r.n_docs, r.n_tokens)
+               for r in got.itertuples()}
+    assert got_map == want
