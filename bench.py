@@ -152,15 +152,32 @@ def _burn(seconds: float) -> int:
     return x
 
 
-def _cpu_throughput(n_procs: int, seconds: float = 1.0) -> float:
-    """Aggregate busy-loop iterations/s over n_procs plain processes — the
-    HARDWARE's own parallel-CPU capacity at that width, independent of Ray.
+def _burn_mem(seconds: float) -> int:
+    """Memory-STREAMING control: repeatedly reduce a 32 MB float64 array
+    (far beyond L2), so N-wide procs contend for DRAM bandwidth the way
+    real Arrow/numpy batch kernels do. The ALU busy loop alone
+    under-reports contention: the late-r4 ds.stats() audit measured the
+    fused annotate operator 1.75× slower PER CORE at 32-wide while the
+    busy-loop ceiling said 0.84 (BASELINE.md)."""
+    import numpy as np
+    a = np.ones(4_000_000, dtype=np.float64)
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += int(a.sum() > 0)
+    return x
+
+
+def _cpu_throughput(n_procs: int, seconds: float = 1.0,
+                    kernel=_burn) -> float:
+    """Aggregate kernel iterations/s over n_procs plain processes — the
+    HARDWARE's own parallel capacity at that width, independent of Ray.
     On shared/virtualized hosts per-core throughput drops under full load,
     which caps ANY software's measurable 8→32 scaling efficiency."""
     from multiprocessing import Pool
 
     with Pool(n_procs) as p:
-        res = p.map(_burn, [seconds] * n_procs)
+        res = p.map(kernel, [seconds] * n_procs)
     return sum(res) / seconds
 
 
@@ -176,10 +193,16 @@ def run_scaling() -> dict:
     lo, hi = run(8), run(32)
     eff = (lo["pages_per_s"] and
            round(hi["pages_per_s"] / (4 * lo["pages_per_s"]), 3))
-    # hardware ceiling: what a PERFECTLY scaling program could show here
+    # hardware ceilings: what a PERFECTLY scaling program could show here.
+    # Two controls — ALU busy loop (scheduler/turbo effects) and a 32 MB
+    # streaming reduction (DRAM bandwidth, the binding constraint for real
+    # Arrow/numpy batch work on this host per the BASELINE.md audit).
     cpu8 = _cpu_throughput(8)
     cpu32 = _cpu_throughput(32)
     hw_ceiling = round(cpu32 / (4 * cpu8), 3)
+    mem8 = _cpu_throughput(8, kernel=_burn_mem)
+    mem32 = _cpu_throughput(32, kernel=_burn_mem)
+    mem_ceiling = round(mem32 / (4 * mem8), 3)
     return {
         "metric": "scaling_efficiency_8_to_32",
         "value": eff,
@@ -190,8 +213,11 @@ def run_scaling() -> dict:
         "sec_32": hi["value"],
         "phases": {"cpus8": lo["phases"], "cpus32": hi["phases"]},
         "hw_cpu_scaling_ceiling": hw_ceiling,
+        "hw_mem_scaling_ceiling": mem_ceiling,
         "efficiency_vs_hw_ceiling": round(eff / hw_ceiling, 3)
         if hw_ceiling else None,
+        "efficiency_vs_mem_ceiling": round(eff / mem_ceiling, 3)
+        if mem_ceiling else None,
         "sf": lo["sf"],
         "queries": {"cpus8": lo["queries"], "cpus32": hi["queries"]},
     }
