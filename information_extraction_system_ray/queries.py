@@ -7867,6 +7867,234 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def kg_ntriples(sf_dir: str):
+    """KG5 — RDF N-Triples export formatting (W3C N-Triples, public):
+    every KG edge rendered as its canonical
+    ``<urn:g:SUBJ> <urn:g:p:PRED> <urn:g:OBJ> .`` line — the
+    interchange serialization that makes the KG loadable by any triple
+    store. Pure per-batch vectorized string concat (one
+    binary_join_element_wise kernel); the top-50 lines by (line) order
+    return as the sample. Rows-only; format golden + full-cover count
+    in tests/test_flagship.py."""
+    edges = _kg_run(sf_dir)["edges"]
+
+    def fmt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        line = pc.binary_join_element_wise(
+            pa.array(["<urn:g:"] * n), t["subj_id"],
+            pa.array(["> <urn:g:p:"] * n), t["pred"],
+            pa.array(["> <urn:g:"] * n), t["obj_id"],
+            pa.array(["> ."] * n), "")
+        return pa.table({"line": line})
+
+    return (edges.map_batches(fmt, batch_format="pyarrow")
+            .sort("line").limit(50))
+
+
+def kg_twohop_patterns(sf_dir: str):
+    """KG6 — 2-hop path pattern census: counts of (pred₁ → pred₂) chains
+    ``a --p1--> b --p2--> c`` over the KG — the ontology-path statistic
+    that drives join-order and rule-mining decisions in KG systems.
+    Self-join on the SHARED middle entity via ``auto_join``'s size
+    chooser (broadcast at driver scale, co-partitioned hash join above
+    — the same wedge frontier the SQL self-join pays), then a
+    #pred²-bounded groupby. Rows-only (KG tables aren't DuckDB views);
+    golden = independent pandas recomputation in tests/test_flagship.py."""
+    from .functions.joins import auto_join
+
+    edges = _kg_run(sf_dir)["edges"]
+    left = edges.map_batches(
+        lambda t: pa.table({"mid": t["obj_id"], "p1": t["pred"]}),
+        batch_format="pyarrow")
+    right = edges.map_batches(
+        lambda t: pa.table({"mid2": t["subj_id"], "p2": t["pred"]}),
+        batch_format="pyarrow")
+    paths = auto_join(left, right, left_key="mid", right_key="mid2",
+                      right_cols=["p2"])
+    return (paths.groupby(["p1", "p2"])
+            .aggregate(Count(alias_name="n_paths"))
+            .sort(["n_paths", "p1", "p2"], descending=[True, False, False])
+            .limit(25))
+
+
+def events_active_7d(sf_dir: str):
+    """W27 — trailing-7-day active users per day (the rolling DISTINCT
+    the WAU/retention family didn't cover: a distinct count over a
+    SLIDING window can't ride a running sum). For every day with ≥1
+    event, the count of distinct users active in [d−6, d].
+
+    Scale shape: raw events collapse to distinct (user, day) with a
+    per-batch Arrow combiner; each pair explodes to its ≤7 covering
+    window-days via np.repeat (skinny int rows); a semi join against
+    the observed-days table prunes phantom windows (threshold chooser —
+    broadcast at calendar scale, shuffle above); the two-level distinct
+    on (window_day, user) then one Count per day. Nothing user- or
+    event-sized reaches the driver."""
+    from .functions.joins import auto_semi_join
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return (pa.table({"user_id": t["user_id"], "day": d})
+                .group_by(["user_id", "day"]).aggregate([]))
+
+    pairs = (ev.map_batches(days, batch_format="pyarrow")
+             .groupby(["user_id", "day"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["user_id", "day"]).materialize())
+    obs_days = (pairs.map_batches(
+        lambda t: pa.table({"day": t["day"]}), batch_format="pyarrow")
+        .groupby("day").aggregate(Count(alias_name="_n"))
+        .select_columns(["day"]))
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        wd = (np.repeat(d, 7)
+              + np.tile(np.arange(7, dtype=np.int64), len(d)))
+        return pa.table({"user_id": pa.array(np.repeat(u, 7)),
+                         "wd": pa.array(wd, pa.int64())})
+
+    windows = pairs.map_batches(explode, batch_format="pyarrow")
+    kept = auto_semi_join(windows, obs_days, left_key="wd",
+                          right_key="day")
+    return (kept.groupby(["wd", "user_id"])
+            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+            .groupby("wd").aggregate(Count(alias_name="n_users"))
+            .rename_columns({"wd": "day"})
+            .sort("day"))
+
+
+_EVENTS_ACTIVE7_SQL = """
+WITH du AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT days.d AS day,
+       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_users
+FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d ORDER BY day
+"""
+
+
+def orders_price_gini(sf_dir: str):
+    """G39 — Gini coefficient of order values (the inequality /
+    concentration measure a corpus- or revenue-audit reports): with
+    cents ranked ascending by the unique (cents, orderkey) order,
+    ``G = (2·Σ rᵢxᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)``. All three sums are
+    EXACT int64 (per-batch partials); the final Gini is one float
+    division of two exact ints — bit-equal across engines. int64 holds
+    Σ r·x to ~sf100 for this table; beyond that the oracle's HUGEINT
+    path marks where a 128-bit accumulator would be swapped in.
+
+    Scale shape: the global rank reuses functions/rank.py's
+    range-partitioned two-pass (driver holds samples/counts only);
+    the moment sums collapse through per-batch combiners to ONE row."""
+    from .functions.rank import global_row_number
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    ranked = global_row_number(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        order_by=["cents", "o_orderkey"],
+        descending=[False, False], out_col="r")
+
+    def moments(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "srx": pa.array([int((r * x).sum())], pa.int64())})
+
+    m = ranked.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("srx", alias_name="srx"))
+    n, sx, srx = int(m["n"] or 0), int(m["sx"] or 0), int(m["srx"] or 0)
+    num = 2 * srx - (n + 1) * sx
+    den = n * sx
+    return pa.table({
+        "n_orders": pa.array([n], pa.int64()),
+        "sum_cents": pa.array([sx], pa.int64()),
+        "sum_rank_cents": pa.array([srx], pa.int64()),
+        "gini": pa.array([float(num) / float(den) if den else 0.0],
+                         pa.float64())})
+
+
+_ORDERS_GINI_SQL = """
+WITH r AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+                  ROW_NUMBER() OVER (
+                    ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                             o_orderkey) AS rk
+           FROM orders),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sx,
+             CAST(SUM(rk * x) AS BIGINT) srx FROM r)
+SELECT n AS n_orders, sx AS sum_cents, srx AS sum_rank_cents,
+       CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+         AS gini
+FROM m
+"""
+
+
+def events_value_winsorized(sf_dir: str):
+    """G40 — winsorized robust aggregate: per event type, the sum/count
+    of values CLIPPED to the global [P05, P95] (discrete quantiles over
+    cents — the robust-statistics gate that keeps a corrupt feed's
+    outliers from dominating a revenue or metric rollup).
+
+    Scale shape: pass 1 = the exact distributed quantile plan
+    (functions/quantiles.py value-histogram — one row per DISTINCT cent
+    value shuffles); the two clip bounds are driver scalars; pass 2 =
+    one streaming clip + per-type combiner. Integer cents throughout —
+    no float crosses the oracle."""
+    from .functions.quantiles import exact_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    qdf = exact_quantiles(cents, "cents", [0.05, 0.95])
+    lo, hi = int(qdf["value"].iloc[0]), int(qdf["value"].iloc[1])
+
+    def clip(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "w": pa.array(np.clip(c, lo, hi), pa.int64()),
+            "n_lo": pa.array((c < lo).astype(np.int64)),
+            "n_hi": pa.array((c > hi).astype(np.int64))})
+
+    return (cents.map_batches(clip, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("w", alias_name="winsorized_cents"),
+                       Count(alias_name="n"),
+                       Sum("n_lo", alias_name="n_clipped_lo"),
+                       Sum("n_hi", alias_name="n_clipped_hi"))
+            .sort("event_type"))
+
+
+_EVENTS_WINSOR_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT quantile_disc(cents, 0.05) AS lo,
+             quantile_disc(cents, 0.95) AS hi FROM c)
+SELECT event_type,
+       CAST(SUM(LEAST(GREATEST(cents, b.lo), b.hi)) AS BIGINT)
+         AS winsorized_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((cents < b.lo)::INT) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM((cents > b.hi)::INT) AS BIGINT) AS n_clipped_hi
+FROM c, b GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8057,6 +8285,11 @@ def queries():
         "docs_bpe_tokens": docs_bpe_tokens,
         "events_user_rolling_median": events_user_rolling_median,
         "docs_arrow_ipc_roundtrip": docs_arrow_ipc_roundtrip,
+        "events_active_7d": events_active_7d,
+        "orders_price_gini": orders_price_gini,
+        "kg_ntriples": kg_ntriples,
+        "kg_twohop_patterns": kg_twohop_patterns,
+        "events_value_winsorized": events_value_winsorized,
     }
 
 
@@ -8208,6 +8441,9 @@ def oracle_sql():
         "docs_ppl_buckets": _DOCS_PPL_BUCKETS_SQL,
         "events_user_rolling_median": _EVENTS_ROLLMED_SQL,
         "docs_arrow_ipc_roundtrip": _DOCS_IPC_SQL,
+        "events_active_7d": _EVENTS_ACTIVE7_SQL,
+        "orders_price_gini": _ORDERS_GINI_SQL,
+        "events_value_winsorized": _EVENTS_WINSOR_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

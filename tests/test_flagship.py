@@ -160,3 +160,42 @@ def test_kg_predicate_stats_matches_pandas_recomputation(ray_session):
     pd.testing.assert_frame_equal(
         got, want.astype({"n_edges": "int64", "n_support": "int64",
                           "n_subjects": "int64", "n_objects": "int64"}))
+
+
+def test_kg_ntriples_format_and_cover(ray_session):
+    """kg_ntriples lines are exactly '<urn:g:S> <urn:g:p:P> <urn:g:O> .'
+    for the lexicographically-first 50 edges of the same edge table."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_ntriples"](sf).to_pandas()["line"].tolist()
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    want = sorted(
+        f"<urn:g:{r.subj_id}> <urn:g:p:{r.pred}> <urn:g:{r.obj_id}> ."
+        for r in edges.itertuples())[:50]
+    assert got == want
+
+
+def test_kg_twohop_patterns_matches_pandas(ray_session):
+    """kg_twohop_patterns equals the pandas merge-on-middle-entity
+    recomputation over the same edge table."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_twohop_patterns"](sf).to_pandas()
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    l = edges[["obj_id", "pred"]].rename(
+        columns={"obj_id": "mid", "pred": "p1"})
+    r = edges[["subj_id", "pred"]].rename(
+        columns={"subj_id": "mid", "pred": "p2"})
+    want = (l.merge(r, on="mid").groupby(["p1", "p2"])
+            .size().reset_index(name="n_paths")
+            .sort_values(["n_paths", "p1", "p2"],
+                         ascending=[False, True, True])
+            .head(25).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_paths": "int64"}), check_dtype=False)
