@@ -8095,6 +8095,72 @@ FROM c, b GROUP BY event_type ORDER BY event_type
 """
 
 
+def orders_autocorr_lag1(sf_dir: str):
+    """TS1 — lag-1 autocorrelation of the daily order-count series (the
+    time-series seasonality probe a metrics pipeline runs before picking
+    forecast features): Pearson r between day t and day t+1 counts over
+    consecutive calendar days. All five moments are EXACT int64 sums;
+    r = num / sqrt(a·b) with the sqrt taken over the exact integer
+    product once in both engines — bit-equal doubles.
+
+    Scale shape: the fact table collapses through per-batch (day →
+    count) combiners to a calendar-bounded series; only that reaches
+    the driver for the lag pairing (≤ #days rows)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(t["o_orderdate"],
+                                      pa.timestamp("us")), pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return (pa.table({"day": d})
+                .group_by("day").aggregate([([], "count_all")])
+                .rename_columns(["day", "n"]))
+
+    daily = (orders.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .take_all())                    # calendar-bounded
+    s = sorted(daily, key=lambda r: r["day"])
+    import math as _math
+    xs, ys = [], []
+    for a, b in zip(s, s[1:]):
+        if b["day"] == a["day"] + 1:        # consecutive days only
+            xs.append(int(a["n"]))
+            ys.append(int(b["n"]))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = n * sxy - sx * sy
+    da, db = n * sxx - sx * sx, n * syy - sy * sy
+    r = float(num) / _math.sqrt(float(da * db)) if da * db > 0 else 0.0
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "sum_x": pa.array([sx], pa.int64()),
+        "sum_xy": pa.array([sxy], pa.int64()),
+        "autocorr": pa.array([r], pa.float64())})
+
+
+_ORDERS_AUTOCORR_SQL = """
+WITH daily AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                        // 86400000000 AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1),
+pairs AS (SELECT a.n AS x, b.n AS y
+          FROM daily a JOIN daily b ON b.day = a.day + 1),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sx,
+             CAST(SUM(y) AS BIGINT) sy, CAST(SUM(x * x) AS BIGINT) sxx,
+             CAST(SUM(y * y) AS BIGINT) syy,
+             CAST(SUM(x * y) AS BIGINT) sxy
+      FROM pairs)
+SELECT n AS n_pairs, sx AS sum_x, sxy AS sum_xy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                     AS DOUBLE)) AS autocorr
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8290,6 +8356,7 @@ def queries():
         "kg_ntriples": kg_ntriples,
         "kg_twohop_patterns": kg_twohop_patterns,
         "events_value_winsorized": events_value_winsorized,
+        "orders_autocorr_lag1": orders_autocorr_lag1,
     }
 
 
@@ -8444,6 +8511,7 @@ def oracle_sql():
         "events_active_7d": _EVENTS_ACTIVE7_SQL,
         "orders_price_gini": _ORDERS_GINI_SQL,
         "events_value_winsorized": _EVENTS_WINSOR_SQL,
+        "orders_autocorr_lag1": _ORDERS_AUTOCORR_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
