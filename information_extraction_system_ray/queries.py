@@ -8161,6 +8161,337 @@ FROM m
 """
 
 
+def events_type_entropy(sf_dir: str):
+    """G41 — Shannon entropy (bits) of the event-type distribution: the
+    class-balance diagnostic a curation pipeline reports before
+    stratified sampling. H = log2(N) − Σ nᵢ·log2(nᵢ) / N over EXACT
+    int64 per-type counts; the only float work is k ≤ #types log terms
+    summed driver-side in sorted-type order, rounded to 4 dp (the house
+    precedent for order-dependent float sums).
+
+    Scale shape: the fact table collapses through the per-type count
+    combiner; only #types rows reach the driver."""
+    import math as _math
+
+    counts = (read_table(sf_dir, "events", columns=["event_type"])
+              .groupby("event_type").aggregate(Count(alias_name="n"))
+              .take_all())                    # ≤ #types rows
+    counts.sort(key=lambda r: r["event_type"])
+    ns = [int(r["n"]) for r in counts]
+    total = sum(ns)
+    ent = (_math.log2(total)
+           - sum(n * _math.log2(n) for n in ns) / total) if total else 0.0
+    return pa.table({
+        "n_types": pa.array([len(ns)], pa.int64()),
+        "n_total": pa.array([total], pa.int64()),
+        "entropy_bits": pa.array([round(ent, 4)], pa.float64())})
+
+
+_EVENTS_ENTROPY_SQL = """
+WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS n_total,
+       ROUND(log2(CAST(SUM(n) AS DOUBLE))
+             - SUM(n * log2(CAST(n AS DOUBLE))) / SUM(n), 4)
+         AS entropy_bits
+FROM c
+"""
+
+
+def orders_price_theil(sf_dir: str):
+    """G42 — Theil T inequality index of order values: the
+    entropy-family concentration measure that (unlike [[orders_price_gini]])
+    decomposes additively across subgroups. T = Σ x·ln(x) / Σx −
+    ln(Σx / n) over integer cents; Σx and n are EXACT int64, the single
+    float moment Σ x·ln(x) flows through per-batch partials and one
+    float Sum, and the result is rounded to 4 dp to absorb summation
+    order.
+
+    Scale shape: three per-batch combiner rows per batch, one global
+    reduce — nothing data-sized moves."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = _cents(t["o_totalprice"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxl": pa.array([float((x * np.log(x)).sum())], pa.float64())})
+
+    m = orders.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sxl", alias_name="sxl"))
+    import math as _math
+    n, sx, sxl = int(m["n"] or 0), int(m["sx"] or 0), float(m["sxl"] or 0.0)
+    theil = (sxl / sx - _math.log(sx / n)) if n and sx else 0.0
+    return pa.table({
+        "n_orders": pa.array([n], pa.int64()),
+        "sum_cents": pa.array([sx], pa.int64()),
+        "theil": pa.array([round(theil, 4)], pa.float64())})
+
+
+_ORDERS_THEIL_SQL = """
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sx,
+             SUM(x * ln(CAST(x AS DOUBLE))) sxl
+      FROM c)
+SELECT n AS n_orders, sx AS sum_cents,
+       ROUND(sxl / sx - ln(CAST(sx AS DOUBLE) / n), 4) AS theil
+FROM m
+"""
+
+
+def events_value_mad(sf_dir: str):
+    """G43 — median absolute deviation per event type: the robust
+    dispersion partner to [[events_value_winsorized]]'s robust location.
+    Two exact grouped-median passes over integer cents (quantile_disc
+    semantics, v[⌈0.5n⌉−1] on the sorted values): pass 1 yields each
+    type's median, pass 2 the median of |cents − median|. Integers
+    end-to-end — no float crosses the oracle.
+
+    Scale shape: both passes reuse the hash-partitioned map_groups
+    grouped-quantile plan (one vectorized sort per key partition); the
+    ≤ #types medians dict is the only driver hop between passes."""
+    import math as _math
+
+    from .functions.arrowutil import to_arrow
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                             pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def _grouped_median(ds, col, out_col, out_fields):
+        def prep(t: pa.Table) -> pa.Table:
+            part_ids = pd.util.hash_pandas_object(
+                pd.Series(t["event_type"].to_pandas()), index=False) % 8
+            return t.append_column(
+                "part", pa.array(part_ids.to_numpy(), pa.int64()))
+
+        out_schema = pa.schema([("event_type", pa.string())]
+                               + [(f, pa.int64()) for f in out_fields])
+
+        def med(g: pd.DataFrame) -> pa.Table:
+            rows = []
+            for et, grp in g.groupby("event_type", sort=False):
+                v = np.sort(grp[col].to_numpy())
+                rows.append({"event_type": et, out_col: int(
+                    v[max(1, _math.ceil(0.5 * len(v))) - 1])})
+            return to_arrow(pd.DataFrame(rows), out_schema)
+
+        return (ds.map_batches(prep, batch_format="pyarrow")
+                .groupby("part").map_groups(med, batch_format="pandas"))
+
+    med_rows = _grouped_median(cents, "cents", "median_cents",
+                               ["median_cents"]).take_all()
+    meds = {r["event_type"]: int(r["median_cents"]) for r in med_rows}
+    meds_ref = ray.put(meds)                 # ≤ #types entries
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = ray.get(meds_ref)
+        et = t["event_type"].to_pylist()
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        med = np.fromiter((m[e] for e in et), dtype=np.int64, count=len(et))
+        return pa.table({"event_type": t["event_type"],
+                         "dev": pa.array(np.abs(c - med), pa.int64())})
+
+    mad = _grouped_median(
+        cents.map_batches(absdev, batch_format="pyarrow"),
+        "dev", "mad_cents", ["mad_cents"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(meds_ref)
+        et = t["event_type"].to_pylist()
+        return pa.table({
+            "event_type": t["event_type"],
+            "median_cents": pa.array([m[e] for e in et], pa.int64()),
+            "mad_cents": t["mad_cents"]})
+
+    return (mad.map_batches(attach, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+_EVENTS_MAD_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+      FROM c GROUP BY 1)
+SELECT c.event_type, m.med AS median_cents,
+       quantile_disc(abs(c.cents - m.med), 0.5) AS mad_cents
+FROM c JOIN m USING (event_type)
+GROUP BY c.event_type, m.med ORDER BY event_type
+"""
+
+
+def docs_hapax_stats(sf_dir: str):
+    """T6 — vocabulary-richness profile: type count, hapax-legomenon
+    count (terms occurring exactly once), token count, and hapax ratio —
+    the lexical-diversity signal corpus-quality audits track (a shrinking
+    hapax share flags template/boilerplate contamination). All counts
+    EXACT int64; the ratio is one exact-int division rounded to 4 dp.
+
+    Scale shape: rides [[docs_top_terms]]'s term_counts combiner (head
+    terms cost one row per batch); the vocabulary never leaves the
+    cluster — three scalar partials per batch reduce to ONE row."""
+    from .functions.terms import term_counts
+
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    rows_per_block=500)
+    tc = term_counts(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "types": pa.array([len(n)], pa.int64()),
+            "hapax": pa.array([int((n == 1).sum())], pa.int64()),
+            "tokens": pa.array([int(n.sum())], pa.int64())})
+
+    m = tc.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("types", alias_name="types"),
+        Sum("hapax", alias_name="hapax"),
+        Sum("tokens", alias_name="tokens"))
+    k = int(m["types"] or 0)
+    h = int(m["hapax"] or 0)
+    tot = int(m["tokens"] or 0)
+    return pa.table({
+        "n_types": pa.array([k], pa.int64()),
+        "n_hapax": pa.array([h], pa.int64()),
+        "n_tokens": pa.array([tot], pa.int64()),
+        "hapax_ratio": pa.array([round(h / k, 4) if k else 0.0],
+                                pa.float64())})
+
+
+_DOCS_HAPAX_SQL = """
+WITH tc AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS term
+            FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tc GROUP BY term)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM((n = 1)::INT) AS BIGINT) AS n_hapax,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM((n = 1)::INT) AS DOUBLE) / COUNT(*), 4)
+         AS hapax_ratio
+FROM c
+"""
+
+
+def docs_zipf_slope(sf_dir: str):
+    """T7 — Zipf-law slope: OLS slope of ln(frequency) on ln(rank) over
+    the top-100 terms — the rank-frequency power-law fit (Zipf 1949)
+    whose drift from ≈ −1 flags synthetic or deduplication-damaged text.
+    Counts and ranks are exact; the regression runs driver-side over
+    ≤ 100 (ln rank, ln n) pairs in rank order, rounded to 4 dp.
+
+    Scale shape: term_counts combiner → distributed top-k sort; exactly
+    k rows reach the driver."""
+    from .functions.terms import top_terms
+
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    rows_per_block=500)
+    import math as _math
+    top = top_terms(ds, 100).take_all()      # ≤ 100 rows, rank order
+    xs = [_math.log(i + 1) for i in range(len(top))]
+    ys = [_math.log(int(r["n"])) for r in top]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den if den else 0.0
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "zipf_slope": pa.array([round(slope, 4)], pa.float64())})
+
+
+_DOCS_ZIPF_SQL = """
+WITH tc AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS term
+            FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tc GROUP BY term),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM c
+      QUALIFY rk <= 100)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(CAST(n AS DOUBLE)),
+                        ln(CAST(rk AS DOUBLE))), 4) AS zipf_slope
+FROM r
+"""
+
+
+def events_dow_chi2(sf_dir: str):
+    """G44 — chi-square independence statistic for event_type ×
+    day-of-week (epoch-day mod 7): the contingency test a pipeline runs
+    to detect whether traffic mix shifts by weekday. Uses the
+    zero-cell-free identity χ² = N·Σ Oᵢⱼ²/(Rᵢ·Cⱼ) − N so only OBSERVED
+    cells contribute; all counts exact int64, the ≤ types×7-cell float
+    sum runs driver-side in sorted (type, dow) order, rounded to 4 dp.
+
+    Scale shape: per-batch (type, dow) count combiner → one tiny
+    groupby; the contingency table (≤ types×7 rows) is the only thing
+    the driver sees."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        dow = pc.subtract(
+            pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64())),
+            pc.multiply(
+                pc.divide(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                    pa.scalar(86_400_000_000, pa.int64())),
+                          pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64())))
+        return (pa.table({"event_type": t["event_type"], "dow": dow})
+                .group_by(["event_type", "dow"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "dow", "n"]))
+
+    obs = (ev.map_batches(cells, batch_format="pyarrow")
+           .groupby(["event_type", "dow"])
+           .aggregate(Sum("n", alias_name="n"))
+           .take_all())                       # ≤ types×7 cells
+    obs.sort(key=lambda r: (r["event_type"], int(r["dow"])))
+    row_tot: dict = {}
+    col_tot: dict = {}
+    total = 0
+    for r in obs:
+        row_tot[r["event_type"]] = row_tot.get(r["event_type"], 0) \
+            + int(r["n"])
+        col_tot[int(r["dow"])] = col_tot.get(int(r["dow"]), 0) \
+            + int(r["n"])
+        total += int(r["n"])
+    s = sum((int(r["n"]) ** 2)
+            / (row_tot[r["event_type"]] * col_tot[int(r["dow"])])
+            for r in obs)
+    chi2 = total * s - total if total else 0.0
+    return pa.table({
+        "n_cells": pa.array([len(obs)], pa.int64()),
+        "n_total": pa.array([total], pa.int64()),
+        "chi2": pa.array([round(chi2, 4)], pa.float64())})
+
+
+_EVENTS_CHI2_SQL = """
+WITH c AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000) % 7 AS dow,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS r FROM c GROUP BY 1),
+ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS col FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_cells,
+       tot.t AS n_total,
+       ROUND(tot.t * SUM(CAST(c.n AS DOUBLE) * c.n / (rt.r * ct.col))
+             - tot.t, 4) AS chi2
+FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tot
+GROUP BY tot.t
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8357,6 +8688,12 @@ def queries():
         "kg_twohop_patterns": kg_twohop_patterns,
         "events_value_winsorized": events_value_winsorized,
         "orders_autocorr_lag1": orders_autocorr_lag1,
+        "events_type_entropy": events_type_entropy,
+        "orders_price_theil": orders_price_theil,
+        "events_value_mad": events_value_mad,
+        "docs_hapax_stats": docs_hapax_stats,
+        "docs_zipf_slope": docs_zipf_slope,
+        "events_dow_chi2": events_dow_chi2,
     }
 
 
@@ -8512,6 +8849,12 @@ def oracle_sql():
         "orders_price_gini": _ORDERS_GINI_SQL,
         "events_value_winsorized": _EVENTS_WINSOR_SQL,
         "orders_autocorr_lag1": _ORDERS_AUTOCORR_SQL,
+        "events_type_entropy": _EVENTS_ENTROPY_SQL,
+        "orders_price_theil": _ORDERS_THEIL_SQL,
+        "events_value_mad": _EVENTS_MAD_SQL,
+        "docs_hapax_stats": _DOCS_HAPAX_SQL,
+        "docs_zipf_slope": _DOCS_ZIPF_SQL,
+        "events_dow_chi2": _EVENTS_CHI2_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
