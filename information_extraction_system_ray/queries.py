@@ -8492,6 +8492,294 @@ GROUP BY tot.t
 """
 
 
+def orders_benford(sf_dir: str):
+    """G45 — Benford first-significant-digit distribution of order
+    values: the fraud/synthetic-data audit (Benford 1938) a pipeline
+    runs over monetary columns — heavy deviation from log10(1+1/d)
+    flags fabricated records. Digit extraction is a pure string slice
+    over integer cents (no float log10 near power-of-ten boundaries);
+    counts exact, shares one exact division each, 4 dp.
+
+    Scale shape: per-batch digit-count combiner (≤9 rows per batch) →
+    one tiny groupby; the grand total is a second pass over the same
+    collapsed rows, not the fact table."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(_cents(t["o_totalprice"]), pa.string()), 0, 1),
+            pa.int64())
+        return (pa.table({"digit": d})
+                .group_by("digit").aggregate([([], "count_all")])
+                .rename_columns(["digit", "n"]))
+
+    per = (orders.map_batches(digits, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    total = int(per.sum("n") or 0)
+
+    def share(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "share", pa.array(np.round(n / total, 4), pa.float64()))
+
+    return per.map_batches(share, batch_format="pyarrow").sort("digit")
+
+
+_ORDERS_BENFORD_SQL = """
+WITH c AS (SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                       AS BIGINT) AS digit
+           FROM orders),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+SELECT digit, n, ROUND(CAST(n AS DOUBLE) / tot, 4) AS share
+FROM g, t ORDER BY digit
+"""
+
+
+def events_type_value_trend(sf_dir: str):
+    """G46 — per-type OLS trend: slope of spend (cents) on days since
+    the first observed event, per event type — the drift detector a
+    metrics pipeline fits before alerting on mix shifts. All five
+    regression moments are EXACT int64 per-batch partials (x centered on
+    the global min day to keep Σxy in range); the final slope combines
+    them in arbitrary-precision Python ints per type, one float division
+    rounded to 4 dp (oracle uses HUGEINT for the same products).
+
+    Scale shape: one tiny Min pre-pass; five combiner rows per
+    (batch, type); ≤ #types rows reach the driver."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    day0 = int(ev.map_batches(
+        lambda t: pa.table({"d": pc.divide(
+            pc.cast(t["ts"], pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))}),
+        batch_format="pyarrow").min("d"))
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = (pc.divide(pc.cast(t["ts"], pa.int64()),
+                       pa.scalar(86_400_000_000, pa.int64()))
+             .to_numpy(zero_copy_only=False) - day0)
+        y = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (ev.map_batches(moments, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxx", alias_name="sxx"),
+                       Sum("sxy", alias_name="sxy"))
+            .take_all())                      # ≤ #types rows
+    rows.sort(key=lambda r: r["event_type"])
+    out = {"event_type": [], "n": [], "slope_cents_per_day": []}
+    for r in rows:
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy = int(r["sxx"]), int(r["sxy"])
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx   # exact bigints
+        out["event_type"].append(r["event_type"])
+        out["n"].append(n)
+        out["slope_cents_per_day"].append(
+            round(float(num) / float(den), 4) if den else 0.0)
+    return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                     "n": pa.array(out["n"], pa.int64()),
+                     "slope_cents_per_day": pa.array(
+                         out["slope_cents_per_day"], pa.float64())})
+
+
+_EVENTS_TREND_SQL = """
+WITH md AS (SELECT MIN(epoch_us(ts) // 86400000000) AS m FROM events),
+c AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 - md.m AS x,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events, md),
+a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) n,
+             CAST(SUM(x) AS HUGEINT) sx, CAST(SUM(y) AS HUGEINT) sy,
+             CAST(SUM(x * x) AS HUGEINT) sxx,
+             CAST(SUM(x * y) AS HUGEINT) sxy
+      FROM c GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+         AS slope_cents_per_day
+FROM a ORDER BY event_type
+"""
+
+
+def docs_dup_cluster_hist(sf_dir: str):
+    """D15 — duplicate-cluster size histogram: how many exact-content
+    clusters exist at each multiplicity — the dedup-health report a
+    corpus audit publishes (a fat tail of large clusters means template
+    spam survived upstream filters). Rides [[docs_exact_dedup]]'s
+    fingerprint contract so the histogram describes exactly what that
+    operator would collapse.
+
+    Scale shape: (fingerprint, id) pairs shuffle once for the cluster
+    count; cluster sizes then collapse to ≤ max-multiplicity rows."""
+    from .functions.text import fingerprint_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=500)
+    sizes = (docs.map_batches(
+        lambda b: fingerprint_batch(b, "text").select(["fingerprint"]),
+        batch_format="pyarrow")
+        .groupby("fingerprint").aggregate(Count(alias_name="sz")))
+    return (sizes.map_batches(
+        lambda t: pa.table({"cluster_size": t["sz"]}),
+        batch_format="pyarrow")
+        .groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+        .sort("cluster_size"))
+
+
+_DOCS_DUP_HIST_SQL = r"""
+WITH g AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             AS fp,
+           CAST(COUNT(*) AS BIGINT) AS sz
+           FROM documents GROUP BY 1)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM g GROUP BY 1 ORDER BY cluster_size
+"""
+
+
+def events_js_drift(sf_dir: str):
+    """G47 — Jensen–Shannon divergence (bits) between the event-type mix
+    of the first vs second half of the observed time range: the bounded,
+    symmetric distribution-drift metric (Lin 1991) a feed monitor
+    prefers over KL because absent types stay finite. The time split is
+    pure integer arithmetic (ts·2 ≤ min+max); per-(half, type) counts
+    are exact; the ≤ 2·#types JSD terms sum driver-side in sorted-type
+    order, 4 dp.
+
+    Scale shape: one Min/Max pre-pass; the fact table collapses through
+    a (half, type) count combiner — nothing else moves."""
+    import math as _math
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    mm = ev.map_batches(
+        lambda t: pa.table({"us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("us"), Max("us"))
+    lo, hi = int(mm["min(us)"]), int(mm["max(us)"])
+
+    def halves(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        h = pc.cast(pc.greater(pc.multiply(us, pa.scalar(2, pa.int64())),
+                               pa.scalar(lo + hi, pa.int64())), pa.int64())
+        return (pa.table({"event_type": t["event_type"], "h": h})
+                .group_by(["event_type", "h"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "h", "n"]))
+
+    rows = (ev.map_batches(halves, batch_format="pyarrow")
+            .groupby(["event_type", "h"]).aggregate(Sum("n", alias_name="n"))
+            .take_all())                      # ≤ 2·#types rows
+    a: dict = {}
+    b: dict = {}
+    for r in rows:
+        (a if int(r["h"]) == 0 else b)[r["event_type"]] = int(r["n"])
+    ta, tb = sum(a.values()), sum(b.values())
+    jsd = 0.0
+    for et in sorted(set(a) | set(b)):
+        p = a.get(et, 0) / ta if ta else 0.0
+        q = b.get(et, 0) / tb if tb else 0.0
+        m = 0.5 * (p + q)
+        if p > 0:
+            jsd += 0.5 * p * _math.log2(p / m)
+        if q > 0:
+            jsd += 0.5 * q * _math.log2(q / m)
+    return pa.table({
+        "n_first": pa.array([ta], pa.int64()),
+        "n_second": pa.array([tb], pa.int64()),
+        "jsd_bits": pa.array([round(jsd, 4)], pa.float64())})
+
+
+_EVENTS_JSD_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) mn, MAX(epoch_us(ts)) mx FROM events),
+c AS (SELECT event_type,
+             CASE WHEN epoch_us(ts) * 2 > b.mn + b.mx
+                  THEN 1 ELSE 0 END AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, b GROUP BY 1, 2),
+piv AS (SELECT event_type,
+               CAST(SUM(CASE WHEN h = 0 THEN n ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN h = 1 THEN n ELSE 0 END) AS BIGINT) AS nb
+        FROM c GROUP BY 1),
+tt AS (SELECT CAST(SUM(na) AS BIGINT) ta, CAST(SUM(nb) AS BIGINT) tb
+       FROM piv)
+SELECT tt.ta AS n_first, tt.tb AS n_second,
+       ROUND(SUM(
+         CASE WHEN na > 0 THEN 0.5 * (CAST(na AS DOUBLE) / ta)
+              * log2((CAST(na AS DOUBLE) / ta)
+                     / (0.5 * (CAST(na AS DOUBLE) / ta
+                               + CAST(nb AS DOUBLE) / tb)))
+              ELSE 0 END
+         + CASE WHEN nb > 0 THEN 0.5 * (CAST(nb AS DOUBLE) / tb)
+                * log2((CAST(nb AS DOUBLE) / tb)
+                       / (0.5 * (CAST(na AS DOUBLE) / ta
+                                 + CAST(nb AS DOUBLE) / tb)))
+                ELSE 0 END), 4) AS jsd_bits
+FROM piv, tt GROUP BY tt.ta, tt.tb
+"""
+
+
+def orders_systematic_sample(sf_dir: str):
+    """O9 — weighted SYSTEMATIC sampling (the deterministic alternative
+    to weighted reservoir sampling for importance-weighted corpus
+    subsampling): walk the cents-weighted cumulative line in o_orderkey
+    order and keep every row whose interval crosses a multiple of
+    total/k (k = 100). Entirely integer arithmetic — the cumulative sum
+    is [[orders_global_rank]]'s exact range-partitioned prefix-sum plan,
+    the crossing test is two int floor-divisions — so selection is
+    bit-identical to SQL with no float boundary anywhere.
+
+    Scale shape: two-pass global_running_sum (driver holds per-partition
+    offsets only) + a streaming filter; ~k rows come back."""
+    from .functions.rank import global_running_sum
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow").materialize()
+    total = int(cents.sum("cents") or 0)
+    step = max(1, total // 100)
+    cum = global_running_sum(cents, "cents", order_by=["o_orderkey"],
+                             out_col="cum")
+
+    def crossing(t: pa.Table) -> pa.Table:
+        c = t["cum"].to_numpy(zero_copy_only=False)
+        x = t["cents"].to_numpy(zero_copy_only=False)
+        keep = (c - x) // step < c // step
+        return t.filter(pa.array(keep))
+
+    return (cum.map_batches(crossing, batch_format="pyarrow")
+            .sort("o_orderkey"))
+
+
+_ORDERS_SYSSAMPLE_SQL = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+w AS (SELECT o_orderkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY o_orderkey
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM c),
+t AS (SELECT GREATEST(CAST(SUM(cents) AS BIGINT) // 100, 1) AS step
+      FROM c)
+SELECT o_orderkey, cents, cum
+FROM w, t
+WHERE (cum - cents) // step < cum // step
+ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8694,6 +8982,11 @@ def queries():
         "docs_hapax_stats": docs_hapax_stats,
         "docs_zipf_slope": docs_zipf_slope,
         "events_dow_chi2": events_dow_chi2,
+        "orders_benford": orders_benford,
+        "events_type_value_trend": events_type_value_trend,
+        "docs_dup_cluster_hist": docs_dup_cluster_hist,
+        "events_js_drift": events_js_drift,
+        "orders_systematic_sample": orders_systematic_sample,
     }
 
 
@@ -8855,6 +9148,11 @@ def oracle_sql():
         "docs_hapax_stats": _DOCS_HAPAX_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         "events_dow_chi2": _EVENTS_CHI2_SQL,
+        "orders_benford": _ORDERS_BENFORD_SQL,
+        "events_type_value_trend": _EVENTS_TREND_SQL,
+        "docs_dup_cluster_hist": _DOCS_DUP_HIST_SQL,
+        "events_js_drift": _EVENTS_JSD_SQL,
+        "orders_systematic_sample": _ORDERS_SYSSAMPLE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
