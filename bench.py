@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     # round-4 operators
     "docs_curation_funnel", "docs_gopher_rules", "docs_bpe_merges",
     "events_user_rolling_median", "emb_knn_lsh",
+    # round-4 late additions (heaviest of the new audit family)
+    "docs_ngram_novelty", "customer_rfm_segments", "orders_cdc_diff",
 ]
 
 

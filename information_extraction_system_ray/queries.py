@@ -8244,6 +8244,37 @@ FROM m
 """
 
 
+def _grouped_median_by_type(ds, col: str, out_col: str):
+    """Exact grouped median over ``event_type`` (quantile_disc
+    semantics, v[⌈0.5n⌉−1] on the sorted values): the hash-partitioned
+    map_groups grouped-quantile plan — one vectorized sort per key
+    partition, nothing event-sized on the driver. Shared by
+    [[events_value_mad]] and [[events_robust_outliers]]."""
+    import math as _math
+
+    from .functions.arrowutil import to_arrow
+
+    def prep(t: pa.Table) -> pa.Table:
+        part_ids = pd.util.hash_pandas_object(
+            pd.Series(t["event_type"].to_pandas()), index=False) % 8
+        return t.append_column(
+            "part", pa.array(part_ids.to_numpy(), pa.int64()))
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            (out_col, pa.int64())])
+
+    def med(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp[col].to_numpy())
+            rows.append({"event_type": et, out_col: int(
+                v[max(1, _math.ceil(0.5 * len(v))) - 1])})
+        return to_arrow(pd.DataFrame(rows), out_schema)
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(med, batch_format="pandas"))
+
+
 def events_value_mad(sf_dir: str):
     """G43 — median absolute deviation per event type: the robust
     dispersion partner to [[events_value_winsorized]]'s robust location.
@@ -8255,10 +8286,6 @@ def events_value_mad(sf_dir: str):
     Scale shape: both passes reuse the hash-partitioned map_groups
     grouped-quantile plan (one vectorized sort per key partition); the
     ≤ #types medians dict is the only driver hop between passes."""
-    import math as _math
-
-    from .functions.arrowutil import to_arrow
-
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
     cents = ev.map_batches(
         lambda t: pa.table({
@@ -8267,29 +8294,8 @@ def events_value_mad(sf_dir: str):
                              pa.int64())}),
         batch_format="pyarrow").materialize()
 
-    def _grouped_median(ds, col, out_col, out_fields):
-        def prep(t: pa.Table) -> pa.Table:
-            part_ids = pd.util.hash_pandas_object(
-                pd.Series(t["event_type"].to_pandas()), index=False) % 8
-            return t.append_column(
-                "part", pa.array(part_ids.to_numpy(), pa.int64()))
-
-        out_schema = pa.schema([("event_type", pa.string())]
-                               + [(f, pa.int64()) for f in out_fields])
-
-        def med(g: pd.DataFrame) -> pa.Table:
-            rows = []
-            for et, grp in g.groupby("event_type", sort=False):
-                v = np.sort(grp[col].to_numpy())
-                rows.append({"event_type": et, out_col: int(
-                    v[max(1, _math.ceil(0.5 * len(v))) - 1])})
-            return to_arrow(pd.DataFrame(rows), out_schema)
-
-        return (ds.map_batches(prep, batch_format="pyarrow")
-                .groupby("part").map_groups(med, batch_format="pandas"))
-
-    med_rows = _grouped_median(cents, "cents", "median_cents",
-                               ["median_cents"]).take_all()
+    med_rows = _grouped_median_by_type(cents, "cents",
+                                       "median_cents").take_all()
     meds = {r["event_type"]: int(r["median_cents"]) for r in med_rows}
     meds_ref = ray.put(meds)                 # ≤ #types entries
 
@@ -8301,9 +8307,9 @@ def events_value_mad(sf_dir: str):
         return pa.table({"event_type": t["event_type"],
                          "dev": pa.array(np.abs(c - med), pa.int64())})
 
-    mad = _grouped_median(
+    mad = _grouped_median_by_type(
         cents.map_batches(absdev, batch_format="pyarrow"),
-        "dev", "mad_cents", ["mad_cents"])
+        "dev", "mad_cents")
 
     def attach(t: pa.Table) -> pa.Table:
         m = ray.get(meds_ref)
@@ -8780,6 +8786,862 @@ ORDER BY o_orderkey
 """
 
 
+def events_value_skewkurt(sf_dir: str):
+    """G48 — grouped skewness + excess kurtosis of spend per event type:
+    the distribution-shape moments an anomaly monitor tracks beyond
+    variance (a kurtosis spike = heavy-tail corruption before the mean
+    moves). Two-pass centered-moment plan: pass 1 exact int64 (n, Σx)
+    per type → the mean is one exact-int division (identical double both
+    engines); pass 2 streams float Σe², Σe³, Σe⁴ per (batch, type)
+    through combiners. Both shape stats are scale-free O(1) ratios,
+    rounded to 4 dp to absorb float summation order.
+
+    Scale shape: ≤ #types rows per batch in each pass; only #types rows
+    reach the driver."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "x": pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                         pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    base = (cents.groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("x", alias_name="sx"))
+            .take_all())
+    mu = {r["event_type"]: float(r["sx"]) / int(r["n"]) for r in base}
+    nn = {r["event_type"]: int(r["n"]) for r in base}
+    mu_ref = ray.put(mu)
+
+    def central(t: pa.Table) -> pa.Table:
+        m = ray.get(mu_ref)
+        et = t["event_type"].to_pandas()
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = x - et.map(m).to_numpy()
+        df = pd.DataFrame({"event_type": et, "s2": e * e,
+                           "s3": e * e * e, "s4": e * e * e * e})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (cents.map_batches(central, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("s2", alias_name="s2"),
+                       Sum("s3", alias_name="s3"),
+                       Sum("s4", alias_name="s4"))
+            .take_all())                      # ≤ #types rows
+    rows.sort(key=lambda r: r["event_type"])
+    out = {"event_type": [], "n": [], "skewness": [],
+           "excess_kurtosis": []}
+    for r in rows:
+        n = nn[r["event_type"]]
+        m2 = float(r["s2"]) / n
+        m3 = float(r["s3"]) / n
+        m4 = float(r["s4"]) / n
+        out["event_type"].append(r["event_type"])
+        out["n"].append(n)
+        out["skewness"].append(round(m3 / m2 ** 1.5, 4) if m2 else 0.0)
+        out["excess_kurtosis"].append(
+            round(m4 / (m2 * m2) - 3.0, 4) if m2 else 0.0)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "skewness": pa.array(out["skewness"], pa.float64()),
+        "excess_kurtosis": pa.array(out["excess_kurtosis"], pa.float64())})
+
+
+_EVENTS_SKEWKURT_SQL = """
+WITH c AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
+           FROM events),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+             CAST(SUM(x) AS BIGINT) sx FROM c GROUP BY 1),
+d AS (SELECT c.event_type, m.n,
+             CAST(c.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n AS e
+      FROM c JOIN m USING (event_type))
+SELECT event_type, n,
+       ROUND((SUM(e * e * e) / n) / POW(SUM(e * e) / n, 1.5), 4)
+         AS skewness,
+       ROUND((SUM(e * e * e * e) / n) / POW(SUM(e * e) / n, 2) - 3, 4)
+         AS excess_kurtosis
+FROM d GROUP BY event_type, n ORDER BY event_type
+"""
+
+
+def docs_ttr_hist(sf_dir: str):
+    """T8 — type-token-ratio histogram: per-document lexical diversity
+    (distinct terms / tokens) bucketed into deciles — the per-document
+    counterpart of corpus-level [[docs_hapax_stats]] (a mass shift into
+    low buckets flags boilerplate). Bucket = min(10·types // tokens, 9)
+    is pure integer arithmetic — no float TTR crosses the oracle.
+
+    Scale shape: tokenize + distinct-count are per-batch work (sets die
+    with the batch — no vocabulary leaves the task); only ≤10 partial
+    rows per batch shuffle."""
+    from .functions.terms import _TERM_RE
+
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    rows_per_block=500)
+
+    def buckets(t: pa.Table) -> pa.Table:
+        bs = []
+        for txt in t["text"].to_pylist():
+            ws = _TERM_RE.findall((txt or "").lower())
+            if not ws:
+                continue
+            bs.append(min(10 * len(set(ws)) // len(ws), 9))
+        if not bs:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.Series(bs).value_counts()
+        return pa.table({"bucket": pa.array(vc.index.to_numpy(), pa.int64()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    return (ds.map_batches(buckets, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n_docs"))
+            .sort("bucket"))
+
+
+_DOCS_TTR_SQL = """
+WITH pd AS (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS toks,
+            len(list_distinct(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+'))) AS typs
+            FROM documents),
+b AS (SELECT LEAST((10 * typs) // toks, 9) AS bucket FROM pd
+      WHERE toks > 0)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1 ORDER BY bucket
+"""
+
+
+def docs_ngram_novelty(sf_dir: str):
+    """T9 — cross-split n-gram novelty: the share of distinct word
+    trigrams in odd-id documents that never appear in even-id documents —
+    the memorization / contamination probe run between a training split
+    and a held-out split (novelty ≈ 0 means the "new" split is recycled
+    text). Per-trigram presence flags collapse through per-batch
+    distinct combiners; one groupby(trigram) MAX-flags shuffle; two
+    exact int totals and one exact division, 4 dp.
+
+    Scale shape: the shuffle carries one row per DISTINCT (trigram seen
+    in batch), never token volume; the driver sees two scalars."""
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=500)
+
+    def tris(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        rows: dict = {}
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            ws = _TERM_RE.findall((txt or "").lower())
+            h = int(did) % 2
+            for i in range(len(ws) - 2):
+                tri = " ".join(ws[i:i + 3])
+                f = rows.get(tri)
+                if f is None:
+                    rows[tri] = [h == 0, h == 1]
+                else:
+                    f[0] |= (h == 0)
+                    f[1] |= (h == 1)
+        return pa.table({
+            "tri": pa.array(list(rows), pa.string()),
+            "he": pa.array([int(v[0]) for v in rows.values()], pa.int64()),
+            "ho": pa.array([int(v[1]) for v in rows.values()], pa.int64())})
+
+    flags = (docs.map_batches(tris, batch_format="pyarrow")
+             .groupby("tri")
+             .aggregate(Max("he", alias_name="he"),
+                        Max("ho", alias_name="ho")))
+
+    def totals(t: pa.Table) -> pa.Table:
+        he = t["he"].to_numpy(zero_copy_only=False)
+        ho = t["ho"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_odd": pa.array([int(ho.sum())], pa.int64()),
+            "n_novel": pa.array([int((ho & (1 - he)).sum())], pa.int64())})
+
+    m = flags.map_batches(totals, batch_format="pyarrow").aggregate(
+        Sum("n_odd", alias_name="n_odd"),
+        Sum("n_novel", alias_name="n_novel"))
+    n_odd, n_novel = int(m["n_odd"] or 0), int(m["n_novel"] or 0)
+    return pa.table({
+        "n_odd_trigrams": pa.array([n_odd], pa.int64()),
+        "n_novel": pa.array([n_novel], pa.int64()),
+        "novelty_ratio": pa.array(
+            [round(n_novel / n_odd, 4) if n_odd else 0.0], pa.float64())})
+
+
+_DOCS_NOVELTY_SQL = """
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+tri AS (SELECT doc_id % 2 AS h,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tri
+        FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3),
+flags AS (SELECT tri,
+                 MAX(CASE WHEN h = 0 THEN 1 ELSE 0 END) he,
+                 MAX(CASE WHEN h = 1 THEN 1 ELSE 0 END) ho
+          FROM tri GROUP BY tri)
+SELECT CAST(SUM(ho) AS BIGINT) AS n_odd_trigrams,
+       CAST(SUM(CASE WHEN ho = 1 AND he = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN ho = 1 AND he = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / SUM(ho), 4) AS novelty_ratio
+FROM flags
+"""
+
+
+def orders_pareto_80_20(sf_dir: str):
+    """G49 — Pareto concentration: the revenue share captured by the
+    top 20% of customers — the skew headline an account-concentration
+    (or per-domain corpus-concentration) audit reports. Customer
+    revenues are exact int64 cents; the global rank is the exact
+    range-partitioned two-pass plan ordered by (revenue DESC, custkey);
+    k = n//5 and both sums are exact ints — the share is ONE float
+    division, 4 dp.
+
+    Scale shape: fact → per-customer combiner sum; the rank pass holds
+    only per-partition sample/count tables on the driver; two scalar
+    partial sums come back."""
+    from .functions.rank import global_row_number
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    rev = (orders.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "rev": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+        .materialize())
+    n_cust = rev.count()
+    k = n_cust // 5
+    ranked = global_row_number(rev, order_by=["rev", "o_custkey"],
+                               descending=[True, False], out_col="rn")
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False)
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "top": pa.array([int(r[rn <= k].sum())], pa.int64()),
+            "tot": pa.array([int(r.sum())], pa.int64())})
+
+    m = ranked.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("top", alias_name="top"), Sum("tot", alias_name="tot"))
+    top, tot = int(m["top"] or 0), int(m["tot"] or 0)
+    return pa.table({
+        "n_customers": pa.array([n_cust], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "top_cents": pa.array([top], pa.int64()),
+        "total_cents": pa.array([tot], pa.int64()),
+        "top_share": pa.array([round(top / tot, 4) if tot else 0.0],
+                              pa.float64())})
+
+
+_ORDERS_PARETO_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+rk AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey)
+              AS rn FROM r),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(rev) AS BIGINT) tot
+      FROM r)
+SELECT t.n AS n_customers, t.n // 5 AS k,
+       CAST(SUM(CASE WHEN rn <= t.n // 5 THEN rev ELSE 0 END)
+            AS BIGINT) AS top_cents,
+       t.tot AS total_cents,
+       ROUND(CAST(SUM(CASE WHEN rn <= t.n // 5 THEN rev ELSE 0 END)
+                  AS DOUBLE) / t.tot, 4) AS top_share
+FROM rk, t GROUP BY t.n, t.tot
+"""
+
+
+def events_robust_outliers(sf_dir: str):
+    """G50 — robust (median/MAD) outlier gate per event type: count of
+    events with |cents − median| > 5·MAD — the non-parametric partner to
+    the 3-sigma gate in [[events_value_outliers]] (a MAD gate survives
+    the very outliers that inflate sigma). Both location and scale come
+    from the exact grouped-median plan; the gate is a pure integer
+    comparison — no float crosses the oracle.
+
+    Scale shape: two grouped-median passes + one streaming counting
+    pass; the ≤ #types (median, mad) dict is the only driver hop."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                             pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    meds = {r["event_type"]: int(r["m"]) for r in
+            _grouped_median_by_type(cents, "cents", "m").take_all()}
+    meds_ref = ray.put(meds)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = ray.get(meds_ref)
+        et = t["event_type"].to_pylist()
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        med = np.fromiter((m[e] for e in et), dtype=np.int64, count=len(et))
+        return pa.table({"event_type": t["event_type"],
+                         "dev": pa.array(np.abs(c - med), pa.int64())})
+
+    devs = cents.map_batches(absdev, batch_format="pyarrow").materialize()
+    mads = {r["event_type"]: int(r["m"]) for r in
+            _grouped_median_by_type(devs, "dev", "m").take_all()}
+    mads_ref = ray.put(mads)
+
+    def gate(t: pa.Table) -> pa.Table:
+        md = ray.get(mads_ref)
+        et = t["event_type"].to_pylist()
+        d = t["dev"].to_numpy(zero_copy_only=False)
+        lim = np.fromiter((5 * md[e] for e in et), dtype=np.int64,
+                          count=len(et))
+        return pa.table({"event_type": t["event_type"],
+                         "out": pa.array((d > lim).astype(np.int64))})
+
+    counted = (devs.map_batches(gate, batch_format="pyarrow")
+               .groupby("event_type")
+               .aggregate(Count(alias_name="n"),
+                          Sum("out", alias_name="n_outliers")))
+
+    def attach(t: pa.Table) -> pa.Table:
+        m, md = ray.get(meds_ref), ray.get(mads_ref)
+        et = t["event_type"].to_pylist()
+        return pa.table({
+            "event_type": t["event_type"], "n": t["n"],
+            "n_outliers": t["n_outliers"],
+            "median_cents": pa.array([m[e] for e in et], pa.int64()),
+            "mad_cents": pa.array([md[e] for e in et], pa.int64())})
+
+    return (counted.map_batches(attach, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+_EVENTS_ROBUST_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+      FROM c GROUP BY 1),
+d AS (SELECT c.event_type, c.cents, m.med,
+             abs(c.cents - m.med) AS dev
+      FROM c JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY 1)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d.dev > 5 * md.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       MAX(d.med) AS median_cents, md.mad AS mad_cents
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type, md.mad ORDER BY event_type
+"""
+
+
+def events_user_scd2(sf_dir: str):
+    """S10 — SCD2 (slowly-changing-dimension type 2) interval build:
+    per user, each event becomes a state row with a validity interval
+    [valid_from_us, valid_to_us) closed by the NEXT event's timestamp —
+    the classic warehouse versioning transform (valid_to_us = −1 marks
+    the currently-open row). LEAD is [[lag_column]] with periods = −1
+    over hash-bucketed user partitions.
+
+    Scale shape: one hash shuffle on user_id, one per-partition
+    mergesort; output is fact-sized and streams — nothing on the
+    driver."""
+    from .functions.window import lag_column
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    us = ev.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "event_type": t["event_type"],
+                            "valid_from_us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    led = lag_column(us, "valid_from_us", keys=["user_id"],
+                     order_by=["valid_from_us"], periods=-1,
+                     out_col="valid_to_us")
+
+    def close_open(t: pa.Table) -> pa.Table:
+        v = t["valid_to_us"].to_pandas().fillna(-1).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "valid_from_us": t["valid_from_us"],
+            "valid_to_us": pa.array(v.to_numpy(), pa.int64())})
+
+    return (led.map_batches(close_open, batch_format="pyarrow")
+            .sort(["user_id", "valid_from_us"]))
+
+
+_EVENTS_SCD2_SQL = """
+SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+       COALESCE(LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)), -1)
+         AS valid_to_us
+FROM events ORDER BY user_id, valid_from_us
+"""
+
+
+def supplier_balance_outliers(sf_dir: str):
+    """G51 — per-nation z-score gate with EXACT integer arithmetic:
+    suppliers whose account balance sits more than 2 population standard
+    deviations from their nation's mean. The float-free trick: |z| > 2
+    ⇔ (n·x − Σx)² > 4·(n·Σx² − (Σx)²), evaluated in arbitrary-precision
+    Python ints per row (dim-table-sized loop; the oracle uses HUGEINT
+    for the same products) — so the gate has NO float boundary at all,
+    unlike a naive z = (x−μ)/σ comparison.
+
+    Scale shape: per-nation (n, Σx, Σx²) combiner → ≤ #nations dict
+    broadcast; the gate streams over the dim table."""
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    cents = sup.map_batches(
+        lambda t: pa.table({"s_suppkey": t["s_suppkey"],
+                            "s_nationkey": t["s_nationkey"],
+                            "balance_cents": _cents(t["s_acctbal"])}),
+        batch_format="pyarrow").materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["balance_cents"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"s_nationkey": t["s_nationkey"].to_pandas(),
+                           "n": 1, "sx": x, "sxx": x * x})
+        g = df.groupby("s_nationkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = {int(r["s_nationkey"]): (int(r["n"]), int(r["sx"]),
+                                     int(r["sxx"]))
+             for r in (cents.map_batches(moments, batch_format="pyarrow")
+                       .groupby("s_nationkey")
+                       .aggregate(Sum("n", alias_name="n"),
+                                  Sum("sx", alias_name="sx"),
+                                  Sum("sxx", alias_name="sxx"))
+                       .take_all())}          # ≤ #nations rows
+    stats_ref = ray.put(stats)
+
+    def gate(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        keep = []
+        for nk, x in zip(t["s_nationkey"].to_pylist(),
+                         t["balance_cents"].to_pylist()):
+            n, sx, sxx = st[int(nk)]
+            d = n * int(x) - sx                # exact bigints
+            keep.append(d * d > 4 * (n * sxx - sx * sx))
+        return t.filter(pa.array(keep))
+
+    out = cents.map_batches(gate, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # all-inlier input: preserve the output schema (an empty Dataset
+        # loses its columns through to_pandas)
+        return cents.schema().base_schema.empty_table()
+    return out.sort("s_suppkey")
+
+
+_SUPPLIER_ZGATE_SQL = """
+WITH c AS (SELECT s_suppkey, s_nationkey,
+                  CAST(ROUND(s_acctbal * 100) AS BIGINT) AS balance_cents
+           FROM supplier),
+m AS (SELECT s_nationkey, CAST(COUNT(*) AS HUGEINT) n,
+             CAST(SUM(balance_cents) AS HUGEINT) sx,
+             CAST(SUM(balance_cents * balance_cents) AS HUGEINT) sxx
+      FROM c GROUP BY 1)
+SELECT c.s_suppkey, c.s_nationkey, c.balance_cents
+FROM c JOIN m USING (s_nationkey)
+WHERE (m.n * c.balance_cents - m.sx) * (m.n * c.balance_cents - m.sx)
+      > 4 * (m.n * m.sxx - m.sx * m.sx)
+ORDER BY s_suppkey
+"""
+
+
+def events_type_user_overlap(sf_dir: str):
+    """G52 — audience-overlap matrix: Jaccard similarity between the
+    USER SETS of every event-type pair — the cross-sell / cannibalization
+    readout (and, on a corpus, the source-overlap audit). Intersections
+    come from per-user type lists (each user contributes its ≤ #types²
+    ordered pairs via a hash-bucketed per-partition pass); totals from
+    the distinct (type, user) table; Jaccard = inter/(|A|+|B|−inter) is
+    one exact-int division per pair, 4 dp.
+
+    Scale shape: distinct (type, user) shuffles once; pair counts
+    collapse through per-partition combiners to ≤ C(#types, 2) rows."""
+    from .functions.arrowutil import to_arrow
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    du = (ev.groupby(["event_type", "user_id"])
+          .aggregate(Count(alias_name="_n"))
+          .select_columns(["event_type", "user_id"]).materialize())
+
+    totals = {r["event_type"]: int(r["n"]) for r in
+              (du.groupby("event_type").aggregate(Count(alias_name="n"))
+               .take_all())}                  # ≤ #types rows
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pd.util.hash_pandas_object(
+            t["user_id"].to_pandas(), index=False) % 16
+        return t.append_column("part",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    pair_schema = pa.schema([("ta", pa.string()), ("tb", pa.string()),
+                             ("inter", pa.int64())])
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        acc: dict = {}
+        for _, grp in g.groupby("user_id", sort=False):
+            ts = sorted(grp["event_type"].unique())
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    k = (ts[i], ts[j])
+                    acc[k] = acc.get(k, 0) + 1
+        rows = [{"ta": a, "tb": b, "inter": v}
+                for (a, b), v in acc.items()]
+        return to_arrow(pd.DataFrame(rows), pair_schema)
+
+    counted = (du.map_batches(tag, batch_format="pyarrow")
+               .groupby("part").map_groups(pairs, batch_format="pandas")
+               .groupby(["ta", "tb"])
+               .aggregate(Sum("inter", alias_name="inter"))
+               .take_all())                   # ≤ C(#types, 2) rows
+    counted.sort(key=lambda r: (r["ta"], r["tb"]))
+    out = {"ta": [], "tb": [], "inter": [], "jaccard": []}
+    for r in counted:
+        inter = int(r["inter"])
+        union = totals[r["ta"]] + totals[r["tb"]] - inter
+        out["ta"].append(r["ta"])
+        out["tb"].append(r["tb"])
+        out["inter"].append(inter)
+        out["jaccard"].append(round(inter / union, 4) if union else 0.0)
+    return pa.table({"ta": pa.array(out["ta"], pa.string()),
+                     "tb": pa.array(out["tb"], pa.string()),
+                     "inter": pa.array(out["inter"], pa.int64()),
+                     "jaccard": pa.array(out["jaccard"], pa.float64())})
+
+
+_EVENTS_OVERLAP_SQL = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (SELECT a.event_type ta, b.event_type tb,
+             CAST(COUNT(*) AS BIGINT) inter
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n FROM du GROUP BY 1)
+SELECT p.ta, p.tb, p.inter,
+       ROUND(CAST(p.inter AS DOUBLE) / (x.n + y.n - p.inter), 4)
+         AS jaccard
+FROM p JOIN tot x ON x.event_type = p.ta
+       JOIN tot y ON y.event_type = p.tb
+ORDER BY ta, tb
+"""
+
+
+def docs_simpson_index(sf_dir: str):
+    """T10 — Simpson diversity index of the corpus term distribution:
+    D = Σ n(n−1) / (N(N−1)), the probability two random tokens are the
+    same type — the concentration partner to [[events_type_entropy]]'s
+    entropy, and another boilerplate detector (D spikes when one
+    template dominates). Both sums are EXACT int64 partials over the
+    distributed (term, n) table; the final ratio is two exact bigints
+    divided once, 6 dp (D is O(0.001–0.1) for natural text).
+
+    Scale shape: vocabulary never leaves the cluster — two scalar
+    partials per batch of the term table."""
+    from .functions.terms import term_counts
+
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    rows_per_block=500)
+    tc = term_counts(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tokens": pa.array([int(n.sum())], pa.int64()),
+            "nn1": pa.array([int((n * (n - 1)).sum())], pa.int64())})
+
+    m = tc.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("tokens", alias_name="tokens"), Sum("nn1", alias_name="nn1"))
+    tot, nn1 = int(m["tokens"] or 0), int(m["nn1"] or 0)
+    den = tot * (tot - 1)
+    return pa.table({
+        "n_tokens": pa.array([tot], pa.int64()),
+        "sum_nn1": pa.array([nn1], pa.int64()),
+        "simpson": pa.array([round(nn1 / den, 6) if den else 0.0],
+                            pa.float64())})
+
+
+_DOCS_SIMPSON_SQL = """
+WITH tc AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS term
+            FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tc GROUP BY term)
+SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(n * (n - 1)) AS BIGINT) AS sum_nn1,
+       ROUND(CAST(SUM(n * (n - 1)) AS DOUBLE)
+             / (SUM(n) * (SUM(n) - 1)), 6) AS simpson
+FROM c
+"""
+
+
+def customer_rfm_segments(sf_dir: str):
+    """X2 — RFM quartile segmentation: the classic marketing-warehouse
+    composite — each customer scored by Recency (last order date),
+    Frequency (order count) and Monetary (revenue cents), each as a
+    global NTILE(4) (1 = best), concatenated into a 3-digit segment.
+    All three tiles ride the exact range-partitioned NTILE plan with
+    custkey tie-breaks, so segment assignment is bit-identical to SQL.
+
+    Scale shape: fact → per-customer combiner aggregate; three
+    two-pass global ntiles over the customer-sized table (driver holds
+    per-partition boundary samples only); output ≤ 64 segment rows."""
+    from .functions.rank import ntile
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "day": pc.divide(pc.cast(pc.cast(
+                t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64())),
+            "cents": _cents(t["o_totalprice"])})
+
+    agg = (orders.map_batches(prep, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Max("day", alias_name="last_day"),
+                      Count(alias_name="n_orders"),
+                      Sum("cents", alias_name="rev"))
+           .materialize())
+    r = ntile(agg, 4, order_by=["last_day", "o_custkey"],
+              descending=[True, False], out_col="r")
+    f = ntile(r, 4, order_by=["n_orders", "o_custkey"],
+              descending=[True, False], out_col="f")
+    m = ntile(f, 4, order_by=["rev", "o_custkey"],
+              descending=[True, False], out_col="m")
+
+    def seg(t: pa.Table) -> pa.Table:
+        s = (100 * t["r"].to_numpy(zero_copy_only=False)
+             + 10 * t["f"].to_numpy(zero_copy_only=False)
+             + t["m"].to_numpy(zero_copy_only=False))
+        return (pa.table({"segment": pa.array(s, pa.int64())})
+                .group_by("segment").aggregate([([], "count_all")])
+                .rename_columns(["segment", "n"]))
+
+    return (m.map_batches(seg, batch_format="pyarrow")
+            .groupby("segment").aggregate(Sum("n", alias_name="n_customers"))
+            .sort("segment"))
+
+
+_CUSTOMER_RFM_SQL = """
+WITH agg AS (SELECT o_custkey,
+        MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+          AS last_day,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS rev
+      FROM orders GROUP BY 1),
+t AS (SELECT NTILE(4) OVER (ORDER BY last_day DESC, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY rev DESC, o_custkey) AS m
+      FROM agg)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM t GROUP BY 1 ORDER BY segment
+"""
+
+
+def orders_cdc_diff(sf_dir: str):
+    """S11 — CDC snapshot diff: classify every key across two table
+    versions as inserted / deleted / updated / unchanged and report
+    per-class row counts + the exact net price delta — the
+    change-data-capture audit run before publishing an incremental
+    feed. Snapshot B is derived deterministically from the base (every
+    7th key deleted, every 10th surviving key +100 cents, every 13th
+    key re-inserted under a shifted keyspace), and BOTH engines derive
+    it identically, so the diff itself — Ray's native hash
+    full-outer join on the key — is what's under test.
+
+    Scale shape: only (key, cents) pairs move through the outer join;
+    per-class combiner partials reduce to ≤ 4 rows."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "a_cents": _cents(t["o_totalprice"])})
+
+    base = read_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow").materialize()
+
+    def make_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = t["a_cents"].to_numpy(zero_copy_only=False)
+        keep = k % 7 != 3                      # deletions
+        kk, cc = k[keep], c[keep]
+        upd = kk % 10 == 0                     # updates
+        cc = cc + np.where(upd, 100, 0)
+        ins = k % 13 == 0                      # re-inserts, new keyspace
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.concatenate([kk, k[ins] + 1_000_000_000]), pa.int64()),
+            "b_cents": pa.array(
+                np.concatenate([cc, c[ins] + 5]), pa.int64())})
+
+    snap_b = base.map_batches(make_b, batch_format="pyarrow") \
+        .materialize()
+    joined = base.join(snap_b, join_type="full_outer",
+                       num_partitions=_join_parts(sf_dir, "orders"),
+                       on=("o_orderkey",), right_on=("o_orderkey",))
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = t["a_cents"].to_pandas()
+        b = t["b_cents"].to_pandas()
+        ct = np.where(a.isna(), "inserted",
+                      np.where(b.isna(), "deleted",
+                               np.where(a == b, "unchanged", "updated")))
+        delta = b.fillna(0).astype(np.int64) \
+            - a.fillna(0).astype(np.int64)
+        df = pd.DataFrame({"change_type": ct, "n": 1, "delta": delta})
+        g = df.groupby("change_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(classify, batch_format="pyarrow")
+            .groupby("change_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("delta", alias_name="net_delta_cents"))
+            .sort("change_type"))
+
+
+_ORDERS_CDC_SQL = """
+WITH a AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS a_cents
+           FROM orders),
+surv AS (SELECT o_orderkey,
+                a_cents + CASE WHEN o_orderkey % 10 = 0
+                               THEN 100 ELSE 0 END AS b_cents
+         FROM a WHERE o_orderkey % 7 != 3),
+ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
+               a_cents + 5 AS b_cents
+        FROM a WHERE o_orderkey % 13 = 0),
+b AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
+d AS (SELECT CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+                  WHEN b.o_orderkey IS NULL THEN 'deleted'
+                  WHEN a.a_cents = b.b_cents THEN 'unchanged'
+                  ELSE 'updated' END AS change_type,
+             COALESCE(b.b_cents, 0) - COALESCE(a.a_cents, 0) AS delta
+      FROM a FULL OUTER JOIN b USING (o_orderkey))
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(delta) AS BIGINT) AS net_delta_cents
+FROM d GROUP BY 1 ORDER BY change_type
+"""
+
+
+def docs_charclass_profile(sf_dir: str):
+    """T11 — character-class census per language: total letters,
+    digits, whitespace and other characters — the encoding / corruption
+    profile a text-ingest monitor tracks (a digit or "other" spike
+    flags binary bleed-through or markup). Four vectorized
+    count_substring_regex kernels per batch; exact int64 partials.
+
+    Scale shape: ≤ #langs rows per batch shuffle; nothing else."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"],
+                    rows_per_block=500)
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas(),
+            "n_alpha": pc.count_substring_regex(txt, "[A-Za-z]")
+            .to_pandas().astype(np.int64),
+            "n_digit": pc.count_substring_regex(txt, "[0-9]")
+            .to_pandas().astype(np.int64),
+            "n_space": pc.count_substring_regex(txt, r"\s")
+            .to_pandas().astype(np.int64),
+            "n_chars": pc.utf8_length(txt).to_pandas().astype(np.int64)})
+        g = df.groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_alpha", alias_name="n_alpha"),
+                      Sum("n_digit", alias_name="n_digit"),
+                      Sum("n_space", alias_name="n_space"),
+                      Sum("n_chars", alias_name="n_chars")))
+
+    def other(t: pa.Table) -> pa.Table:
+        oth = (t["n_chars"].to_numpy(zero_copy_only=False)
+               - t["n_alpha"].to_numpy(zero_copy_only=False)
+               - t["n_digit"].to_numpy(zero_copy_only=False)
+               - t["n_space"].to_numpy(zero_copy_only=False))
+        return t.append_column("n_other", pa.array(oth, pa.int64()))
+
+    return out.map_batches(other, batch_format="pyarrow").sort("lang")
+
+
+_DOCS_CHARCLASS_SQL = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT)
+         AS n_alpha,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+         AS n_digit,
+       CAST(SUM(len(regexp_extract_all(text, '\s'))) AS BIGINT)
+         AS n_space,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(text))
+            - SUM(len(regexp_extract_all(text, '[A-Za-z]')))
+            - SUM(len(regexp_extract_all(text, '[0-9]')))
+            - SUM(len(regexp_extract_all(text, '\s'))) AS BIGINT)
+         AS n_other
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def docs_parquet_roundtrip(sf_dir: str):
+    """S12 — hive-partitioned Parquet sink + re-read (the resumable
+    output layout the brief mandates — one directory per partition key):
+    documents stream to /tmp partitioned by lang, are read BACK through
+    `read_parquet` (partition values parsed from the path), and the
+    re-read table must aggregate identically to the source view —
+    a lossless-roundtrip proof for the primary sink, same contract as
+    [[docs_arrow_ipc_roundtrip]] for the IPC sink.
+
+    Scale shape: write and re-read both stream block-wise; the
+    aggregate is the usual per-lang combiner."""
+    import tempfile
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      rows_per_block=500)
+    out_dir = tempfile.mkdtemp(prefix="ies_pq_roundtrip_")
+    docs.write_parquet(out_dir, partition_cols=["lang"])
+
+    back = ray.data.read_parquet(out_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": pc.cast(t["lang"], pa.string()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+            "doc_id": t["doc_id"]})
+
+    return (back.map_batches(prep, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="sum_tokens"),
+                       Min("doc_id", alias_name="min_doc_id"),
+                       Max("doc_id", alias_name="max_doc_id"))
+            .sort("lang"))
+
+
+_DOCS_PQ_ROUNDTRIP_SQL = r"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+         AS sum_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8987,6 +9849,19 @@ def queries():
         "docs_dup_cluster_hist": docs_dup_cluster_hist,
         "events_js_drift": events_js_drift,
         "orders_systematic_sample": orders_systematic_sample,
+        "events_value_skewkurt": events_value_skewkurt,
+        "docs_ttr_hist": docs_ttr_hist,
+        "docs_ngram_novelty": docs_ngram_novelty,
+        "orders_pareto_80_20": orders_pareto_80_20,
+        "events_robust_outliers": events_robust_outliers,
+        "events_user_scd2": events_user_scd2,
+        "supplier_balance_outliers": supplier_balance_outliers,
+        "events_type_user_overlap": events_type_user_overlap,
+        "docs_simpson_index": docs_simpson_index,
+        "customer_rfm_segments": customer_rfm_segments,
+        "orders_cdc_diff": orders_cdc_diff,
+        "docs_charclass_profile": docs_charclass_profile,
+        "docs_parquet_roundtrip": docs_parquet_roundtrip,
     }
 
 
@@ -9153,6 +10028,19 @@ def oracle_sql():
         "docs_dup_cluster_hist": _DOCS_DUP_HIST_SQL,
         "events_js_drift": _EVENTS_JSD_SQL,
         "orders_systematic_sample": _ORDERS_SYSSAMPLE_SQL,
+        "events_value_skewkurt": _EVENTS_SKEWKURT_SQL,
+        "docs_ttr_hist": _DOCS_TTR_SQL,
+        "docs_ngram_novelty": _DOCS_NOVELTY_SQL,
+        "orders_pareto_80_20": _ORDERS_PARETO_SQL,
+        "events_robust_outliers": _EVENTS_ROBUST_SQL,
+        "events_user_scd2": _EVENTS_SCD2_SQL,
+        "supplier_balance_outliers": _SUPPLIER_ZGATE_SQL,
+        "events_type_user_overlap": _EVENTS_OVERLAP_SQL,
+        "docs_simpson_index": _DOCS_SIMPSON_SQL,
+        "customer_rfm_segments": _CUSTOMER_RFM_SQL,
+        "orders_cdc_diff": _ORDERS_CDC_SQL,
+        "docs_charclass_profile": _DOCS_CHARCLASS_SQL,
+        "docs_parquet_roundtrip": _DOCS_PQ_ROUNDTRIP_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
