@@ -9642,6 +9642,178 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def lineitem_ship_lag_quantiles(sf_dir: str):
+    """G53 — order-to-ship lag quantiles per return flag: exact P50/P90
+    of (l_shipdate − o_orderdate) in days — the fulfillment-SLA readout,
+    and the registry's only grouped quantile computed ACROSS a fact-fact
+    join (lineitem ⋈ orders on orderkey through [[auto_join]]'s chooser).
+    Day lags are pure integer date arithmetic; the per-flag quantiles
+    use the hash-partitioned map_groups plan (quantile_disc semantics).
+
+    Scale shape: only (orderkey, day) pairs build the join side; lags
+    collapse to 3 flag partitions for the quantile pass."""
+    import math as _math
+
+    from .functions.arrowutil import to_arrow
+    from .functions.joins import auto_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "oday": pc.divide(pc.cast(pc.cast(
+                t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()))}),
+            batch_format="pyarrow")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag", "l_shipdate"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_returnflag": t["l_returnflag"],
+            "sday": pc.divide(pc.cast(pc.cast(
+                t["l_shipdate"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()))}),
+            batch_format="pyarrow")
+    joined = auto_join(li, orders, left_key="l_orderkey",
+                       right_key="o_orderkey", right_cols=["oday"])
+
+    lag = joined.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "lag_days": pc.subtract(t["sday"], t["oday"])}),
+        batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        part_ids = pd.util.hash_pandas_object(
+            pd.Series(t["l_returnflag"].to_pandas()), index=False) % 8
+        return t.append_column("part",
+                               pa.array(part_ids.to_numpy(), pa.int64()))
+
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("p50_days", pa.int64()),
+                            ("p90_days", pa.int64())])
+
+    def quants(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for fl, grp in g.groupby("l_returnflag", sort=False):
+            v = np.sort(grp["lag_days"].to_numpy())
+            rows.append({
+                "l_returnflag": fl,
+                "p50_days": int(v[max(1, _math.ceil(0.5 * len(v))) - 1]),
+                "p90_days": int(v[max(1, _math.ceil(0.9 * len(v))) - 1])})
+        return to_arrow(pd.DataFrame(rows), out_schema)
+
+    return (lag.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(quants, batch_format="pandas")
+            .sort("l_returnflag"))
+
+
+_LINEITEM_SHIPLAG_SQL = """
+WITH d AS (SELECT l.l_returnflag,
+                  epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+                    // 86400000000
+                  - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                    // 86400000000 AS lag_days
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey)
+SELECT l_returnflag,
+       quantile_disc(lag_days, 0.5) AS p50_days,
+       quantile_disc(lag_days, 0.9) AS p90_days
+FROM d GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+def docs_word_len_hist(sf_dir: str):
+    """T12 — word-length distribution: corpus-wide histogram of term
+    lengths in characters — the cheap language/quality fingerprint
+    (Gopher's mean-word-length gate generalized to the full
+    distribution; a spike at extreme lengths flags minified or
+    concatenated junk). Counts are exact int64.
+
+    Scale shape: lengths histogram per batch (≤ max-word-length rows
+    per batch — lengths, not words, shuffle)."""
+    from .functions.terms import _TERM_RE
+
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    rows_per_block=500)
+
+    def lens(t: pa.Table) -> pa.Table:
+        ls: list = []
+        for txt in t["text"].to_pylist():
+            ls.extend(len(w) for w in _TERM_RE.findall((txt or "").lower()))
+        if not ls:
+            return pa.table({"word_len": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.Series(ls).value_counts()
+        return pa.table({
+            "word_len": pa.array(vc.index.to_numpy(), pa.int64()),
+            "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    return (ds.map_batches(lens, batch_format="pyarrow")
+            .groupby("word_len").aggregate(Sum("n", alias_name="n"))
+            .sort("word_len"))
+
+
+_DOCS_WORDLEN_SQL = """
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS term
+           FROM documents)
+SELECT CAST(length(term) AS BIGINT) AS word_len,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY 1 ORDER BY word_len
+"""
+
+
+def events_peak_hour_per_type(sf_dir: str):
+    """G54 — grouped ARGMAX: the peak hour-of-day per event type (count
+    ties broken toward the earlier hour) — the "when does each segment
+    fire" primitive dashboards need, and the registry's canonical
+    per-group argmax (SQL arg_max has no tie contract, so both engines
+    pin the order explicitly: n DESC, hour ASC via ROW_NUMBER = 1).
+
+    Scale shape: fact → (type, hour) count combiner (≤ 24·#types rows);
+    the argmax is [[topk_per_key]] k=1 over that tiny table."""
+    from .functions.window import topk_per_key
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hod = pc.subtract(
+            pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+            pc.multiply(pc.divide(us, pa.scalar(86_400_000_000,
+                                                pa.int64())),
+                        pa.scalar(24, pa.int64())))
+        return (pa.table({"event_type": t["event_type"], "hour": hod})
+                .group_by(["event_type", "hour"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "hour", "n"]))
+
+    counts = (ev.map_batches(hours, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n")))
+    top = topk_per_key(counts, 1, keys=["event_type"],
+                       order_by=["n", "hour"], descending=[True, False])
+    return (top.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "peak_hour": t["hour"], "n": t["n"]}),
+        batch_format="pyarrow").sort("event_type"))
+
+
+_EVENTS_PEAK_HOUR_SQL = """
+WITH c AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, hour, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hour) AS rn
+      FROM c)
+SELECT event_type, hour AS peak_hour, n FROM r WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9862,6 +10034,9 @@ def queries():
         "orders_cdc_diff": orders_cdc_diff,
         "docs_charclass_profile": docs_charclass_profile,
         "docs_parquet_roundtrip": docs_parquet_roundtrip,
+        "lineitem_ship_lag_quantiles": lineitem_ship_lag_quantiles,
+        "docs_word_len_hist": docs_word_len_hist,
+        "events_peak_hour_per_type": events_peak_hour_per_type,
     }
 
 
@@ -10041,6 +10216,9 @@ def oracle_sql():
         "orders_cdc_diff": _ORDERS_CDC_SQL,
         "docs_charclass_profile": _DOCS_CHARCLASS_SQL,
         "docs_parquet_roundtrip": _DOCS_PQ_ROUNDTRIP_SQL,
+        "lineitem_ship_lag_quantiles": _LINEITEM_SHIPLAG_SQL,
+        "docs_word_len_hist": _DOCS_WORDLEN_SQL,
+        "events_peak_hour_per_type": _EVENTS_PEAK_HOUR_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
