@@ -9814,6 +9814,189 @@ ORDER BY event_type
 """
 
 
+def emb_centroid_drift(sf_dir: str):
+    """V7 — embedding-centroid drift per label: the L2 distance between
+    each label's centroid over even-id vs odd-id vectors — the
+    embedding-space drift monitor run between two corpus snapshots (a
+    large shift = the upstream encoder or data mix changed). All
+    per-(label, half, dim) sums ride the exact int64 micro-unit
+    contract shared with [[emb_label_centroids]]; the final
+    sqrt(Σ(μₐ−μᵦ)²)/1e6 is driver math over ≤ labels×2×dim exact rows,
+    4 dp.
+
+    Scale shape: vectors collapse to (label, half, dim) partial sums
+    per batch — dim-bounded rows shuffle, never vectors."""
+    import math as _math
+
+    from .functions.similarity import _as_matrix
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = (t["vec_id"].to_numpy(zero_copy_only=False) % 2) \
+            .astype(np.int64)
+        m = np.round(_as_matrix(t["embedding"], dtype=np.float64)
+                     * 1e6).astype(np.int64)
+        dim = m.shape[1]
+        df = pd.DataFrame({
+            "label": np.repeat(lab, dim),
+            "h": np.repeat(half, dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                           len(lab)),
+            "s": m.reshape(-1), "n": 1})
+        g = df.groupby(["label", "h", "dim"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "h", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all())                      # ≤ labels×2×dim rows
+    acc: dict = {}
+    for r in rows:
+        acc.setdefault((int(r["label"]), int(r["dim"])), {})[int(r["h"])] \
+            = (int(r["s"]), int(r["n"]))
+    per_label: dict = {}
+    for (lab, _dim), hs in acc.items():
+        if 0 in hs and 1 in hs:
+            (sa, na), (sb, nb) = hs[0], hs[1]
+            d = sa / na - sb / nb
+            per_label[lab] = per_label.get(lab, 0.0) + d * d
+    labs = sorted(per_label)
+    return pa.table({
+        "label": pa.array(labs, pa.int64()),
+        "centroid_shift": pa.array(
+            [round(_math.sqrt(per_label[l]) / 1e6, 4) for l in labs],
+            pa.float64())})
+
+
+_EMB_DRIFT_SQL = """
+WITH u AS (SELECT label, vec_id % 2 AS h,
+                  generate_subscripts(embedding, 1) AS dim,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                       AS BIGINT) AS v
+           FROM embeddings),
+s AS (SELECT label, h, dim, CAST(SUM(v) AS BIGINT) s,
+             CAST(COUNT(*) AS BIGINT) n
+      FROM u GROUP BY 1, 2, 3),
+p AS (SELECT a.label, a.dim,
+             CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n AS d
+      FROM s a JOIN s b
+        ON a.label = b.label AND a.dim = b.dim AND a.h = 0 AND b.h = 1)
+SELECT CAST(label AS BIGINT) AS label,
+       ROUND(sqrt(SUM(d * d)) / 1000000, 4) AS centroid_shift
+FROM p GROUP BY label ORDER BY label
+"""
+
+
+def part_size_price_spearman(sf_dir: str):
+    """G55 — EXACT Spearman rank correlation between part size and
+    retail price: the monotonic-association check run where Pearson
+    (lineitem_qty_price_corr) misreads nonlinear scales. Tie-corrected
+    average ranks come out exactly: ranks within a tie group are
+    contiguous under the (value, unique key) global order, so
+    2·avg_rank = min_rank + max_rank — an INTEGER. Pearson over those
+    doubled ranks (the ×2 cancels) uses int64 per-batch moments with
+    the final combine in arbitrary-precision Python (oracle: HUGEINT);
+    int64 partials hold to ~20M parts — the headroom note mirrors
+    [[orders_price_gini]].
+
+    Scale shape: two exact global-rank passes + a tie-group min/max
+    groupby each; five combiner scalars per batch; ONE row out."""
+    import math as _math
+
+    from .functions.joins import auto_join
+    from .functions.rank import global_row_number
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_size", "p_retailprice"])
+    base = part.map_batches(
+        lambda t: pa.table({"p_partkey": t["p_partkey"],
+                            "size": pc.cast(t["p_size"], pa.int64()),
+                            "cents": _cents(t["p_retailprice"])}),
+        batch_format="pyarrow").materialize()
+
+    def doubled_rank(col: str, out: str):
+        rn = global_row_number(base, order_by=[col, "p_partkey"],
+                               descending=[False, False], out_col="_rn")
+        grp = (rn.groupby(col)
+               .aggregate(Min("_rn", alias_name="_lo"),
+                          Max("_rn", alias_name="_hi")))
+        r2 = grp.map_batches(
+            lambda t: pa.table({
+                col: t[col],
+                out: pc.add(t["_lo"], t["_hi"])}),
+            batch_format="pyarrow")
+        return auto_join(base.select_columns(["p_partkey", col]), r2,
+                         left_key=col, right_key=col, right_cols=[out]) \
+            .select_columns(["p_partkey", out])
+
+    rx = doubled_rank("size", "r2x")
+    ry = doubled_rank("cents", "r2y")
+    both = auto_join(rx, ry, left_key="p_partkey", right_key="p_partkey",
+                     right_cols=["r2y"])
+    n_total = base.count()
+    c0 = n_total + 1                           # E[2·rank] = n+1
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["r2x"].to_numpy(zero_copy_only=False) - c0
+        y = t["r2y"].to_numpy(zero_copy_only=False) - c0
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    m = both.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    n = int(m["n"] or 0)
+    sx, sy = int(m["sx"] or 0), int(m["sy"] or 0)
+    sxx, syy, sxy = int(m["sxx"] or 0), int(m["syy"] or 0), \
+        int(m["sxy"] or 0)
+    num = n * sxy - sx * sy                    # exact bigints
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    rho = float(num) / _math.sqrt(float(den)) if den > 0 else 0.0
+    return pa.table({
+        "n_parts": pa.array([n], pa.int64()),
+        "spearman_rho": pa.array([round(rho, 4)], pa.float64())})
+
+
+_PART_SPEARMAN_SQL = """
+WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+                  CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+           FROM part),
+rx AS (SELECT p_partkey,
+              CAST(MIN(rn) OVER (PARTITION BY size)
+                   + MAX(rn) OVER (PARTITION BY size) AS BIGINT) AS r2x
+       FROM (SELECT p_partkey, size,
+                    ROW_NUMBER() OVER (ORDER BY size, p_partkey) AS rn
+             FROM b)),
+ry AS (SELECT p_partkey,
+              CAST(MIN(rn) OVER (PARTITION BY cents)
+                   + MAX(rn) OVER (PARTITION BY cents) AS BIGINT) AS r2y
+       FROM (SELECT p_partkey, cents,
+                    ROW_NUMBER() OVER (ORDER BY cents, p_partkey) AS rn
+             FROM b)),
+j AS (SELECT CAST(rx.r2x - (SELECT COUNT(*) + 1 FROM b) AS HUGEINT) x,
+             CAST(ry.r2y - (SELECT COUNT(*) + 1 FROM b) AS HUGEINT) y
+      FROM rx JOIN ry USING (p_partkey)),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) n, SUM(x) sx, SUM(y) sy,
+             SUM(x * x) sxx, SUM(y * y) syy, SUM(x * y) sxy
+      FROM j)
+SELECT CAST(n AS BIGINT) AS n_parts,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                         AS DOUBLE)), 4) AS spearman_rho
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10037,6 +10220,8 @@ def queries():
         "lineitem_ship_lag_quantiles": lineitem_ship_lag_quantiles,
         "docs_word_len_hist": docs_word_len_hist,
         "events_peak_hour_per_type": events_peak_hour_per_type,
+        "emb_centroid_drift": emb_centroid_drift,
+        "part_size_price_spearman": part_size_price_spearman,
     }
 
 
@@ -10219,6 +10404,8 @@ def oracle_sql():
         "lineitem_ship_lag_quantiles": _LINEITEM_SHIPLAG_SQL,
         "docs_word_len_hist": _DOCS_WORDLEN_SQL,
         "events_peak_hour_per_type": _EVENTS_PEAK_HOUR_SQL,
+        "emb_centroid_drift": _EMB_DRIFT_SQL,
+        "part_size_price_spearman": _PART_SPEARMAN_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
