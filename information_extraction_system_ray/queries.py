@@ -9997,6 +9997,64 @@ FROM m
 """
 
 
+def orders_keyspace_gaps(sf_dir: str):
+    """S13 — keyspace-continuity audit: count and largest run of MISSING
+    keys in the o_orderkey sequence — the ingest-completeness check run
+    before declaring a backfill done (the synthetic keyspace is dense,
+    so zeros here; planted-gap path unit-tested). The global
+    LEAD is the exact two-pass rank plan + a self-join of rank n onto
+    rank n+1 through [[auto_join]]'s chooser — integer end-to-end.
+
+    Scale shape: only (key, rank) pairs move; consecutive-pair gaps
+    collapse through Max/Sum combiners to ONE row."""
+    from .functions.joins import auto_join
+    from .functions.rank import global_row_number
+
+    keys = read_table(sf_dir, "orders", columns=["o_orderkey"]) \
+        .map_batches(lambda t: pa.table({"k": t["o_orderkey"]}),
+                     batch_format="pyarrow").materialize()
+    n_keys = keys.count()
+    mm = keys.aggregate(Min("k"), Max("k"))
+    ranked = global_row_number(keys, order_by=["k"], out_col="rn") \
+        .materialize()
+    nxt = ranked.map_batches(
+        lambda t: pa.table({"rnm1": pc.subtract(
+            t["rn"], pa.scalar(1, pa.int64())), "k2": t["k"]}),
+        batch_format="pyarrow")
+    pairs = auto_join(ranked, nxt, left_key="rn", right_key="rnm1",
+                      right_cols=["k2"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        g = (t["k2"].to_numpy(zero_copy_only=False)
+             - t["k"].to_numpy(zero_copy_only=False) - 1)
+        return pa.table({
+            "miss": pa.array([int(g.sum())], pa.int64()),
+            "big": pa.array([int(g.max()) if len(g) else 0], pa.int64())})
+
+    m = pairs.map_batches(gaps, batch_format="pyarrow").aggregate(
+        Sum("miss", alias_name="miss"), Max("big", alias_name="big"))
+    return pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "min_key": pa.array([int(mm["min(k)"])], pa.int64()),
+        "max_key": pa.array([int(mm["max(k)"])], pa.int64()),
+        "n_missing": pa.array([int(m["miss"] or 0)], pa.int64()),
+        "largest_gap": pa.array([int(m["big"] or 0)], pa.int64())})
+
+
+_ORDERS_KEYGAPS_SQL = """
+WITH k AS (SELECT o_orderkey AS k FROM orders),
+l AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key,
+       CAST(SUM(CASE WHEN nk IS NOT NULL THEN nk - k - 1 ELSE 0 END)
+            AS BIGINT) AS n_missing,
+       CAST(MAX(CASE WHEN nk IS NOT NULL THEN nk - k - 1 ELSE 0 END)
+            AS BIGINT) AS largest_gap
+FROM l
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10222,6 +10280,7 @@ def queries():
         "events_peak_hour_per_type": events_peak_hour_per_type,
         "emb_centroid_drift": emb_centroid_drift,
         "part_size_price_spearman": part_size_price_spearman,
+        "orders_keyspace_gaps": orders_keyspace_gaps,
     }
 
 
@@ -10406,6 +10465,7 @@ def oracle_sql():
         "events_peak_hour_per_type": _EVENTS_PEAK_HOUR_SQL,
         "emb_centroid_drift": _EMB_DRIFT_SQL,
         "part_size_price_spearman": _PART_SPEARMAN_SQL,
+        "orders_keyspace_gaps": _ORDERS_KEYGAPS_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -613,3 +613,17 @@ def test_ppl_buckets_capped_vocab_planted_oov(ray_session, tmp_path):
     got_map = {r.bucket: (r.n_docs, r.n_tokens)
                for r in got.itertuples()}
     assert got_map == want
+
+
+def test_keyspace_gaps_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.queries import orders_keyspace_gaps
+
+    # keys 0..9 with {3, 4, 5, 8} removed: two gaps of sizes 3 and 1
+    keys = [0, 1, 2, 6, 7, 9]
+    pq.write_table(pa.table({"o_orderkey": pa.array(keys, pa.int64())}),
+                   tmp_path / "orders.parquet")
+    got = orders_keyspace_gaps(str(tmp_path)).to_pandas().iloc[0]
+    assert got.n_keys == 6 and got.min_key == 0 and got.max_key == 9
+    assert got.n_missing == 4 and got.largest_gap == 3
