@@ -10041,6 +10041,115 @@ def orders_keyspace_gaps(sf_dir: str):
         "largest_gap": pa.array([int(m["big"] or 0)], pa.int64())})
 
 
+def customer_tree_rollup(sf_dir: str):
+    """KG7 — recursive hierarchy closure + subtree rollup (the taxonomy /
+    ontology-class aggregate a KG needs: "total X under each node of the
+    class tree"). A deterministic binary-heap hierarchy is derived from
+    the customer table (parent of balance-rank r is rank r//2), the full
+    ancestor closure is built by POINTER DOUBLING — O(log depth) rounds,
+    each composing the known 1..2^k-distance ancestor set with the
+    exact-2^k jump table, so every (node, ancestor) pair is produced
+    exactly once and NO dedup shuffle is ever needed — then subtree size
+    and balance are one groupby over the skinny closure. Top-10 subtrees.
+
+    Scale shape: the closure is n·depth skinny int64 pairs (the inherent
+    cost of hierarchy closure); each round shuffles only (rn, rn') pairs
+    through [[auto_join]]'s size chooser, the rollup is a combiner-backed
+    groupby, and the output is 10 rows. Depth-d hierarchies finish in
+    ceil(log2(d)) join rounds, not d."""
+    from .functions.joins import auto_join
+    from .functions.rank import global_row_number
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_acctbal"])
+    ranked = global_row_number(cust, order_by=["c_acctbal", "c_custkey"],
+                               out_col="rn")
+    nodes = ranked.map_batches(
+        lambda t: pa.table({"rn": t["rn"], "bal": _cents(t["c_acctbal"]),
+                            "custkey": t["c_custkey"]}),
+        batch_format="pyarrow").materialize()
+
+    two = pa.scalar(2, pa.int64())
+
+    def mk_jump(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["rn"], two))
+        return pa.table({"node": t["rn"], "top": pc.divide(t["rn"], two)})
+
+    # J_0: the exact-2^0 ancestor (heap parent); C_0 = J_0 as (node, anc)
+    jump = nodes.map_batches(mk_jump, batch_format="pyarrow").materialize()
+    closure = jump.map_batches(
+        lambda t: pa.table({"node": t["node"], "anc": t["top"]}),
+        batch_format="pyarrow").materialize()
+    while True:
+        # distances 2^k+1 .. 2^{k+1}: hop to the 2^k ancestor, then take
+        # ITS known 1..2^k ancestors — disjoint from closure by distance
+        grown = auto_join(
+            jump,
+            closure.map_batches(
+                lambda t: pa.table({"cnode": t["node"], "anc": t["anc"]}),
+                batch_format="pyarrow"),
+            left_key="top", right_key="cnode", right_cols=["anc"]
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "anc": t["anc"]}),
+            batch_format="pyarrow").materialize()
+        if grown.count() == 0:
+            break
+        closure = closure.union(grown).materialize()
+        jump = auto_join(                       # J_{k+1}(n) = J_k(J_k(n))
+            jump.map_batches(
+                lambda t: pa.table({"node": t["node"], "mid": t["top"]}),
+                batch_format="pyarrow"),
+            jump.map_batches(
+                lambda t: pa.table({"jnode": t["node"], "top": t["top"]}),
+                batch_format="pyarrow"),
+            left_key="mid", right_key="jnode", right_cols=["top"]
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "top": t["top"]}),
+            batch_format="pyarrow").materialize()
+
+    self_pairs = nodes.map_batches(
+        lambda t: pa.table({"node": t["rn"], "anc": t["rn"]}),
+        batch_format="pyarrow")
+    contrib = auto_join(
+        closure.union(self_pairs),
+        nodes.map_batches(
+            lambda t: pa.table({"bnode": t["rn"], "bal": t["bal"]}),
+            batch_format="pyarrow"),
+        left_key="node", right_key="bnode", right_cols=["bal"])
+    agg = contrib.groupby("anc").aggregate(
+        Sum("bal", alias_name="subtree_bal_cents"),
+        Count(alias_name="subtree_size"))
+    out = auto_join(agg, nodes, left_key="anc", right_key="rn",
+                    right_cols=["custkey"])
+    return (out.select_columns(["custkey", "subtree_size",
+                                "subtree_bal_cents"])
+            .sort(["subtree_size", "custkey"], descending=[True, False])
+            .limit(10))
+
+
+_CUSTOMER_TREE_ROLLUP_SQL = """
+WITH RECURSIVE ranked AS (
+  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+), chain AS (
+  SELECT rn AS node, rn // 2 AS anc FROM ranked WHERE rn >= 2
+  UNION ALL
+  SELECT node, anc // 2 FROM chain WHERE anc >= 2
+), rolled AS (
+  SELECT p.anc, COUNT(*) AS cnt, SUM(d.bal) AS tot
+  FROM chain p JOIN ranked d ON d.rn = p.node
+  GROUP BY p.anc
+)
+SELECT r.c_custkey AS custkey,
+       CAST(1 + COALESCE(rolled.cnt, 0) AS BIGINT) AS subtree_size,
+       CAST(r.bal + COALESCE(rolled.tot, 0) AS BIGINT) AS subtree_bal_cents
+FROM ranked r LEFT JOIN rolled ON rolled.anc = r.rn
+ORDER BY subtree_size DESC, custkey
+LIMIT 10
+"""
+
+
 _ORDERS_KEYGAPS_SQL = """
 WITH k AS (SELECT o_orderkey AS k FROM orders),
 l AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
@@ -10281,6 +10390,7 @@ def queries():
         "emb_centroid_drift": emb_centroid_drift,
         "part_size_price_spearman": part_size_price_spearman,
         "orders_keyspace_gaps": orders_keyspace_gaps,
+        "customer_tree_rollup": customer_tree_rollup,
     }
 
 
@@ -10466,6 +10576,7 @@ def oracle_sql():
         "emb_centroid_drift": _EMB_DRIFT_SQL,
         "part_size_price_spearman": _PART_SPEARMAN_SQL,
         "orders_keyspace_gaps": _ORDERS_KEYGAPS_SQL,
+        "customer_tree_rollup": _CUSTOMER_TREE_ROLLUP_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
