@@ -10127,6 +10127,169 @@ def customer_tree_rollup(sf_dir: str):
             .limit(10))
 
 
+def docs_jaccard_prefix_join(sf_dir: str):
+    """D16 — EXACT set-similarity self-join, Jaccard ≥ 0.9 over distinct
+    word-token sets, via PPJoin-style PREFIX FILTERING (Xiao et al. 2008,
+    public): under a global rare-first token order, two sets with
+    J ≥ τ MUST share a token inside each one's first
+    ``n - ceil(τ·n) + 1`` tokens — a NECESSARY condition, so unlike the
+    min-shingle co-bucketing of [[docs_ngram_jaccard]] this path is exact
+    by construction, not near-exact by heuristic.
+
+    Plan (all shuffles key-partitioned, no vocabulary broadcast
+    required): explode→distinct (doc, token); token df via per-batch
+    combiner + groupby; df attaches back by a token join through
+    ``auto_join``'s size chooser; per-doc prefix emission from
+    hash-bucketed doc groups; candidates pair up inside PREFIX-token
+    buckets (rare-first order ⇒ the bucketed tokens are each doc's
+    rarest, the smallest df classes); exact verify runs only on
+    OUTPUT-sized candidates with the integer predicate 10·|∩| ≥ 9·|∪|
+    (no float threshold). The synthetic 40-word vocabulary makes
+    blocking weak (dense sets overlap heavily) — exactness is what's
+    under test; selectivity comes with real vocabularies."""
+    from .functions.joins import auto_join
+    from .functions.partitions import default_parts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=500)
+    # data-sized buckets (metadata-only count): each bucket is a shuffle
+    # group; tiny corpora must not pay 16+ aggregator spawns
+    nparts = max(2, min(default_parts(),
+                        docs.count() * 32 // 250_000 + 1))
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        d["tk"] = d["text"].str.split(" ")
+        d = d[["doc_id", "tk"]].explode("tk")
+        d = d[d["tk"].astype(str).str.len() > 0].drop_duplicates()
+        return pa.table({"doc_id": pa.array(d["doc_id"], pa.int64()),
+                         "tk": pa.array(d["tk"], pa.string())})
+
+    tok = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def df_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("tk").aggregate([("doc_id", "count")])
+        return pa.table({"tk": g["tk"],
+                         "pdf": pc.cast(g["doc_id_count"], pa.int64())})
+
+    df = tok.map_batches(df_combine, batch_format="pyarrow") \
+        .groupby("tk").aggregate(Sum("pdf", alias_name="df"))
+    tokdf = auto_join(tok, df, left_key="tk", right_key="tk",
+                      right_cols=["df"])
+
+    def bucket(t: pa.Table, col: str) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[col].to_pandas()), index=False) % nparts
+        return t.append_column("part", pa.array(h.to_numpy(), pa.int64()))
+
+    bucketed = tokdf.map_batches(lambda t: bucket(t, "doc_id"),
+                                 batch_format="pyarrow").materialize()
+
+    def prefixes(g: pd.DataFrame) -> pa.Table:
+        ids, tks = [], []
+        for did, grp in g.groupby("doc_id"):
+            grp = grp.sort_values(["df", "tk"], kind="mergesort")
+            n = len(grp)
+            p = n - (9 * n + 9) // 10 + 1          # n - ceil(0.9 n) + 1
+            ids.extend([did] * p)
+            tks.extend(grp["tk"].iloc[:p])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tk": pa.array(tks, pa.string())})
+
+    prefix = bucketed.groupby("part") \
+        .map_groups(prefixes, batch_format="pandas")
+
+    def sets_of(g: pd.DataFrame) -> pa.Table:
+        # the set travels as one sorted space-joined string: join-safe
+        # (list columns don't survive the broadcast merge path) and the
+        # tokens are whitespace-free by construction
+        ids, toks, ns = [], [], []
+        for did, grp in g.groupby("doc_id"):
+            ids.append(did)
+            toks.append(" ".join(sorted(grp["tk"])))
+            ns.append(len(grp))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "toks": pa.array(toks, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    sets = bucketed.groupby("part") \
+        .map_groups(sets_of, batch_format="pandas").materialize()
+
+    def cand_pairs(g: pd.DataFrame) -> pa.Table:
+        oa, ob = [], []
+        for _, grp in g.groupby("tk"):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            iu, il = np.triu_indices(len(ids), k=1)
+            oa.append(ids[iu])
+            ob.append(ids[il])
+        a = np.concatenate(oa) if oa else np.empty(0, np.int64)
+        b = np.concatenate(ob) if ob else np.empty(0, np.int64)
+        # batch-local pair dedup (a pair repeats once per shared prefix
+        # token) — combiner before the global distinct shuffle
+        packed = np.unique(np.stack([a, b], axis=1), axis=0) \
+            if len(a) else np.empty((0, 2), np.int64)
+        return pa.table({"id_a": pa.array(packed[:, 0], pa.int64()),
+                         "id_b": pa.array(packed[:, 1], pa.int64())})
+
+    cands = (prefix.map_batches(lambda t: bucket(t, "tk"),
+                                batch_format="pyarrow")
+             .groupby("part").map_groups(cand_pairs, batch_format="pandas")
+             .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_m"))
+             .drop_columns(["_m"]))
+
+    with_a = auto_join(
+        cands,
+        sets.map_batches(lambda t: pa.table(
+            {"sa": t["doc_id"], "ta": t["toks"], "na": t["n"]}),
+            batch_format="pyarrow"),
+        left_key="id_a", right_key="sa", right_cols=["ta", "na"])
+    with_b = auto_join(
+        with_a,
+        sets.map_batches(lambda t: pa.table(
+            {"sb": t["doc_id"], "tb": t["toks"], "nb": t["n"]}),
+            batch_format="pyarrow"),
+        left_key="id_b", right_key="sb", right_cols=["tb", "nb"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        inter = np.fromiter(
+            (len(set(a.split()) & set(b.split()))
+             for a, b in zip(d["ta"], d["tb"])),
+            dtype=np.int64, count=len(d))
+        union = d["na"].to_numpy() + d["nb"].to_numpy() - inter
+        keep = 10 * inter >= 9 * union
+        jac = np.round(inter[keep] / union[keep], 4)
+        return pa.table({
+            "id_a": pa.array(d["id_a"].to_numpy()[keep], pa.int64()),
+            "id_b": pa.array(d["id_b"].to_numpy()[keep], pa.int64()),
+            "jaccard": pa.array(jac, pa.float64())})
+
+    return with_b.map_batches(verify, batch_format="pyarrow") \
+        .sort(["id_a", "id_b"])
+
+
+_DOCS_JACCARD_PREFIX_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tk FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+  WHERE tk <> ''
+),
+card AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS jaccard
+FROM inter
+JOIN card ca ON ca.doc_id = ia
+JOIN card cb ON cb.doc_id = ib
+WHERE i * 10 >= (ca.c + cb.c - i) * 9
+ORDER BY id_a, id_b
+"""
+
+
 _CUSTOMER_TREE_ROLLUP_SQL = """
 WITH RECURSIVE ranked AS (
   SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal,
@@ -10391,6 +10554,7 @@ def queries():
         "part_size_price_spearman": part_size_price_spearman,
         "orders_keyspace_gaps": orders_keyspace_gaps,
         "customer_tree_rollup": customer_tree_rollup,
+        "docs_jaccard_prefix_join": docs_jaccard_prefix_join,
     }
 
 
@@ -10577,6 +10741,7 @@ def oracle_sql():
         "part_size_price_spearman": _PART_SPEARMAN_SQL,
         "orders_keyspace_gaps": _ORDERS_KEYGAPS_SQL,
         "customer_tree_rollup": _CUSTOMER_TREE_ROLLUP_SQL,
+        "docs_jaccard_prefix_join": _DOCS_JACCARD_PREFIX_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
