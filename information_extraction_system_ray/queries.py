@@ -10327,6 +10327,70 @@ FROM l
 """
 
 
+def events_pattern_match(sf_dir: str):
+    """W21 — MATCH_RECOGNIZE-style sequence pattern matching (the SQL:2016
+    row-pattern primitive; also Flink CEP): per user, encode the
+    (ts, event_id)-ordered event stream as one letter per event type and
+    count NON-OVERLAPPING occurrences of the pattern ``s[cv]*p`` — an
+    "uninterrupted conversion": a signup followed by a purchase with only
+    clicks/views between. Because the repeat class ``[cv]`` excludes both
+    anchor letters, every match necessarily ends at the FIRST purchase
+    after its signup, so leftmost-first (Python re / RE2) and
+    leftmost-longest (POSIX) engines agree and the count is
+    engine-independent — that property is what makes this oracle-exact.
+
+    Plan: user_id-bucketed groups (modulo parts — ids are dense ints, no
+    hash needed), one in-group sort per bucket, per-user sequence strings
+    built by a vectorized groupby-join, pattern counts via the compiled
+    non-overlapping ``Series.str.count``. Shuffle width = |events| rows
+    once; output = converting users only."""
+    from .functions.partitions import default_parts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    nparts = max(2, min(default_parts(),
+                        ev.count() * 16 // 250_000 + 1))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy(zero_copy_only=False) % nparts
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        seq = g.groupby("user_id")["event_type"].agg(
+            lambda s: "".join(x[0] for x in s))
+        n = seq.str.count(r"s[cv]*p").astype(np.int64)
+        keep = n > 0
+        return pa.table({
+            "user_id": pa.array(seq.index.to_numpy()[keep], pa.int64()),
+            "n_conversions": pa.array(n.to_numpy()[keep], pa.int64()),
+            "n_events": pa.array(seq.str.len().to_numpy()[keep],
+                                 pa.int64()),
+        })
+
+    return (ev.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pandas")
+            .sort("user_id"))
+
+
+_EVENTS_PATTERN_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_split_to_array(seq, 's[cv]*p')) - 1 AS BIGINT)
+         AS n_conversions,
+       CAST(length(seq) AS BIGINT) AS n_events
+FROM seqs
+WHERE regexp_matches(seq, 's[cv]*p')
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10555,6 +10619,7 @@ def queries():
         "orders_keyspace_gaps": orders_keyspace_gaps,
         "customer_tree_rollup": customer_tree_rollup,
         "docs_jaccard_prefix_join": docs_jaccard_prefix_join,
+        "events_pattern_match": events_pattern_match,
     }
 
 
@@ -10742,6 +10807,7 @@ def oracle_sql():
         "orders_keyspace_gaps": _ORDERS_KEYGAPS_SQL,
         "customer_tree_rollup": _CUSTOMER_TREE_ROLLUP_SQL,
         "docs_jaccard_prefix_join": _DOCS_JACCARD_PREFIX_SQL,
+        "events_pattern_match": _EVENTS_PATTERN_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
