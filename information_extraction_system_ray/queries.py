@@ -10391,6 +10391,241 @@ ORDER BY user_id
 """
 
 
+def orders_weighted_sample(sf_dir: str):
+    """O9 — weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, public): each row draws priority u^(1/w); the global top-k by
+    priority is an exact weighted sample. Here u is DETERMINISTIC — a
+    Knuth multiplicative hash of the key, u = ((k·2654435761) mod 2^32
+    + 1) / (2^32+1) ∈ (0,1] — so the sample is reproducible and
+    SQL-oracle-checkable (both engines compute bit-identical u; priority
+    compares via the monotone-equivalent ln(u)/w to avoid pow).
+
+    Distributed shape: priorities are per-batch vectorized numpy; each
+    batch emits only its LOCAL top-k (the combiner), so the final global
+    sort sees ≤ k·n_batches skinny rows — no full-table shuffle. Weights
+    are o_totalprice in integer cents."""
+    K = 64
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        w_cents = np.round(w * 100.0).astype(np.int64)
+        h = (key.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(2 ** 32) + np.uint64(1)
+        u = h.astype(np.float64) / 4294967297.0
+        prio = np.log(u) / w_cents
+        if len(prio) > K:
+            idx = np.argpartition(-prio, K)[:K]
+        else:
+            idx = np.arange(len(prio))
+        return pa.table({
+            "o_orderkey": pa.array(key[idx], pa.int64()),
+            "w_cents": pa.array(w_cents[idx], pa.int64()),
+            "prio": pa.array(prio[idx], pa.float64()),
+        })
+
+    return (orders.map_batches(local_topk, batch_format="pyarrow")
+            .sort(["prio", "o_orderkey"], descending=[True, False])
+            .limit(K)
+            .drop_columns(["prio"])
+            .sort("o_orderkey"))
+
+
+_ORDERS_WSAMPLE_SQL = """
+SELECT o_orderkey, w_cents FROM (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+         ln(CAST((o_orderkey * 2654435761) % 4294967296 + 1 AS DOUBLE)
+            / 4294967297.0)
+           / CAST(round(o_totalprice * 100) AS BIGINT) AS prio
+  FROM orders
+  ORDER BY prio DESC, o_orderkey
+  LIMIT 64
+)
+ORDER BY o_orderkey
+"""
+
+
+def events_trailing_window_count(sf_dir: str):
+    """W22 — RANGE-frame time window (the value-based frame the ROWS-frame
+    rolling family can't express): for every event, how many events the
+    same user produced in the trailing hour INCLUDING ts-tie peers —
+    SQL's ``RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW``. Peer
+    semantics come for free from the two-searchsorted formulation
+    (right bound at ts, left bound at ts − 1h), which is also what makes
+    it vectorized: one sort + two ``np.searchsorted`` per user, no
+    per-row loop.
+
+    Scale shape: one modulo shuffle on user_id, per-bucket mergesort,
+    output fact-sized and streaming."""
+    from .functions.partitions import default_parts
+
+    HOUR_US = 3_600_000_000
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+    nparts = max(2, min(default_parts(), ev.count() * 16 // 250_000 + 1))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy(zero_copy_only=False) % nparts
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        out_id, out_n = [], []
+        for _, grp in g.groupby("user_id", sort=False):
+            ts = grp["ts_us"].to_numpy()
+            hi = np.searchsorted(ts, ts, side="right")
+            lo = np.searchsorted(ts, ts - HOUR_US, side="left")
+            out_id.append(grp["event_id"].to_numpy())
+            out_n.append(hi - lo)
+        ids = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        ns = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        return pa.table({"event_id": pa.array(ids, pa.int64()),
+                         "n_trail_1h": pa.array(ns, pa.int64())})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pandas")
+            .sort("event_id"))
+
+
+_EVENTS_TRAILWIN_SQL = """
+SELECT event_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_trail_1h
+FROM events ORDER BY event_id
+"""
+
+
+def lineitem_pk_fd_audit(sf_dir: str):
+    """DQ1 — constraint audit (primary-key uniqueness + functional
+    dependency), the data-contract gate a warehouse runs before
+    publishing a table: (a) is (l_orderkey, l_linenumber) a real PK
+    (duplicate count), (b) how many parts violate the FD
+    l_partkey → l_suppkey (ship from >1 supplier — expected nonzero in
+    TPC-H, the audit REPORTS rather than assumes). One row out.
+
+    Scale shape: both checks are combiner-backed groupbys (per-batch
+    pair-dedup before the shuffle); nothing driver-side but the
+    single-row result."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_partkey",
+                             "l_suppkey"])
+    n_rows = li.count()
+
+    pk = (li.map_batches(
+            lambda t: t.select(["l_orderkey", "l_linenumber"])
+                       .group_by(["l_orderkey", "l_linenumber"])
+                       .aggregate([]),
+            batch_format="pyarrow")
+          .groupby(["l_orderkey", "l_linenumber"])
+          .aggregate(Count(alias_name="_n")))
+    n_pk = pk.count()
+
+    ps = (li.map_batches(
+            lambda t: t.select(["l_partkey", "l_suppkey"])
+                       .group_by(["l_partkey", "l_suppkey"])
+                       .aggregate([]),
+            batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"])
+          .aggregate(Count(alias_name="_n"))
+          .groupby("l_partkey")
+          .aggregate(Count(alias_name="n_supp")))
+    fd_viol = ps.map_batches(
+        lambda t: t.filter(pc.greater(t["n_supp"], 1)),
+        batch_format="pyarrow").count()
+
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "pk_dup_rows": pa.array([n_rows - n_pk], pa.int64()),
+        "fd_violating_parts": pa.array([fd_viol], pa.int64()),
+    })
+
+
+_LINEITEM_PKFD_SQL = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+         AS pk_dup_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT l_partkey FROM
+             (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           GROUP BY l_partkey HAVING COUNT(*) > 1))
+         AS fd_violating_parts
+"""
+
+
+def docs_phrase_search(sf_dir: str):
+    """I4 — positional-index phrase query: per-doc occurrence count of
+    the exact bigram phrase "hash join" served the way a PRE-BUILT
+    positional inverted index answers it — explode postings
+    (doc, term, pos), keep only the two phrase terms' postings lists
+    (the selective index lookup), co-partition by doc and intersect on
+    pos+1. The no-index fast path (count within each text row locally,
+    zero shuffle) is the degenerate plan when text and query arrive
+    together; this query deliberately exercises the index-serving plan —
+    tests assert the two plans agree.
+
+    Scale shape: only the two terms' postings shuffle (index lookups are
+    selective by construction); the match groupby is combiner-backed."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=2000)
+    T1, T2 = "hash", "join"
+
+    def postings(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        d["tk"] = d["text"].str.split(" ")
+        d = d[["doc_id", "tk"]].explode("tk")
+        d["pos"] = d.groupby("doc_id").cumcount()
+        d = d[d["tk"].isin((T1, T2))]
+        return pa.table({"doc_id": pa.array(d["doc_id"], pa.int64()),
+                         "tk": pa.array(d["tk"], pa.string()),
+                         "pos": pa.array(d["pos"], pa.int64())})
+
+    post = docs.map_batches(postings, batch_format="pyarrow") \
+        .materialize()
+
+    def head_key(t: pa.Table) -> pa.Table:
+        # postings of T1 keyed at pos, postings of T2 keyed at pos-1:
+        # equal keys == adjacency, so the phrase match is ONE groupby
+        is_t1 = pc.equal(t["tk"], T1)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        key = np.where(is_t1.to_numpy(zero_copy_only=False), pos, pos - 1)
+        return pa.table({"doc_id": t["doc_id"], "tk": t["tk"],
+                         "k": pa.array(key, pa.int64())})
+
+    # one token per (doc, pos) ⇒ every (doc, k, tk) row is unique, so
+    # rows-per-(doc, k) == 2 ⟺ T1@k AND T2@k+1 — no dedup pass needed
+    matches = (post.map_batches(head_key, batch_format="pyarrow")
+               .groupby(["doc_id", "k"])
+               .aggregate(Count(alias_name="n_terms")))
+    hits = matches.map_batches(
+        lambda t: t.filter(pc.equal(t["n_terms"], 2)),
+        batch_format="pyarrow")
+    return (hits.groupby("doc_id")
+            .aggregate(Count(alias_name="n_phrase"))
+            .sort("doc_id"))
+
+
+_DOCS_PHRASE_SQL = """
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents),
+pos AS (SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr) - 1)) AS i
+        FROM arrs)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+FROM pos WHERE arr[i] = 'hash' AND arr[i + 1] = 'join'
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10620,6 +10855,10 @@ def queries():
         "customer_tree_rollup": customer_tree_rollup,
         "docs_jaccard_prefix_join": docs_jaccard_prefix_join,
         "events_pattern_match": events_pattern_match,
+        "orders_weighted_sample": orders_weighted_sample,
+        "events_trailing_window_count": events_trailing_window_count,
+        "lineitem_pk_fd_audit": lineitem_pk_fd_audit,
+        "docs_phrase_search": docs_phrase_search,
     }
 
 
@@ -10808,6 +11047,10 @@ def oracle_sql():
         "customer_tree_rollup": _CUSTOMER_TREE_ROLLUP_SQL,
         "docs_jaccard_prefix_join": _DOCS_JACCARD_PREFIX_SQL,
         "events_pattern_match": _EVENTS_PATTERN_SQL,
+        "orders_weighted_sample": _ORDERS_WSAMPLE_SQL,
+        "events_trailing_window_count": _EVENTS_TRAILWIN_SQL,
+        "lineitem_pk_fd_audit": _LINEITEM_PKFD_SQL,
+        "docs_phrase_search": _DOCS_PHRASE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

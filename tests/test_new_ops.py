@@ -627,3 +627,60 @@ def test_keyspace_gaps_planted(ray_session, tmp_path):
     got = orders_keyspace_gaps(str(tmp_path)).to_pandas().iloc[0]
     assert got.n_keys == 6 and got.min_key == 0 and got.max_key == 9
     assert got.n_missing == 4 and got.largest_gap == 3
+
+
+def test_phrase_search_two_plans_agree(ray_session, tmp_path):
+    """The positional-index serving plan (docs_phrase_search) must count
+    exactly what a text-local scan counts, including adjacent
+    occurrences ("hash join hash join") that string-replace tricks
+    undercount, and reversed/partial bigrams it must not count."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.queries import docs_phrase_search
+
+    texts = ["hash join hash join x",        # 2 adjacent occurrences
+             "join hash",                    # reversed — 0
+             "hash hash join join",          # 1 (positions 1-2)
+             "a hash join b hash join c",    # 2 separated
+             "hash",                         # partial — 0
+             ""]                             # empty — 0
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    got = docs_phrase_search(str(tmp_path)).to_pandas()
+    got_map = dict(zip(got.doc_id, got.n_phrase))
+
+    def local_count(t):
+        toks = t.split(" ")
+        return sum(1 for i in range(len(toks) - 1)
+                   if toks[i] == "hash" and toks[i + 1] == "join")
+
+    want = {i + 1: local_count(t) for i, t in enumerate(texts)
+            if local_count(t) > 0}
+    assert got_map == want
+
+
+def test_trailing_window_count_ties(ray_session, tmp_path):
+    """RANGE-frame peer semantics: ts ties within a user all count each
+    other (unlike a ROWS frame), and the 1h bound is inclusive."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.queries import (
+        events_trailing_window_count)
+
+    hour_us = 3_600_000_000
+    ts = [0, 0, hour_us, hour_us + 1, 10 * hour_us]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([7] * 5, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+
+    got = events_trailing_window_count(str(tmp_path)).to_pandas()
+    got_map = dict(zip(got.event_id, got.n_trail_1h))
+    # events 0,1 tie at t=0 → each sees both peers; event 2 at exactly
+    # +1h still includes them (inclusive bound); event 3 at +1h+1us
+    # drops the t=0 pair; event 4 is alone
+    assert got_map == {0: 2, 1: 2, 2: 3, 3: 2, 4: 1}
