@@ -246,3 +246,68 @@ def global_running_sum(ds: ray.data.Dataset, value_col: str, *,
 
     return (tagged.groupby("_rpart")
             .map_groups(cumsum, batch_format="pandas"))
+
+
+def global_running_max(ds: ray.data.Dataset, value_col: str, *,
+                       order_by: list[str],
+                       descending: "bool | list[bool]" = False,
+                       out_col: str = "cummax",
+                       exclusive: bool = False,
+                       num_partitions: "int | None" = None
+                       ) -> ray.data.Dataset:
+    """SQL ``MAX(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` —
+    the global-total-order running maximum (streaming WATERMARKS: the
+    max event time seen so far in arrival order). ``exclusive=True``
+    ends the frame at ``1 PRECEDING`` (the watermark BEFORE the current
+    row arrives); rows with no prior row emit null.
+
+    Same two-pass plan as ``global_running_sum``: the driver-side offset
+    table carries per-range-partition MAXES (|partitions| scalars, the
+    only driver data), the local pass sorts and combines the exclusive
+    cross-partition max with the in-partition running max. Integer
+    ``value_col`` required — max is order-free, but the int64 sentinel
+    (INT64_MIN = "nothing yet") must be exact."""
+    num_partitions = num_partitions or default_parts()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    ascending = [not d for d in descending]
+
+    schema = ds.schema().base_schema
+    vt = schema.field(value_col).type
+    if not pa.types.is_integer(vt):
+        raise ValueError(
+            f"global_running_max requires an integer value_col; got "
+            f"{value_col}: {vt}. Cast timestamps to epoch integers first.")
+    out_schema = pa.schema(
+        [(n, schema.field(n).type) for n in schema.names]
+        + [(out_col, pa.int64())])
+    NEG = np.iinfo(np.int64).min
+
+    n_total = ds.count()
+    tagged = _range_tag(ds, order_by, ascending, num_partitions, n_total)
+
+    from ray.data.aggregate import Max
+    maxes = (tagged.groupby("_rpart")
+             .aggregate(Max(value_col, alias_name="_m")).to_pandas()
+             .sort_values("_rpart"))
+    offs = np.full(num_partitions + 1, NEG, dtype=np.int64)
+    np.maximum.at(offs, maxes["_rpart"].to_numpy() + 1,
+                  maxes["_m"].to_numpy().astype(np.int64))
+    offsets = dict(enumerate(np.maximum.accumulate(offs)))
+    offsets_ref = ray.put(offsets)
+
+    def cummax(part: pd.DataFrame) -> pa.Table:
+        off = ray.get(offsets_ref)[int(part["_rpart"].iloc[0])]
+        part = part.sort_values(order_by, ascending=ascending,
+                                kind="mergesort")
+        v = part[value_col].to_numpy(dtype=np.int64)
+        run = np.maximum.accumulate(v)
+        if exclusive:
+            run = np.concatenate(([NEG], run[:-1]))
+        m = np.maximum(run, off)
+        part[out_col] = pd.array(np.where(m == NEG, 0, m), dtype="Int64")
+        part.loc[m == NEG, out_col] = pd.NA
+        return to_arrow(part.drop(columns=["_rpart"]), out_schema)
+
+    return (tagged.groupby("_rpart")
+            .map_groups(cummax, batch_format="pandas"))

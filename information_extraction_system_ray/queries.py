@@ -10626,6 +10626,165 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def events_watermark_late(sf_dir: str):
+    """ST1 — watermark late-data accounting (the Dataflow-model /
+    Flink event-time primitive): events arrive in event_id order; the
+    watermark at each arrival is the max event time of all PRIOR
+    arrivals minus a 15-minute allowed delay; an event whose own time
+    sits below that watermark is LATE. Per 1-hour tumbling event-time
+    window, count on-time vs late arrivals — the audit that sizes the
+    allowed-lateness knob before a streaming job drops data.
+
+    The watermark is a GLOBAL exclusive running max in arrival order —
+    [[global_running_max]]'s two-pass range-partition scan (per-partition
+    maxes on the driver, everything else streams); window bucketing and
+    the late gate are one vectorized map + a bounded groupby."""
+    from .functions.rank import global_running_max
+
+    DELAY_US = 900_000_000
+    HOUR_US = 3_600_000_000
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    us = ev.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "ts_us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    wm = global_running_max(us, "ts_us", order_by=["event_id"],
+                            out_col="wm_us", exclusive=True)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        w = t["wm_us"].to_pandas()
+        late = (w.notna().to_numpy()
+                & (ts < w.fillna(np.iinfo(np.int64).min).to_numpy()
+                   - DELAY_US))
+        win = ts // HOUR_US * HOUR_US
+        return pa.table({
+            "window_start_us": pa.array(win, pa.int64()),
+            "on_time": pa.array((~late).astype(np.int64), pa.int64()),
+            "late": pa.array(late.astype(np.int64), pa.int64()),
+        })
+
+    return (wm.map_batches(gate, batch_format="pyarrow")
+            .groupby("window_start_us")
+            .aggregate(Sum("on_time", alias_name="n_on_time"),
+                       Sum("late", alias_name="n_late"))
+            .sort("window_start_us"))
+
+
+_EVENTS_WATERMARK_SQL = """
+WITH w AS (
+  SELECT epoch_us(ts) AS t,
+         MAX(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT (t // 3600000000) * 3600000000 AS window_start_us,
+       CAST(SUM(CASE WHEN wm IS NULL OR t >= wm - 900000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       CAST(SUM(CASE WHEN wm IS NOT NULL AND t < wm - 900000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_k_anonymity(sf_dir: str):
+    """DQ2 — k-anonymity audit (Sweeney, public; the governance gate
+    before releasing a table keyed on quasi-identifiers): under the
+    quasi-identifier (c_nationkey, c_mktsegment), how many equivalence
+    classes have fewer than k=20 members, and how many ROWS sit in them
+    (re-identifiable at that k). One bounded groupby (≤ |nations|×
+    |segments| classes) behind a per-batch combiner; single row out."""
+    K = 20
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_mktsegment"])
+    classes = (cust.map_batches(
+        lambda t: t.group_by(["c_nationkey", "c_mktsegment"])
+                   .aggregate([([], "count_all")])
+                   .rename_columns(["c_nationkey", "c_mktsegment", "pn"]),
+        batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("pn", alias_name="n")))
+
+    def reduce_small(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        small = n < K
+        return pa.table({
+            "n_classes": pa.array([len(n)], pa.int64()),
+            "small_classes": pa.array([int(small.sum())], pa.int64()),
+            "rows_at_risk": pa.array([int(n[small].sum())], pa.int64()),
+        })
+
+    m = (classes.map_batches(reduce_small, batch_format="pyarrow")
+         .aggregate(Sum("n_classes", alias_name="n_classes"),
+                    Sum("small_classes", alias_name="small_classes"),
+                    Sum("rows_at_risk", alias_name="rows_at_risk")))
+    return pa.table({k: pa.array([int(m[k] or 0)], pa.int64())
+                     for k in ("n_classes", "small_classes",
+                               "rows_at_risk")})
+
+
+_CUSTOMER_KANON_SQL = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS small_classes,
+       CAST(COALESCE(SUM(CASE WHEN n < 20 THEN n END), 0) AS BIGINT)
+         AS rows_at_risk
+FROM cls
+"""
+
+
+def docs_gzip_ndjson_roundtrip(sf_dir: str):
+    """S15 — compressed NDJSON source/sink (the wire format most web
+    corpora actually arrive in — WET/WARC derivatives ship gzipped):
+    documents → per-block ``.jsonl.gz`` shards written inside
+    ``map_batches`` (stdlib gzip, shard name keyed by the block's min
+    doc_id so concurrent writers never collide and a re-run overwrites
+    rather than duplicates) → ``ray.data.read_json`` with an explicit
+    gzip ``open_input_stream`` — then the same count+checksum aggregate
+    as the plain-text round-trip, proving losslessness against the
+    ORIGINAL parquet oracle."""
+    import gzip
+    import os
+    import shutil
+
+    out_dir = f"/tmp/ies_gzjsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        if len(d) == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        path = os.path.join(out_dir,
+                            f"part-{int(d['doc_id'].min()):012d}.jsonl.gz")
+        with gzip.open(path, "wt", encoding="utf-8") as f:
+            d.to_json(f, orient="records", lines=True)
+        return pa.table({"n": pa.array([len(d)], pa.int64())})
+
+    # sink pass must complete before the read pass opens the directory
+    read_table(sf_dir, "documents", columns=["doc_id", "lang"]) \
+        .map_batches(write_shard, batch_format="pyarrow").materialize()
+
+    back = ray.data.read_json(
+        out_dir, file_extensions=["gz"],
+        arrow_open_stream_args={"compression": "gzip"})
+    return (back.groupby("lang")
+            .aggregate(Count(alias_name="n"),
+                       Sum("doc_id", alias_name="sum_doc_id"))
+            .sort("lang"))
+
+
+_DOCS_GZJSONL_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10859,6 +11018,9 @@ def queries():
         "events_trailing_window_count": events_trailing_window_count,
         "lineitem_pk_fd_audit": lineitem_pk_fd_audit,
         "docs_phrase_search": docs_phrase_search,
+        "events_watermark_late": events_watermark_late,
+        "customer_k_anonymity": customer_k_anonymity,
+        "docs_gzip_ndjson_roundtrip": docs_gzip_ndjson_roundtrip,
     }
 
 
@@ -11051,6 +11213,9 @@ def oracle_sql():
         "events_trailing_window_count": _EVENTS_TRAILWIN_SQL,
         "lineitem_pk_fd_audit": _LINEITEM_PKFD_SQL,
         "docs_phrase_search": _DOCS_PHRASE_SQL,
+        "events_watermark_late": _EVENTS_WATERMARK_SQL,
+        "customer_k_anonymity": _CUSTOMER_KANON_SQL,
+        "docs_gzip_ndjson_roundtrip": _DOCS_GZJSONL_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -684,3 +684,31 @@ def test_trailing_window_count_ties(ray_session, tmp_path):
     # +1h still includes them (inclusive bound); event 3 at +1h+1us
     # drops the t=0 pair; event 4 is alone
     assert got_map == {0: 2, 1: 2, 2: 3, 3: 2, 4: 1}
+
+
+def test_watermark_late_planted(ray_session, tmp_path):
+    """Out-of-order arrivals: the exclusive running-max watermark must
+    mark exactly the events that sit >15min behind the max PRIOR event
+    time — driver tables are near-monotone and never exercise this."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.queries import (
+        events_watermark_late)
+
+    MIN = 60_000_000
+    ts = [0, 120 * MIN, 60 * MIN, 110 * MIN, 30 * MIN]
+    # arrival order = event_id; wm(i) = max prior ts - 15min:
+    #  id0 no prior -> on time (window 0)
+    #  id1 t=2h, wm=0-15m -> on time (window 2h)
+    #  id2 t=1h  < 2h-15m -> LATE   (window 1h)
+    #  id3 t=110m >= 105m -> on time (window 1h)
+    #  id4 t=30m < 105m   -> LATE   (window 0)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+
+    got = events_watermark_late(str(tmp_path)).to_pandas()
+    rows = {int(r.window_start_us): (int(r.n_on_time), int(r.n_late))
+            for r in got.itertuples()}
+    assert rows == {0: (1, 1), 60 * MIN: (1, 1), 120 * MIN: (1, 0)}
