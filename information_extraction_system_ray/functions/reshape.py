@@ -35,3 +35,36 @@ def melt(ds: ray.data.Dataset, *, id_cols: "list[str]",
         return pa.concat_tables(pieces)
 
     return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def union_by_name(a: ray.data.Dataset, b: ray.data.Dataset
+                  ) -> ray.data.Dataset:
+    """DuckDB ``UNION ALL BY NAME`` semantics — the schema-evolution
+    union: the output schema is the union of both inputs' columns (a's
+    order, then b's new columns); columns missing on one side pad with
+    typed nulls. Same-name columns must agree on type (no silent
+    coercion — schema drift should fail loudly, not corrupt).
+
+    Per-batch pad + native ``Dataset.union`` — zero shuffle, streams."""
+    sa, sb = a.schema().base_schema, b.schema().base_schema
+    types: "dict[str, pa.DataType]" = {}
+    names: "list[str]" = []
+    for s in (sa, sb):
+        for f in s:
+            if f.name in types:
+                if types[f.name] != f.type:
+                    raise ValueError(
+                        f"union_by_name type conflict on {f.name!r}: "
+                        f"{types[f.name]} vs {f.type}")
+            else:
+                types[f.name] = f.type
+                names.append(f.name)
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = len(t)
+        have = set(t.column_names)
+        return pa.table({c: (t[c] if c in have else pa.nulls(n, types[c]))
+                         for c in names})
+
+    return a.map_batches(pad, batch_format="pyarrow").union(
+        b.map_batches(pad, batch_format="pyarrow"))

@@ -10785,6 +10785,186 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def orders_mv_merge(sf_dir: str):
+    """ETL2 — materialized-view maintenance by ALGEBRAIC partial-state
+    merge: the base snapshot (even order keys) and a later delta batch
+    (odd keys) each reduce to mergeable per-customer states
+    (n, sum, min, max — a commutative monoid), and the refresh is a
+    groupby-merge OF STATES, never a rescan of base facts. The oracle
+    recomputes from all facts, so equality proves the merge operator is
+    lossless — the property incremental view maintenance rests on.
+
+    Scale shape: two combiner-backed state builds + one state-sized
+    merge shuffle (|customers| rows, not |orders|)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def states(which: int):
+        def prep(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), which)
+            t = t.filter(keep)
+            cents = _cents(t["o_totalprice"])
+            d = pd.DataFrame({"o_custkey": t["o_custkey"].to_pandas(),
+                              "n": 1,
+                              "s": cents.to_pandas(),
+                              "mn": cents.to_pandas(),
+                              "mx": cents.to_pandas()})
+            g = d.groupby("o_custkey", sort=False).agg(
+                n=("n", "sum"), s=("s", "sum"),
+                mn=("mn", "min"), mx=("mx", "max")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (orders.map_batches(prep, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("s", alias_name="s"),
+                           Min("mn", alias_name="mn"),
+                           Max("mx", alias_name="mx")))
+
+    merged = (states(0).union(states(1))
+              .groupby("o_custkey")
+              .aggregate(Sum("n", alias_name="n_orders"),
+                         Sum("s", alias_name="total_cents"),
+                         Min("mn", alias_name="min_cents"),
+                         Max("mx", alias_name="max_cents")))
+    return merged.sort("o_custkey")
+
+
+_ORDERS_MV_SQL = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def events_union_by_name(sf_dir: str):
+    """X2 — schema-evolution union (`UNION ALL BY NAME`): two event
+    extracts with DIFFERENT schemas — an old pipeline version emitting
+    (event_id, user_id) and a new one emitting (event_id, value_cents) —
+    union by column NAME with typed-null padding via
+    [[reshape.union_by_name]], then one combiner-backed summary proving
+    null semantics survive (SUM ignores the padded side, the null count
+    sees it). The drift a long-lived ingest pipeline always hits.
+
+    Scale shape: pad is per-batch, union is metadata-only, the summary
+    is a per-batch combiner + single-row reduce."""
+    from .functions.reshape import union_by_name
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "value"])
+    old = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0))
+                   .select(["event_id", "user_id"]),
+        batch_format="pyarrow")
+    new = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": (f := t.filter(
+                pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)))["event_id"],
+            "value_cents": _cents(f["value"])}),
+        batch_format="pyarrow")
+    u = union_by_name(old, new)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([len(t)], pa.int64()),
+            "sum_user": pa.array([pc.sum(t["user_id"]).as_py() or 0],
+                                 pa.int64()),
+            "sum_value_cents": pa.array(
+                [pc.sum(t["value_cents"]).as_py() or 0], pa.int64()),
+            "n_null_user": pa.array([t["user_id"].null_count], pa.int64()),
+        })
+
+    m = (u.map_batches(partial, batch_format="pyarrow")
+         .aggregate(Sum("n_rows", alias_name="n_rows"),
+                    Sum("sum_user", alias_name="sum_user"),
+                    Sum("sum_value_cents", alias_name="sum_value_cents"),
+                    Sum("n_null_user", alias_name="n_null_user")))
+    return pa.table({k: pa.array([int(m[k] or 0)], pa.int64())
+                     for k in ("n_rows", "sum_user", "sum_value_cents",
+                               "n_null_user")})
+
+
+_EVENTS_UNION_BY_NAME_SQL = """
+WITH a AS (SELECT event_id, user_id FROM events WHERE event_id % 2 = 0),
+b AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS value_cents
+      FROM events WHERE event_id % 2 = 1),
+u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(user_id), 0) AS BIGINT) AS sum_user,
+       CAST(COALESCE(SUM(value_cents), 0) AS BIGINT) AS sum_value_cents,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_user
+FROM u
+"""
+
+
+def docs_topp_curation(sf_dir: str):
+    """LLM2 — top-p (nucleus) corpus curation: per language, keep the
+    LARGEST documents first until the kept set holds ≥ 90% of that
+    language's character mass (the smallest prefix crossing p — the
+    nucleus rule applied to corpus budgeting instead of token
+    sampling). Keep gate is the integer predicate
+    10·(cum − n_chars) < 9·total — no float boundary.
+
+    Scale shape: per-lang totals via a combiner groupby (|langs|
+    scalars); the ordered prefix is [[window.running_sum]]'s hash-
+    partitioned per-key cumsum (descending order via a negated sort
+    column); the verdict is a bounded groupby."""
+    from .functions.window import running_sum
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "n_chars"])
+    totals = {r["lang"]: int(r["total"])
+              for r in (docs.groupby("lang")
+                        .aggregate(Sum("n_chars", alias_name="total"))
+                        .take_all())}          # ≤ |langs| rows
+    totals_ref = ray.put(totals)
+
+    prep = docs.map_batches(
+        lambda t: t.append_column(
+            "neg_chars", pc.negate_checked(t["n_chars"])),
+        batch_format="pyarrow")
+    cum = running_sum(prep, "n_chars", keys=["lang"],
+                      order_by=["neg_chars", "doc_id"], out_col="cum")
+
+    def gate(t: pa.Table) -> pa.Table:
+        tot = ray.get(totals_ref)
+        lang = t["lang"].to_pylist()
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        cumv = t["cum"].to_numpy(zero_copy_only=False)
+        tv = np.fromiter((tot[x] for x in lang), dtype=np.int64,
+                         count=len(lang))
+        keep = 10 * (cumv - n) < 9 * tv
+        return pa.table({"lang": pa.array(np.array(lang)[keep]),
+                         "n_chars": pa.array(n[keep], pa.int64())})
+
+    return (cum.map_batches(gate, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs_kept"),
+                       Sum("n_chars", alias_name="chars_kept"))
+            .sort("lang"))
+
+
+_DOCS_TOPP_SQL = """
+WITH c AS (
+  SELECT lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang
+             ORDER BY n_chars DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n_chars) OVER (PARTITION BY lang) AS total
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM c WHERE 10 * (cum - n_chars) < 9 * total
+GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11021,6 +11201,9 @@ def queries():
         "events_watermark_late": events_watermark_late,
         "customer_k_anonymity": customer_k_anonymity,
         "docs_gzip_ndjson_roundtrip": docs_gzip_ndjson_roundtrip,
+        "orders_mv_merge": orders_mv_merge,
+        "events_union_by_name": events_union_by_name,
+        "docs_topp_curation": docs_topp_curation,
     }
 
 
@@ -11216,6 +11399,9 @@ def oracle_sql():
         "events_watermark_late": _EVENTS_WATERMARK_SQL,
         "customer_k_anonymity": _CUSTOMER_KANON_SQL,
         "docs_gzip_ndjson_roundtrip": _DOCS_GZJSONL_SQL,
+        "orders_mv_merge": _ORDERS_MV_SQL,
+        "events_union_by_name": _EVENTS_UNION_BY_NAME_SQL,
+        "docs_topp_curation": _DOCS_TOPP_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

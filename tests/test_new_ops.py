@@ -712,3 +712,25 @@ def test_watermark_late_planted(ray_session, tmp_path):
     rows = {int(r.window_start_us): (int(r.n_on_time), int(r.n_late))
             for r in got.itertuples()}
     assert rows == {0: (1, 1), 60 * MIN: (1, 1), 120 * MIN: (1, 0)}
+
+
+def test_union_by_name(ray_session):
+    """Typed-null padding on both sides; loud failure on type drift."""
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.reshape import (
+        union_by_name)
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                "x": pa.array(["a", "b"], pa.string())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([3], pa.int64()),
+                                "y": pa.array([9.5], pa.float64())}))
+    got = union_by_name(a, b).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    assert list(got.columns) == ["k", "x", "y"]
+    assert got["x"].tolist()[:2] == ["a", "b"] and pd.isna(got["x"][2])
+    assert pd.isna(got["y"][0]) and got["y"][2] == 9.5
+
+    c = rd.from_arrow(pa.table({"k": pa.array(["s"], pa.string())}))
+    with pytest.raises(ValueError, match="type conflict"):
+        union_by_name(a, c)
