@@ -10965,6 +10965,230 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def orders_merge_upsert(sf_dir: str):
+    """ETL3 — distributed MERGE INTO (the Delta/Iceberg upsert / CDC
+    apply): base table = orders with key mod 3 ≠ 0; change batch =
+    orders with even key. WHEN MATCHED: delete if key mod 7 = 0, else
+    update (price + 100 cents); WHEN NOT MATCHED: insert unless the
+    change is itself a delete. Built on [[merge.merge_into]]'s three
+    join legs (anti / auto / anti) + union — nothing driver-side; the
+    oracle replays the same actions declaratively, so equality proves
+    MERGE semantics end-to-end. Output: per-priority row count + cents
+    total of the merged table."""
+    from .functions.merge import merge_into
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    rows = orders.map_batches(shape, batch_format="pyarrow").materialize()
+    base = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.subtract(t["o_orderkey"],
+                        pc.multiply(pc.divide(t["o_orderkey"], 3), 3)), 0)),
+        batch_format="pyarrow")
+    source = rows.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], 1),
+                                    0)),
+        batch_format="pyarrow")
+
+    def _mod7_zero(keys: pa.ChunkedArray):
+        k = keys.to_numpy(zero_copy_only=False)
+        return k % 7 == 0
+
+    def when_matched(t: pa.Table) -> pa.Table:
+        keep = ~_mod7_zero(t["o_orderkey"])          # delete key%7==0
+        t = t.filter(pa.array(keep))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "cents": pc.add(t["cents"], 100)})
+
+    def when_not_matched(t: pa.Table) -> pa.Table:
+        keep = ~_mod7_zero(t["o_orderkey"])          # delete-op: no insert
+        return t.filter(pa.array(keep))
+
+    merged = merge_into(base, source, on="o_orderkey",
+                        when_matched=when_matched,
+                        when_not_matched=when_not_matched)
+    return (merged.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n"),
+                       Sum("cents", alias_name="total_cents"))
+            .sort("o_orderpriority"))
+
+
+_ORDERS_MERGE_SQL = """
+WITH rows_ AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+base AS (SELECT * FROM rows_ WHERE o_orderkey % 3 <> 0),
+src AS (SELECT * FROM rows_ WHERE o_orderkey % 2 = 0),
+merged AS (
+  SELECT b.* FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT b.o_orderkey, b.o_orderpriority, b.cents + 100
+  FROM base b JOIN src s USING (o_orderkey)
+  WHERE b.o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT s.* FROM src s
+  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    AND s.o_orderkey % 7 <> 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_graph_snapshot_diff(sf_dir: str):
+    """KG8 — temporal graph snapshot diff (the KG-maintenance report:
+    what did the last crawl ADD, REMOVE, RETAIN?): the bipartite
+    user→event_type edge set in the first half of the time range vs the
+    second half (midpoint = integer (min+max)/2 of event time); per
+    edge label, counts of added / removed / retained edges.
+
+    Scale shape: 2-scalar min/max aggregate; per-(user, type) presence
+    bits via a combiner-backed groupby(Max); the diff is a bounded
+    per-type groupby — no edge list ever leaves the cluster."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type",
+                                               "ts"])
+    us = ev.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "event_type": t["event_type"],
+                            "ts_us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    mm = us.aggregate(Min("ts_us"), Max("ts_us"))
+    mid = (int(mm["min(ts_us)"]) + int(mm["max(ts_us)"])) // 2
+
+    def flags(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "in_a": pa.array((ts < mid).astype(np.int64), pa.int64()),
+            "in_b": pa.array((ts >= mid).astype(np.int64), pa.int64())})
+
+    presence = (us.map_batches(flags, batch_format="pyarrow")
+                .groupby(["user_id", "event_type"])
+                .aggregate(Max("in_a", alias_name="in_a"),
+                           Max("in_b", alias_name="in_b")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = t["in_a"].to_numpy(zero_copy_only=False)
+        b = t["in_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "added": pa.array(((a == 0) & (b == 1)).astype(np.int64),
+                              pa.int64()),
+            "removed": pa.array(((a == 1) & (b == 0)).astype(np.int64),
+                                pa.int64()),
+            "retained": pa.array(((a == 1) & (b == 1)).astype(np.int64),
+                                 pa.int64())})
+
+    return (presence.map_batches(classify, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("added", alias_name="n_added"),
+                       Sum("removed", alias_name="n_removed"),
+                       Sum("retained", alias_name="n_retained"))
+            .sort("event_type"))
+
+
+_EVENTS_SNAPDIFF_SQL = """
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+           FROM events),
+p AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+             THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+             THEN 1 ELSE 0 END) AS in_b
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def docs_rrf_fusion(sf_dir: str):
+    """R3 — reciprocal rank fusion (Cormack et al. 2009, public; the
+    standard hybrid-retrieval merge): fuse a length ranking (n_chars
+    DESC) with a term-frequency ranking (count of the exact token
+    'hash' DESC), score = Σ 1/(60 + rank), top 10. Each global rank is
+    [[rank.global_row_number]]'s two-pass range-partitioned plan; the
+    two rank tables join through ``auto_join``; both engines compute
+    the identical two-term double sum (reported ×10⁶ as int).
+
+    Scale shape: two rank passes + one key join; only local top-k
+    reaches the final sort."""
+    from .functions.joins import auto_join
+    from .functions.rank import global_row_number
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "n_chars"],
+                      rows_per_block=2000).materialize()
+
+    def tf(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        cnt = d["text"].str.split(" ").map(
+            lambda toks: sum(1 for x in toks if x == "hash"))
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"], pa.int64()),
+            "neg_tf": pa.array(-cnt.to_numpy(np.int64), pa.int64())})
+
+    by_len = docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "neg_chars": pc.negate_checked(t["n_chars"])}),
+        batch_format="pyarrow")
+    r1 = global_row_number(by_len, order_by=["neg_chars", "doc_id"],
+                           out_col="r1").drop_columns(["neg_chars"])
+    r2 = global_row_number(docs.map_batches(tf, batch_format="pyarrow"),
+                           order_by=["neg_tf", "doc_id"],
+                           out_col="r2").drop_columns(["neg_tf"])
+    both = auto_join(r1, r2, left_key="doc_id", right_key="doc_id",
+                     right_cols=["r2"])
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t["r1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t["r2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = 1.0 / (60.0 + a) + 1.0 / (60.0 + b)
+        e6 = np.round(s * 1e6).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "rrf_e6": pa.array(e6, pa.int64())})
+
+    return (both.map_batches(score, batch_format="pyarrow")
+            .sort(["rrf_e6", "doc_id"], descending=[True, False])
+            .limit(10))
+
+
+_DOCS_RRF_SQL = """
+WITH tf AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS c
+  FROM documents),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r1,
+         ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r2
+  FROM tf)
+SELECT doc_id,
+       CAST(round((1.0/(60 + r1) + 1.0/(60 + r2)) * 1000000) AS BIGINT)
+         AS rrf_e6
+FROM ranked
+ORDER BY rrf_e6 DESC, doc_id
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11204,6 +11428,9 @@ def queries():
         "orders_mv_merge": orders_mv_merge,
         "events_union_by_name": events_union_by_name,
         "docs_topp_curation": docs_topp_curation,
+        "orders_merge_upsert": orders_merge_upsert,
+        "events_graph_snapshot_diff": events_graph_snapshot_diff,
+        "docs_rrf_fusion": docs_rrf_fusion,
     }
 
 
@@ -11402,6 +11629,9 @@ def oracle_sql():
         "orders_mv_merge": _ORDERS_MV_SQL,
         "events_union_by_name": _EVENTS_UNION_BY_NAME_SQL,
         "docs_topp_curation": _DOCS_TOPP_SQL,
+        "orders_merge_upsert": _ORDERS_MERGE_SQL,
+        "events_graph_snapshot_diff": _EVENTS_SNAPDIFF_SQL,
+        "docs_rrf_fusion": _DOCS_RRF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

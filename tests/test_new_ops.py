@@ -734,3 +734,37 @@ def test_union_by_name(ray_session):
     c = rd.from_arrow(pa.table({"k": pa.array(["s"], pa.string())}))
     with pytest.raises(ValueError, match="type conflict"):
         union_by_name(a, c)
+
+
+def test_merge_into_semantics(ray_session):
+    """MERGE legs: untouched base survives, matched rows update or
+    delete, unmatched source inserts (or is ignored entirely when
+    when_not_matched=None)."""
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.merge import merge_into
+
+    base = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64())})).repartition(2)
+    src = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "v": pa.array([0, 0, 40], pa.int64())})).repartition(2)
+
+    def matched(t):
+        keep = t.filter(pa.compute.not_equal(t["k"], 3))   # delete k=3
+        return pa.table({"k": keep["k"],
+                         "v": pa.compute.add(keep["v"], 1)})
+
+    def insert(t):
+        return t
+
+    got = merge_into(base, src, on="k", when_matched=matched,
+                     when_not_matched=insert).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got.values.tolist() == [[1, 10], [2, 21], [4, 40]]
+
+    got2 = merge_into(base, src, on="k", when_matched=matched,
+                      when_not_matched=None).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got2.values.tolist() == [[1, 10], [2, 21]]
