@@ -11189,6 +11189,130 @@ LIMIT 10
 """
 
 
+def _first_ts_after(ev, etype: str, prev, prev_col: str, out_col: str):
+    """Per user, MIN event time of ``etype`` at or after that user's
+    ``prev_col`` time (``prev`` = Dataset(user_id, prev_col); None for
+    the base stage). The ordered-funnel stage kernel: one selective
+    filter, one key join through auto_join's chooser, one combiner-backed
+    Min groupby — each stage's state is |users| rows, never fact-sized."""
+    from .functions.joins import auto_join
+
+    f = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], etype)),
+        batch_format="pyarrow")
+    if prev is not None:
+        f = auto_join(f, prev, left_key="user_id", right_key="user_id",
+                      right_cols=[prev_col])
+        f = f.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["ts_us"], t[prev_col])),
+            batch_format="pyarrow")
+    return (f.groupby("user_id")
+            .aggregate(Min("ts_us", alias_name=out_col)))
+
+
+def events_funnel_steps(sf_dir: str):
+    """PA1 — N-stage ORDERED funnel (signup → click → purchase, each
+    stage's first hit at-or-after the previous stage's first hit): the
+    product-analytics generalization of the 2-stage [[events_funnel]].
+    Stage k is one [[_first_ts_after]] kernel over the stage-(k−1)
+    state table — |users|-sized states, fact table scanned once per
+    stage with a selective type filter. One row out: users surviving
+    each stage."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"]) \
+        .map_batches(
+            lambda t: pa.table({"user_id": t["user_id"],
+                                "event_type": t["event_type"],
+                                "ts_us": pc.cast(t["ts"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    counts = []
+    prev, prev_col = None, None
+    for i, etype in enumerate(("signup", "click", "purchase")):
+        col = f"t{i}"
+        stage = _first_ts_after(ev, etype, prev, prev_col, col) \
+            .materialize()
+        counts.append(stage.count())
+        prev, prev_col = stage, col
+
+    return pa.table({
+        "n_signup": pa.array([counts[0]], pa.int64()),
+        "n_click_after": pa.array([counts[1]], pa.int64()),
+        "n_purchase_after": pa.array([counts[2]], pa.int64()),
+    })
+
+
+_EVENTS_FUNNEL_STEPS_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS st FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS ct
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.st
+      GROUP BY 1),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.ct
+      GROUP BY 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after
+"""
+
+
+def events_conversion_latency(sf_dir: str):
+    """PA2 — conversion-latency quantiles: seconds from each user's
+    first signup to their first purchase at-or-after it, exact
+    p25/p50/p75 (rank = ⌈q·n⌉ over the distinct-value histogram —
+    [[quantiles.exact_quantiles]], same contract the repo's other
+    quantile oracles validate) + converted-user count. The funnel-stage
+    kernel supplies both state tables; the latency column is exact
+    integer µs//10⁶."""
+    from .functions.joins import auto_join
+    from .functions.quantiles import exact_quantiles
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"]) \
+        .map_batches(
+            lambda t: pa.table({"user_id": t["user_id"],
+                                "event_type": t["event_type"],
+                                "ts_us": pc.cast(t["ts"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    s = _first_ts_after(ev, "signup", None, None, "st").materialize()
+    p = _first_ts_after(ev, "purchase", s, "st", "pt")
+    lat = auto_join(p, s, left_key="user_id", right_key="user_id",
+                    right_cols=["st"]) \
+        .map_batches(
+            lambda t: pa.table({"sec": pc.divide(
+                pc.subtract(t["pt"], t["st"]), 1_000_000)}),
+            batch_format="pyarrow").materialize()
+
+    q = exact_quantiles(lat, "sec", [0.25, 0.5, 0.75])
+    vals = {f"p{int(r.q * 100)}_s": int(r.value)
+            for r in q.itertuples()}
+    return pa.table({
+        "n_converted": pa.array([lat.count()], pa.int64()),
+        **{k: pa.array([v], pa.int64()) for k, v in vals.items()},
+    })
+
+
+_EVENTS_CONVLAT_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS st FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.st
+      GROUP BY 1),
+lat AS (SELECT (pt - st) // 1000000 AS sec
+        FROM p JOIN s USING (user_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(sec, 0.25) AS BIGINT) AS p25_s,
+       CAST(quantile_disc(sec, 0.50) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(sec, 0.75) AS BIGINT) AS p75_s
+FROM lat
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11431,6 +11555,8 @@ def queries():
         "orders_merge_upsert": orders_merge_upsert,
         "events_graph_snapshot_diff": events_graph_snapshot_diff,
         "docs_rrf_fusion": docs_rrf_fusion,
+        "events_funnel_steps": events_funnel_steps,
+        "events_conversion_latency": events_conversion_latency,
     }
 
 
@@ -11632,6 +11758,8 @@ def oracle_sql():
         "orders_merge_upsert": _ORDERS_MERGE_SQL,
         "events_graph_snapshot_diff": _EVENTS_SNAPDIFF_SQL,
         "docs_rrf_fusion": _DOCS_RRF_SQL,
+        "events_funnel_steps": _EVENTS_FUNNEL_STEPS_SQL,
+        "events_conversion_latency": _EVENTS_CONVLAT_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
