@@ -11313,6 +11313,113 @@ FROM lat
 """
 
 
+def orders_price_log2_hist(sf_dir: str):
+    """G56 — log2 (power-of-two bucket) histogram of order totals in
+    cents: the size-distribution / power-law diagnostic ops teams run on
+    object sizes and payment values alike. Bucket = ⌊log2(cents)⌋
+    computed as bit_length−1 in EXACT integer arithmetic (no float log
+    near bucket boundaries); per-batch bincount combiner, ≤64-row
+    shuffle."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        # ⌊log2⌋ == bit_length − 1, by binary-search shifts (vectorized,
+        # exact at every power-of-two boundary where float log2 is not)
+        out = np.zeros(len(cents), dtype=np.int64)
+        v = cents.astype(np.uint64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = v >= (np.uint64(1) << np.uint64(shift))
+            out[m] += shift
+            v = np.where(m, v >> np.uint64(shift), v)
+        d = pd.DataFrame({"bucket": out, "n": 1})
+        g = d.groupby("bucket", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (orders.map_batches(buckets, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort("bucket"))
+
+
+_ORDERS_LOG2_SQL = """
+SELECT CAST(floor(log2(CAST(round(o_totalprice*100) AS BIGINT)))
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def nation_share_of_region(sf_dir: str):
+    """G57 — hierarchical share-of-parent (the 2-level drill-down
+    report): each nation's share of its REGION's order revenue, in
+    exact integer parts-per-million (nation_cents·10⁶ // region_cents —
+    no float ratio crosses the oracle hash). Revenue rolls up
+    orders→customer→nation via one broadcast dim join; region totals
+    are a second ≤|regions| groupby of the nation table itself."""
+    from .functions.joins import auto_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+
+    cents = orders.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+    with_nat = auto_join(cents, cust, left_key="o_custkey",
+                         right_key="c_custkey",
+                         right_cols=["c_nationkey"])
+    per_nation = (with_nat.groupby("c_nationkey")
+                  .aggregate(Sum("cents", alias_name="nation_cents")))
+    named = auto_join(per_nation, nation, left_key="c_nationkey",
+                      right_key="n_nationkey",
+                      right_cols=["n_name", "n_regionkey"]).materialize()
+    per_region = {int(r["n_regionkey"]): int(r["region_cents"])
+                  for r in (named.groupby("n_regionkey")
+                            .aggregate(Sum("nation_cents",
+                                           alias_name="region_cents"))
+                            .take_all())}        # ≤ |regions| rows
+    reg_ref = ray.put(per_region)
+
+    def share(t: pa.Table) -> pa.Table:
+        reg = ray.get(reg_ref)
+        rk = t["n_regionkey"].to_pylist()
+        nc = t["nation_cents"].to_numpy(zero_copy_only=False)
+        tot = np.fromiter((reg[k] for k in rk), dtype=np.int64,
+                          count=len(rk))
+        return pa.table({
+            "n_name": t["n_name"],
+            "n_regionkey": t["n_regionkey"],
+            "share_ppm": pa.array(nc * 1_000_000 // tot, pa.int64())})
+
+    return named.map_batches(share, batch_format="pyarrow") \
+        .sort(["n_regionkey", "n_name"])
+
+
+_NATION_SHARE_SQL = """
+WITH nat AS (
+  SELECT c.c_nationkey,
+         SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS nation_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1),
+j AS (
+  SELECT n.n_name, n.n_regionkey, nat.nation_cents
+  FROM nat JOIN nation n ON n.n_nationkey = nat.c_nationkey),
+reg AS (
+  SELECT n_regionkey, SUM(nation_cents) AS region_cents
+  FROM j GROUP BY 1)
+SELECT j.n_name, j.n_regionkey,
+       CAST(j.nation_cents * 1000000 // r.region_cents AS BIGINT)
+         AS share_ppm
+FROM j JOIN reg r USING (n_regionkey)
+ORDER BY j.n_regionkey, j.n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11557,6 +11664,8 @@ def queries():
         "docs_rrf_fusion": docs_rrf_fusion,
         "events_funnel_steps": events_funnel_steps,
         "events_conversion_latency": events_conversion_latency,
+        "orders_price_log2_hist": orders_price_log2_hist,
+        "nation_share_of_region": nation_share_of_region,
     }
 
 
@@ -11760,6 +11869,8 @@ def oracle_sql():
         "docs_rrf_fusion": _DOCS_RRF_SQL,
         "events_funnel_steps": _EVENTS_FUNNEL_STEPS_SQL,
         "events_conversion_latency": _EVENTS_CONVLAT_SQL,
+        "orders_price_log2_hist": _ORDERS_LOG2_SQL,
+        "nation_share_of_region": _NATION_SHARE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
