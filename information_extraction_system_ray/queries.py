@@ -11420,6 +11420,408 @@ ORDER BY j.n_regionkey, j.n_name
 """
 
 
+def custs_all_priorities(sf_dir: str):
+    """Relational division — the FOR ALL quantifier (Codd's ÷, the one
+    relational operator SQL can only spell as double-NOT-EXISTS or
+    COUNT(DISTINCT)==total): customers whose orders span EVERY order
+    priority present in the table. Per-batch distinct (custkey, priority)
+    combiner collapses the fact stream before the shuffle (a hot customer
+    costs ≤|priorities| rows per batch); the divisor cardinality is a
+    single scalar pulled from a narrow distinct aggregate.
+
+    Scale shape: the wide shuffle carries at most |customers| ×
+    |priorities| rows; nothing reaches the driver but one integer."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["o_custkey", "o_orderpriority"]).aggregate([])
+
+    pairs = (orders.map_batches(pair_dedup, batch_format="pyarrow")
+             .groupby(["o_custkey", "o_orderpriority"])
+             .aggregate(Count(alias_name="_n")))
+
+    n_prio = (orders.map_batches(
+        lambda t: t.select(["o_orderpriority"])
+                   .group_by(["o_orderpriority"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby("o_orderpriority").aggregate(Count(alias_name="_n"))
+        .count())
+
+    per_cust = (pairs.groupby("o_custkey")
+                .aggregate(Count(alias_name="n_prio")))
+
+    def keep_full(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_prio"], pa.scalar(n_prio, pa.int64())))
+        return t.select(["o_custkey", "n_prio"])
+
+    return (per_cust.map_batches(keep_full, batch_format="pyarrow")
+            .sort("o_custkey"))
+
+
+_CUSTS_ALL_PRIO_SQL = """
+SELECT o_custkey, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+FROM orders GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) =
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+ORDER BY o_custkey
+"""
+
+
+def part_graph_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the part
+    co-occurrence graph: score(u,v) = Σ_{m ∈ N(u)∩N(v)} 1/ln(deg(m)),
+    the degree-discounted cousin of part_graph_jaccard — hub-mediated
+    wedges count for less. Each wedge center's weight is the exact int
+    round(1e6/ln(deg)) computed INSIDE the map_groups (the group IS the
+    center's adjacency list, so deg == len(group) — no degree join on
+    this path at all), then one int-sum shuffle on the (u, v) pair.
+    Both engines evaluate floor(1e6/ln(deg)+0.5) on the same int64 in
+    float64, so the micro-units are bit-equal and the comparison exact.
+
+    Scale shape: identical wedge frontier to the SQL self-join (O(deg²)
+    per hub — cap or sample hub adjacency at web scale); the shuffle
+    carries one int per wedge."""
+    edges = _part_strong_edges(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": pa.concat_arrays([t["u"].combine_chunks(),
+                                     t["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["v"].combine_chunks(),
+                                     t["u"].combine_chunks()])})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow")
+
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                            ("w", pa.int64())])
+
+    def wedge_weights(g: pd.DataFrame) -> pa.Table:
+        if len(g) < 2:   # degree-1 center: no wedges, and ln(1)==0
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        _, u_out, v_out = _pairs_within_groups(
+            g["mid"].to_numpy(np.int64), g["nbr"].to_numpy(np.int64))
+        w = int(np.floor(1_000_000.0 / np.log(float(len(g))) + 0.5))
+        return pa.table({"u": pa.array(u_out, pa.int64()),
+                         "v": pa.array(v_out, pa.int64()),
+                         "w": pa.array(np.full(len(u_out), w, np.int64))}
+                        ).cast(out_schema)
+
+    return (adj.groupby("mid")
+            .map_groups(wedge_weights, batch_format="pandas")
+            .groupby(["u", "v"]).aggregate(Sum("w", alias_name="aa_micro"))
+            .sort(["aa_micro", "u", "v"], descending=[True, False, False])
+            .limit(20))
+
+
+_PART_ADAMIC_ADAR_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT u AS mid, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e),
+deg AS (SELECT mid AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1)
+SELECT x.nbr u, y.nbr v,
+       CAST(SUM(CAST(FLOOR(1000000.0 / LN(dm.deg) + 0.5) AS BIGINT))
+            AS BIGINT) AS aa_micro
+FROM sym x JOIN sym y ON x.mid = y.mid AND x.nbr < y.nbr
+JOIN deg dm ON dm.node = x.mid
+GROUP BY 1, 2
+ORDER BY aa_micro DESC, u, v LIMIT 20
+"""
+
+
+def lineitem_star_flatten(sf_dir: str):
+    """Star-schema denormalization — the wide-table ETL that feeds a
+    feature store / training-data export: December-1997 lineitems joined
+    out to orders, customer, supplier and part, nation names resolved,
+    one flat row per line item. Orders/customer/supplier/part attach via
+    hash joins (they are fact- or growing-dim-sized); only nation (25
+    rows, fixed) is a ray.put broadcast — the J1-vs-J3 boundary SURVEY
+    §2.4 documents.
+
+    Scale shape: the date filter prunes at the read; every join is a
+    co-partitioned hash join sized by _join_parts; output streams."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = ray.put(dict(zip(nation["n_nationkey"].astype(int),
+                                nation["n_name"])))
+    nparts = _join_parts(sf_dir)
+
+    lo = np.datetime64("1997-12-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_partkey",
+                             "l_suppkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"],
+                                              pa.scalar(lo)),
+                             pc.less(t["l_shipdate"], pa.scalar(hi))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": pc.cast(t["l_linenumber"],
+                                                 pa.int64()),
+                         "l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "revenue_cents": _cents(rev)})
+
+    fact = li.map_batches(prep, batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderpriority"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    j = fact.join(orders, join_type="inner", num_partitions=nparts,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, join_type="inner", num_partitions=nparts,
+               on=("o_custkey",), right_on=("c_custkey",))
+    j = j.join(supp, join_type="inner", num_partitions=nparts,
+               on=("l_suppkey",), right_on=("s_suppkey",))
+    j = j.join(part, join_type="inner", num_partitions=nparts,
+               on=("l_partkey",), right_on=("p_partkey",))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        names = ray.get(nat_name)
+        cn = pd.Series(t["c_nationkey"].to_pandas()).map(names)
+        sn = pd.Series(t["s_nationkey"].to_pandas()).map(names)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue_cents": t["revenue_cents"],
+                         "cust_nation": pa.array(cn, pa.string()),
+                         "supp_nation": pa.array(sn, pa.string()),
+                         "p_brand": t["p_brand"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    return (j.map_batches(resolve, batch_format="pyarrow")
+            .sort(["l_orderkey", "l_linenumber"]))
+
+
+_LINEITEM_STAR_SQL = """
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+         AS revenue_cents,
+       nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+       p.p_brand, o.o_orderpriority
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+WHERE l.l_shipdate >= DATE '1997-12-01'
+  AND l.l_shipdate <  DATE '1998-01-01'
+ORDER BY l.l_orderkey, l.l_linenumber
+"""
+
+
+def events_user_trailing_distinct(sf_dir: str):
+    """W23 — DISTINCT count over a RANGE time frame, the window SQL
+    cannot express at all (``COUNT(DISTINCT …) OVER (RANGE …)`` is
+    illegal in every dialect; the oracle needs a self-join): for every
+    event, how many DISTINCT event types the same user produced in the
+    trailing hour (ts-inclusive both ends, tie peers included).
+
+    Kernel: per user, an event j is counted for query i iff j lies in
+    i's window AND j is the FIRST occurrence of its type inside that
+    window (prev_same[j] < lo_i). With lo/hi monotone in i, each j's
+    query set is a contiguous range [max(a_j, c_j), b_j] found by three
+    searchsorteds, so the whole per-user computation is a difference
+    array + cumsum — O(n log n), zero per-row Python.
+
+    Scale shape: one modulo shuffle on user_id, per-bucket mergesort,
+    output fact-sized and streaming."""
+    from .functions.partitions import default_parts
+
+    HOUR_US = 3_600_000_000
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    nparts = max(2, min(default_parts(), ev.count() * 16 // 250_000 + 1))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy(zero_copy_only=False) % nparts
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        out_id, out_n = [], []
+        for _, grp in g.groupby("user_id", sort=False):
+            ts = grp["ts_us"].to_numpy()
+            n = len(ts)
+            lo = np.searchsorted(ts, ts - HOUR_US, side="left")
+            hi = np.searchsorted(ts, ts, side="right") - 1
+            codes = pd.factorize(grp["event_type"].to_numpy())[0]
+            pos = np.arange(n)
+            prev_same = (pd.Series(pos).groupby(codes).shift(1)
+                         .fillna(-1).to_numpy(np.int64))
+            a = np.searchsorted(lo, prev_same, side="right")
+            b = np.searchsorted(lo, pos, side="right") - 1
+            c = np.searchsorted(hi, pos, side="left")
+            start = np.maximum(a, c)
+            ok = start <= b
+            diff = np.zeros(n + 1, np.int64)
+            np.add.at(diff, start[ok], 1)
+            np.add.at(diff, b[ok] + 1, -1)
+            out_id.append(grp["event_id"].to_numpy())
+            out_n.append(np.cumsum(diff[:-1]))
+        ids = (np.concatenate(out_id) if out_id
+               else np.empty(0, np.int64))
+        ns = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        return pa.table({"event_id": pa.array(ids, pa.int64()),
+                         "n_types_1h": pa.array(ns, pa.int64())})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pandas")
+            .sort("event_id"))
+
+
+_EVENTS_TRAILDISTINCT_SQL = """
+SELECT e.event_id,
+       CAST(COUNT(DISTINCT e2.event_type) AS BIGINT) AS n_types_1h
+FROM events e JOIN events e2
+  ON e2.user_id = e.user_id
+ AND e2.ts >= e.ts - INTERVAL 1 HOUR AND e2.ts <= e.ts
+GROUP BY e.event_id ORDER BY e.event_id
+"""
+
+
+def docs_readability(sf_dir: str):
+    """Flesch-reading-ease corpus profile (Flesch 1948; a standard
+    web-corpus quality signal next to the Gopher rules): per source,
+    document count, total words / vowel-group syllables / sentences,
+    and the sum of per-doc Flesch scores in exact milli-units. All
+    three counts are RE2 ``count_substring_regex`` kernels (words =
+    ``[a-z]+`` on lowercased text, syllables = vowel-group runs
+    ``[aeiouy]+``, sentences = terminator runs ``[.!?]+`` floored at
+    1); both engines evaluate the same float64 expression per doc and
+    round once to milli-ints, so the grouped sums compare exactly.
+
+    Scale shape: three vectorized regex counts per batch, one
+    |sources|-row shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def score(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        w = pc.count_substring_regex(low, "[a-z]+")
+        sy = pc.count_substring_regex(low, "[aeiouy]+")
+        s = pc.max_element_wise(
+            pc.count_substring_regex(t["text"], r"[.!?]+"),
+            pa.scalar(1, pa.int32()))
+        wf = pc.cast(w, pa.float64()).to_numpy(zero_copy_only=False)
+        syf = pc.cast(sy, pa.float64()).to_numpy(zero_copy_only=False)
+        sf = pc.cast(s, pa.float64()).to_numpy(zero_copy_only=False)
+        keep = wf >= 1
+        flesch = (206.835 - 1.015 * (wf[keep] / sf[keep])
+                  - 84.6 * (syf[keep] / wf[keep]))
+        milli = np.floor(flesch * 1000 + 0.5).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "source": pa.array(src, pa.string()),
+            "n_docs": pa.array(np.ones(keep.sum(), np.int64)),
+            "w": pa.array(wf[keep].astype(np.int64)),
+            "sy": pa.array(syf[keep].astype(np.int64)),
+            "s": pa.array(sf[keep].astype(np.int64)),
+            "fm": pa.array(milli)})
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("w", alias_name="sum_words"),
+                       Sum("sy", alias_name="sum_sylls"),
+                       Sum("s", alias_name="sum_sents"),
+                       Sum("fm", alias_name="sum_flesch_milli"))
+            .sort("source"))
+
+
+_DOCS_READABILITY_SQL = """
+WITH per AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS sum_words,
+       CAST(SUM(sy) AS BIGINT) AS sum_sylls,
+       CAST(SUM(s) AS BIGINT) AS sum_sents,
+       CAST(SUM(CAST(FLOOR((206.835
+             - 1.015 * (CAST(w AS DOUBLE) / s)
+             - 84.6 * (CAST(sy AS DOUBLE) / w)) * 1000 + 0.5)
+           AS BIGINT)) AS BIGINT) AS sum_flesch_milli
+FROM per WHERE w >= 1
+GROUP BY source ORDER BY source
+"""
+
+
+def events_user_median_gap(sf_dir: str):
+    """Grouped exact MEDIAN of a WINDOW-derived column (LAG → per-key
+    order statistic — the composition events_user_gap's mean can't
+    see): per user, the median inter-event gap in microseconds, emitted
+    as 2×median so the even-count midpoint stays an exact int64 in both
+    engines (DuckDB quantile_cont interpolates to .5 doubles; doubling
+    makes them integral).
+
+    Scale shape: one lag shuffle on user_id, then a per-user
+    np.partition inside map_groups — gaps never leave their partition
+    unsorted-globally."""
+    from .functions.window import lag_column
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    lagged = lag_column(ev, "ts", keys=["user_id"],
+                        order_by=["ts", "event_id"], out_col="prev_ts")
+
+    def gaps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev_ts"]))
+        return pa.table({
+            "user_id": t["user_id"],
+            "gap_us": pc.subtract(t["ts"].cast(pa.int64()),
+                                  t["prev_ts"].cast(pa.int64()))})
+
+    def med2(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["gap_us"].to_numpy(np.int64))
+        n = len(v)
+        m2 = int(v[n // 2] * 2) if n % 2 else int(v[n // 2 - 1] + v[n // 2])
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "median2_gap_us": [m2],
+                             "n_gaps": [n]})
+
+    return (lagged.map_batches(gaps, batch_format="pyarrow")
+            .groupby("user_id").map_groups(med2, batch_format="pandas")
+            .sort("user_id"))
+
+
+_EVENTS_MEDIAN_GAP_SQL = """
+SELECT user_id,
+       CAST(FLOOR(2 * quantile_cont(gap_us, 0.5) + 0.5) AS BIGINT)
+         AS median2_gap_us,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM (SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events) t
+WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11666,6 +12068,12 @@ def queries():
         "events_conversion_latency": events_conversion_latency,
         "orders_price_log2_hist": orders_price_log2_hist,
         "nation_share_of_region": nation_share_of_region,
+        "custs_all_priorities": custs_all_priorities,
+        "part_graph_adamic_adar": part_graph_adamic_adar,
+        "lineitem_star_flatten": lineitem_star_flatten,
+        "events_user_trailing_distinct": events_user_trailing_distinct,
+        "docs_readability": docs_readability,
+        "events_user_median_gap": events_user_median_gap,
     }
 
 
@@ -11871,6 +12279,12 @@ def oracle_sql():
         "events_conversion_latency": _EVENTS_CONVLAT_SQL,
         "orders_price_log2_hist": _ORDERS_LOG2_SQL,
         "nation_share_of_region": _NATION_SHARE_SQL,
+        "custs_all_priorities": _CUSTS_ALL_PRIO_SQL,
+        "part_graph_adamic_adar": _PART_ADAMIC_ADAR_SQL,
+        "lineitem_star_flatten": _LINEITEM_STAR_SQL,
+        "events_user_trailing_distinct": _EVENTS_TRAILDISTINCT_SQL,
+        "docs_readability": _DOCS_READABILITY_SQL,
+        "events_user_median_gap": _EVENTS_MEDIAN_GAP_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
