@@ -1475,6 +1475,86 @@ def media_real_image_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def media_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over real demuxed video (the keyframe
+    selection step of a video-corpus pipeline): a deterministic
+    concatenated-P6 corpus with PLANTED scene changes (each video is
+    2–4 constant-base segments with small per-frame jitter; the base
+    jump at each segment boundary is the planted cut) → SceneCuts actor
+    pool (stages/multimodal.py) → per-video n_frames / n_cuts /
+    cut-index list. Detection is exact-integer, so the output is
+    bit-stable; tests/test_multimodal.py asserts detected == planted.
+    Rows-only (no SQL analogue for pixel demux)."""
+    from .stages.multimodal import MEDIA_SCHEMA, scene_cuts
+
+    n = max(16, _n_media(sf_dir) // 4)
+    payloads, durs = [], []
+    from .sources.mediacodec import encode_ppm_stream
+    for mid in range(n):
+        rng = np.random.default_rng(1000 + mid)
+        n_seg = 2 + mid % 3
+        frames = []
+        for seg in range(n_seg):
+            # palette bases 100+ levels apart guarantee every planted
+            # boundary clears the 20-level threshold after the ±10
+            # tweak and ±4 jitter (min boundary delta ≈ 40 levels),
+            # while within-segment jitter stays ≈ 2 levels — so
+            # detected == planted is a deterministic invariant
+            base = (np.array([20, 120, 220], np.int64)[seg % 3]
+                    + rng.integers(0, 10, size=3)).astype(np.uint8)
+            for _ in range(3 + (mid + seg) % 3):
+                jitter = rng.integers(0, 5, size=(12, 16, 3),
+                                      dtype=np.uint8)
+                frames.append((base[None, None, :] // 2
+                               + jitter).astype(np.uint8))
+        payloads.append(encode_ppm_stream(frames))
+        durs.append(len(frames) * 40)
+    t = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["video"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["video/x-ppm-stream"] * n, pa.string()),
+        "width": pa.array([16] * n, pa.int32()),
+        "height": pa.array([12] * n, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+    out = scene_cuts(ray.data.from_arrow(t)).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def docs_compress_ratio(sf_dir: str):
+    """Compressibility quality signal (the zlib-ratio heuristic web
+    curation uses next to the Gopher rules — near-random text doesn't
+    compress, boilerplate compresses too well): per (source, ratio
+    decile), document count, where ratio_pct = compressed*100 // raw at
+    zlib level 6. The per-doc zlib call is C-speed; the groupby carries
+    ≤ |sources|×11 rows. Rows-only (DuckDB has no zlib scalar); the
+    exact oracle is a single-process recomputation in
+    tests/test_text_functions.py."""
+    import zlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text",
+                                                    "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ratios = np.fromiter(
+            (len(zlib.compress(s.encode(), 6)) * 100
+             // max(len(s.encode()), 1)
+             for s in t["text"].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        bucket = np.minimum(ratios // 10, 10)
+        g = pa.table({"source": t["source"],
+                      "bucket": pa.array(bucket, pa.int64())}) \
+            .group_by(["source", "bucket"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "bucket": g["bucket"],
+                         "n_docs": pc.cast(g["count_all"], pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "bucket"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort(["source", "bucket"]))
+
+
 # --------------------------------------------------------------------------
 # flagship KG pipeline over synthesized pages — rows-only (real oracle =
 # refimpl goldens, tests/test_flagship.py)
@@ -12074,6 +12154,8 @@ def queries():
         "events_user_trailing_distinct": events_user_trailing_distinct,
         "docs_readability": docs_readability,
         "events_user_median_gap": events_user_median_gap,
+        "media_scene_cuts": media_scene_cuts,
+        "docs_compress_ratio": docs_compress_ratio,
     }
 
 

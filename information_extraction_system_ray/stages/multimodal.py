@@ -208,6 +208,62 @@ def sample_frames(media: ray.data.Dataset, *, every_ms: int = 1000,
         concurrency=concurrency)
 
 
+class SceneCuts:
+    """Actor stage: video payload → per-video shot-boundary summary.
+    Demuxes the concatenated-P6 stream (sources/mediacodec.py) and marks
+    a cut at frame i when the mean absolute pixel delta |f_i − f_{i−1}|
+    exceeds ``threshold_milli`` (milli-levels, 0–255000). The delta is
+    computed in exact integer arithmetic (int64 sum × 1000 // n_px), so
+    detection is bit-deterministic. One output row per video: frame
+    count, cut count, and the comma-joined cut indices (bounded cell —
+    real shot lists are short; cap guards a pathological strobe)."""
+
+    MAX_CUTS_LISTED = 64
+
+    def __init__(self, threshold_milli: int = 20_000) -> None:
+        from ..sources.mediacodec import iter_ppm_stream
+
+        self._demux = iter_ppm_stream
+        self.threshold_milli = threshold_milli
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nfr, ncut, idxs = [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            frames = [f for _, f in self._demux(payload)]
+            cuts = []
+            for i in range(1, len(frames)):
+                a = frames[i].astype(np.int64)
+                b = frames[i - 1].astype(np.int64)
+                if a.shape != b.shape:   # resolution change IS a cut
+                    cuts.append(i)
+                    continue
+                delta = int(np.abs(a - b).sum()) * 1000 // a.size
+                if delta > self.threshold_milli:
+                    cuts.append(i)
+            ids.append(mid)
+            nfr.append(len(frames))
+            ncut.append(len(cuts))
+            idxs.append(",".join(map(str, cuts[:self.MAX_CUTS_LISTED])))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(nfr, pa.int32()),
+            "n_cuts": pa.array(ncut, pa.int32()),
+            "cut_idxs": pa.array(idxs, pa.string()),
+        })
+
+
+def scene_cuts(media: ray.data.Dataset, *, threshold_milli: int = 20_000,
+               concurrency=(1, 4), batch_size: int = 16
+               ) -> ray.data.Dataset:
+    """Small batches: video payloads are the fattest rows (SURVEY.md §4)."""
+    return media.map_batches(
+        SceneCuts, fn_constructor_kwargs={"threshold_milli":
+                                          threshold_milli},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def synth_media(n: int, seed: int = 5) -> ray.data.Dataset:
     """Deterministic fake media table in MEDIA_SCHEMA (tests/bench only)."""
     rng = np.random.default_rng(seed)

@@ -88,3 +88,54 @@ def test_unknown_decoder_rejected(media):
         SampleFrames(decoder="ffmpeg")
     with pytest.raises(ValueError):
         DecodeAudio(decoder="librosa")
+
+
+def test_scene_cuts_match_planted(ray_session):
+    """media_scene_cuts plants segment boundaries by construction; the
+    exact-integer detector must recover every one (palette bases are
+    100+ levels apart; within-segment jitter is ~2 levels — see the
+    synthesis comment in queries.py)."""
+    from information_extraction_system_ray.queries import media_scene_cuts
+
+    out = media_scene_cuts("/root/testdata/sf0.001")
+    assert list(out.columns) == ["media_id", "n_frames", "n_cuts",
+                                 "cut_idxs"]
+    for i in range(len(out)):
+        mid = int(out.iloc[i]["media_id"])
+        n_seg = 2 + mid % 3
+        cuts, pos = [], 0
+        for seg in range(n_seg):
+            if seg:
+                cuts.append(pos)
+            pos += 3 + (mid + seg) % 3
+        assert int(out.iloc[i]["n_frames"]) == pos
+        assert int(out.iloc[i]["n_cuts"]) == len(cuts)
+        assert out.iloc[i]["cut_idxs"] == ",".join(map(str, cuts))
+
+
+def test_scene_cuts_single_segment_has_none(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from information_extraction_system_ray.sources.mediacodec import encode_ppm_stream
+    from information_extraction_system_ray.stages.multimodal import (
+        MEDIA_SCHEMA, scene_cuts)
+
+    rng = np.random.default_rng(7)
+    frames = [(np.full((8, 8, 3), 60, np.uint8)
+               + rng.integers(0, 3, size=(8, 8, 3), dtype=np.uint8))
+              for _ in range(5)]
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([encode_ppm_stream(frames)], pa.binary()),
+        "mime": pa.array(["video/x-ppm-stream"], pa.string()),
+        "width": pa.array([8], pa.int32()),
+        "height": pa.array([8], pa.int32()),
+        "duration_ms": pa.array([200], pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+    out = scene_cuts(ray.data.from_arrow(t)).to_pandas()
+    assert out.iloc[0]["n_frames"] == 5
+    assert out.iloc[0]["n_cuts"] == 0
+    assert out.iloc[0]["cut_idxs"] == ""

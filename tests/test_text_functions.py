@@ -40,3 +40,28 @@ def test_fingerprint_normalizes_whitespace_and_case():
                                   "different"]))
     fps = t["fingerprint"].to_pylist()
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_compress_ratio_matches_single_process(ray_session):
+    """docs_compress_ratio golden: the distributed histogram equals a
+    single-process zlib recomputation over the same parquet (rows-only
+    query — this IS its oracle)."""
+    import zlib
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from information_extraction_system_ray.queries import docs_compress_ratio
+
+    sf = "/root/testdata/sf0.001"
+    got = docs_compress_ratio(sf).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["text", "source"])
+    want = Counter()
+    for s, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+        raw = s.encode()
+        ratio = len(zlib.compress(raw, 6)) * 100 // max(len(raw), 1)
+        want[(src, min(ratio // 10, 10))] += 1
+    got_map = {(r["source"], int(r["bucket"])): int(r["n_docs"])
+               for _, r in got.iterrows()}
+    assert got_map == dict(want)
