@@ -11902,6 +11902,377 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_purchase_attribution(sf_dir: str):
+    """Last-touch attribution (the marketing/conversion analytics core):
+    for every purchase, the event type of the same user's most recent
+    non-purchase event in the strictly-preceding 2-hour lookback —
+    purchases with no touch attribute to 'direct'. The backward as-of
+    join (functions/asof.py, J9) does the heavy lift; the tie at equal
+    prior ts breaks on the larger event_id via a composite sort inside
+    the per-partition merge_asof kernel, mirrored by the oracle's
+    ORDER BY ts DESC, event_id DESC LIMIT 1.
+
+    Scale shape: one hash co-partition on user_id, per-partition
+    merge_asof; the aggregate is |event_types|+1 rows."""
+    from .functions.asof import asof_join_backward
+    from .functions.joins import semi_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    pur = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow")
+    touch = ev.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_type"], "purchase")),
+        batch_format="pyarrow")
+
+    # rebase ts to small ints (µs since 2024-01-01) so the as-of keys
+    # survive the merge kernel's float64 roundtrip exactly (< 2^53);
+    # SQL's ts-tie break (largest event_id wins) is applied BEFORE the
+    # as-of by collapsing each (user, ts) touch group to its max
+    # event_id's type — then a single backward match IS the oracle's
+    # ORDER BY ts DESC, event_id DESC LIMIT 1
+    BASE_US = 1_704_067_200_000_000   # 2024-01-01 00:00:00 UTC
+
+    def key_left(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "k": pc.subtract(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(BASE_US, pa.int64()))})
+
+    def key_right(t: pa.Table) -> pa.Table:
+        rts = pc.subtract(pc.cast(t["ts"], pa.int64()),
+                          pa.scalar(BASE_US, pa.int64()))
+        part = pc.bit_wise_and(t["user_id"], pa.scalar(7, pa.int64()))
+        return pa.table({"r_user": t["user_id"], "rts": rts,
+                         "r_eid": t["event_id"],
+                         "touch": t["event_type"], "part": part})
+
+    def dedup_ties(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["r_user", "rts", "r_eid"], kind="mergesort")
+        last = np.r_[(g["r_user"].to_numpy()[1:]
+                      != g["r_user"].to_numpy()[:-1])
+                     | (g["rts"].to_numpy()[1:]
+                        != g["rts"].to_numpy()[:-1]), True]
+        return g.loc[last, ["r_user", "rts", "touch"]]
+
+    left = pur.map_batches(key_left, batch_format="pyarrow")
+    # the trailing identity map rewraps the pandas group blocks as Arrow
+    # (asof_join_backward reads .base_schema off its inputs)
+    right = (touch.map_batches(key_right, batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_ties,
+                                         batch_format="pandas")
+             .map_batches(lambda t: t.select(["r_user", "rts", "touch"]),
+                          batch_format="pyarrow"))
+    HOUR2_US = 2 * 3_600_000_000
+    joined = asof_join_backward(
+        left, right.select_columns(["r_user", "rts"]),
+        left_by="user_id", right_by="r_user",
+        left_ts="k", right_ts="rts", out_col="rts_matched",
+        direction="backward", tolerance=HOUR2_US,
+        allow_exact_matches=False)
+
+    nparts = max(2, min(16, ev.count() // 250_000 + 2))
+    matched = (joined.join(right, join_type="inner",
+                           num_partitions=nparts,
+                           on=("user_id", "rts_matched"),
+                           right_on=("r_user", "rts"))
+               .select_columns(["event_id", "touch"]))
+
+    unmatched = semi_join(pur, matched, left_key="event_id",
+                          right_key="event_id", anti=True)
+    direct = unmatched.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "touch": pa.array(["direct"] * t.num_rows, pa.string())}),
+        batch_format="pyarrow")
+    return (matched.union(direct)
+            .groupby("touch").aggregate(Count(alias_name="n_purchases"))
+            .sort("touch"))
+
+
+_EVENTS_ATTRIBUTION_SQL = """
+WITH pur AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+att AS (
+  SELECT p.event_id,
+         (SELECT e.event_type FROM events e
+          WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+            AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 2 HOUR
+          ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS touch
+  FROM pur p)
+SELECT COALESCE(touch, 'direct') AS touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM att GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_decayed_counts(sf_dir: str):
+    """Time-decayed engagement score (the recency weighting every
+    feed-ranking / freshness pipeline applies): per event type, events
+    are weighted by how many 3-day half-lives separate them from the
+    anchor (2024-02-01) — weight_micro = 1e6 >> k with
+    k = elapsed // half_life, a STEPWISE exponential decay chosen
+    because integer shifts are bit-equal across engines (a continuous
+    pow(2, −x/hl) would differ in the last ulp between libm builds and
+    flip floor boundaries). Partial per-batch sums, |types| rows out.
+
+    Scale shape: pure combiner-before-shuffle; one narrow aggregate."""
+    ANCHOR_US = 1_706_745_600_000_000   # 2024-02-01 00:00:00 UTC
+    HALF_US = 3 * 86_400_000_000
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.minimum(
+            (ANCHOR_US - t["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // HALF_US, 62)
+        w = (1_000_000 >> k.astype(np.int64))
+        g = pa.table({"event_type": t["event_type"],
+                      "w": pa.array(w, pa.int64())}) \
+            .group_by("event_type").aggregate([("w", "sum"),
+                                               ([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "decayed_micro": g["w_sum"],
+                         "n_events": pc.cast(g["count_all"], pa.int64())})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("decayed_micro", alias_name="decayed_micro"),
+                       Sum("n_events", alias_name="n_events"))
+            .sort("event_type"))
+
+
+_EVENTS_DECAYED_SQL = """
+SELECT event_type,
+       CAST(SUM(1000000 >> LEAST(
+            (epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts))
+              // 259200000000, 62)) AS BIGINT) AS decayed_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def nation_supplier_hhi(sf_dir: str):
+    """Herfindahl–Hirschman market-concentration index per nation: each
+    supplier's revenue share of its nation in exact ppm, HHI = Σ share²
+    (ppm² int64) — the antitrust-style concentration readout, and a
+    second-moment-of-shares aggregate the share-of-total family doesn't
+    cover. Supplier revenue pre-aggregates per batch; the supplier →
+    nation attach is a hash join (supplier is a GROWING dim — VERDICT r3
+    item #5's rule); only the ≤25-row nation totals broadcast.
+
+    Scale shape: one combiner groupby on suppkey, one hash join, one
+    25-row reduce."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = ray.put(dict(zip(nation["n_nationkey"].astype(int),
+                                nation["n_name"])))
+    nparts = _join_parts(sf_dir)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_suppkey": t["l_suppkey"],
+                      "cents": _cents(rev)}) \
+            .group_by("l_suppkey").aggregate([("cents", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "cents": g["cents_sum"]})
+
+    srev = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_suppkey").aggregate(Sum("cents",
+                                                alias_name="cents")))
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    j = srev.join(supp, join_type="inner", num_partitions=nparts,
+                  on=("l_suppkey",), right_on=("s_suppkey",))
+
+    totals = (j.map_batches(
+        lambda t: pa.table({"s_nationkey": t["s_nationkey"],
+                            "cents": t["cents"]}),
+        batch_format="pyarrow")
+        .groupby("s_nationkey").aggregate(Sum("cents",
+                                              alias_name="nat_cents"))
+        .to_pandas())   # ≤ |nations| rows — fixed-size broadcast
+    tot_ref = ray.put(dict(zip(totals["s_nationkey"].astype(int),
+                               totals["nat_cents"].astype(int))))
+
+    def shares(t: pa.Table) -> pa.Table:
+        tot = ray.get(tot_ref)
+        names = ray.get(nat_name)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        nat_tot = np.array([tot[int(x)] for x in nk], np.int64)
+        share_ppm = cents * 1_000_000 // nat_tot
+        return pa.table({
+            "n_name": pa.array([names[int(x)] for x in nk], pa.string()),
+            "hhi_ppm2": pa.array(share_ppm * share_ppm, pa.int64()),
+            "n_suppliers": pa.array(np.ones(len(nk), np.int64))})
+
+    return (j.map_batches(shares, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("hhi_ppm2", alias_name="hhi_ppm2"),
+                       Sum("n_suppliers", alias_name="n_suppliers"))
+            .sort("n_name"))
+
+
+_NATION_HHI_SQL = """
+WITH srev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1),
+j AS (SELECT s.s_nationkey, srev.cents FROM srev
+      JOIN supplier s ON s.s_suppkey = srev.l_suppkey),
+tot AS (SELECT s_nationkey, SUM(cents) AS nat_cents FROM j GROUP BY 1)
+SELECT n.n_name,
+       CAST(SUM((j.cents * 1000000 // t.nat_cents)
+                * (j.cents * 1000000 // t.nat_cents)) AS BIGINT)
+         AS hhi_ppm2,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM j JOIN tot t USING (s_nationkey)
+JOIN nation n ON n.n_nationkey = j.s_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_sentence_len_quantiles(sf_dir: str):
+    """Sentence-length profile (the readability/segmentation diagnostic
+    a curation pipeline runs before chunking): split each document on
+    terminator runs ``[.!?]+``, measure each sentence in ``[a-z]+``
+    words, and emit exact per-source P25/P50/P90 (quantile_disc
+    semantics) plus sentence counts. The explode happens inside the
+    batch (one row per sentence, short strings never leave as text —
+    only their integer lengths shuffle).
+
+    Scale shape: fact-sized (source, len) pairs into a hash-partitioned
+    grouped-quantile map_groups; output |sources| rows."""
+    import math as _math
+
+    from .functions.arrowutil import to_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sents = pc.split_pattern_regex(t["text"].combine_chunks(),
+                                       pattern="[.!?]+")
+        flat = pc.list_flatten(sents)
+        parent = pc.list_parent_indices(sents)
+        src = t["source"].combine_chunks().take(parent)
+        w = pc.cast(pc.count_substring_regex(pc.utf8_lower(flat),
+                                             "[a-z]+"), pa.int64())
+        keep = pc.greater(w, 0)
+        return pa.table({"source": src.filter(keep),
+                         "n_words": w.filter(keep)})
+
+    ex = docs.map_batches(explode, batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        part_ids = pd.util.hash_pandas_object(
+            pd.Series(t["source"].to_pandas()), index=False) % 8
+        return t.append_column("part",
+                               pa.array(part_ids.to_numpy(), pa.int64()))
+
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_sents", pa.int64()),
+                            ("p25_words", pa.int64()),
+                            ("p50_words", pa.int64()),
+                            ("p90_words", pa.int64())])
+
+    def quants(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for src, grp in g.groupby("source", sort=False):
+            v = np.sort(grp["n_words"].to_numpy())
+            n = len(v)
+            pick = lambda q: int(v[max(1, _math.ceil(q * n)) - 1])
+            rows.append({"source": src, "n_sents": n,
+                         "p25_words": pick(0.25), "p50_words": pick(0.5),
+                         "p90_words": pick(0.9)})
+        return to_arrow(pd.DataFrame(rows), out_schema)
+
+    return (ex.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(quants, batch_format="pandas")
+            .sort("source"))
+
+
+_DOCS_SENTLEN_SQL = """
+WITH s AS (
+  SELECT source,
+         len(regexp_extract_all(lower(sent), '[a-z]+')) AS n_words
+  FROM (SELECT source, unnest(regexp_split_to_array(text, '[.!?]+'))
+          AS sent FROM documents)
+  WHERE len(regexp_extract_all(lower(sent), '[a-z]+')) > 0)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sents,
+       quantile_disc(n_words, 0.25) AS p25_words,
+       quantile_disc(n_words, 0.5) AS p50_words,
+       quantile_disc(n_words, 0.9) AS p90_words
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_type_trigrams(sf_dir: str):
+    """Ordered 3-step behavior paths (sequence mining one step past the
+    Markov transition matrix): per user, consecutive event-type
+    trigrams by (ts, event_id), global top 20 by count. Trigrams are
+    built with two vectorized shifts inside the per-user-bucket kernel;
+    only (t1, t2, t3) triples shuffle.
+
+    Scale shape: one modulo shuffle on user_id, per-bucket mergesort +
+    shifts, bounded |types|³ aggregate."""
+    from .functions.partitions import default_parts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    nparts = max(2, min(default_parts(), ev.count() * 16 // 250_000 + 1))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy(zero_copy_only=False) % nparts
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ts": t["ts"], "event_type": t["event_type"],
+                         "part": pa.array(part, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ty = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        t1, t2, t3 = ty[:-2][same], ty[1:-1][same], ty[2:][same]
+        g = (pa.table({"t1": pa.array(t1, pa.string()),
+                       "t2": pa.array(t2, pa.string()),
+                       "t3": pa.array(t3, pa.string())})
+             .group_by(["t1", "t2", "t3"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"t1": g["t1"], "t2": g["t2"], "t3": g["t3"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby(["t1", "t2", "t3"]).aggregate(Sum("n",
+                                                       alias_name="n"))
+            .sort(["n", "t1", "t2", "t3"],
+                  descending=[True, False, False, False])
+            .limit(20))
+
+
+_EVENTS_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3,
+         LEAD(user_id) OVER w AS u2,
+         LEAD(user_id, 2) OVER w AS u3
+  FROM events
+  WINDOW w AS (ORDER BY user_id, ts, event_id))
+SELECT event_type AS t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE u2 = user_id AND u3 = user_id
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12156,6 +12527,11 @@ def queries():
         "events_user_median_gap": events_user_median_gap,
         "media_scene_cuts": media_scene_cuts,
         "docs_compress_ratio": docs_compress_ratio,
+        "events_purchase_attribution": events_purchase_attribution,
+        "events_decayed_counts": events_decayed_counts,
+        "nation_supplier_hhi": nation_supplier_hhi,
+        "docs_sentence_len_quantiles": docs_sentence_len_quantiles,
+        "events_type_trigrams": events_type_trigrams,
     }
 
 
@@ -12367,6 +12743,11 @@ def oracle_sql():
         "events_user_trailing_distinct": _EVENTS_TRAILDISTINCT_SQL,
         "docs_readability": _DOCS_READABILITY_SQL,
         "events_user_median_gap": _EVENTS_MEDIAN_GAP_SQL,
+        "events_purchase_attribution": _EVENTS_ATTRIBUTION_SQL,
+        "events_decayed_counts": _EVENTS_DECAYED_SQL,
+        "nation_supplier_hhi": _NATION_HHI_SQL,
+        "docs_sentence_len_quantiles": _DOCS_SENTLEN_SQL,
+        "events_type_trigrams": _EVENTS_TRIGRAMS_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
