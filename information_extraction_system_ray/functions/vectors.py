@@ -240,3 +240,71 @@ def pca_top_component(ds: ray.data.Dataset, *, vec_col: str = "embedding",
     if v[i] < 0:
         v = -v
     return v, lam, n
+
+
+def pq_train_encode(ds: ray.data.Dataset, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", m: int = 4, k: int = 16,
+                    iters: int = 3
+                    ) -> "tuple[np.ndarray, ray.data.Dataset]":
+    """Product quantization (Jégou et al. 2011) — the memory-compressed
+    ANN code path that complements the IVF index: the d-dim space splits
+    into ``m`` contiguous subspaces, each trained with the repo's
+    deterministic integer-exact :func:`kmeans` (bottom-k md5 seeds, int64
+    micro-unit partial sums, lowest-id tie-break), and every vector is
+    encoded as ``m`` one-byte-ish codes.
+
+    Returns ``(codebooks[m, k, d/m] float64 micro-units, Dataset(id_col,
+    subspace, code, distortion_micro2))``. The per-row distortion is the
+    exact int64 squared distance between the micro-quantized subvector
+    and its (rounded-to-int) centroid, so the whole output is
+    bit-deterministic under any partitioning. Codebooks are m·k·(d/m)
+    floats — a broadcast-safe constant; every pass over the data is a
+    streaming map_batches. Micro-unit squares bound the per-subvector
+    distortion at ~(2e6)²·(d/m); switch _SCALE to milli past ~1e9 rows
+    (documented contract, same as kmeans)."""
+    first = ds.take(1)[0]
+    d = len(first[vec_col])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    def project(s: int):
+        def fn(t: pa.Table) -> pa.Table:
+            vecs = t[vec_col].combine_chunks()
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(t), d)[:, s * sub:(s + 1) * sub]
+            return pa.table({id_col: t[id_col],
+                             vec_col: pa.array(list(mat.astype(np.float64)),
+                                               pa.list_(pa.float64()))})
+        return fn
+
+    books = []
+    parts = []
+    for s in range(m):
+        proj = ds.map_batches(project(s), batch_format="pyarrow")
+        cents, _ = kmeans(proj, vec_col=vec_col, id_col=id_col,
+                          k=k, iters=iters)
+        books.append(cents)
+        cref = ray.put(np.round(cents).astype(np.int64))
+
+        def encode(t: pa.Table, _s=s, _cref=cref) -> pa.Table:
+            vecs = t[vec_col].combine_chunks()
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            mat = np.round(flat.reshape(len(t), d)[:, _s * sub:(_s + 1)
+                           * sub].astype(np.float64)
+                           * _SCALE).astype(np.int64)
+            c = ray.get(_cref)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1)
+            dist = d2[np.arange(len(mat)), codes]
+            return pa.table({
+                id_col: t[id_col],
+                "subspace": pa.array(np.full(len(mat), _s, np.int64)),
+                "code": pa.array(codes.astype(np.int64), pa.int64()),
+                "distortion_micro2": pa.array(dist, pa.int64())})
+
+        parts.append(ds.map_batches(encode, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return np.stack(books), out

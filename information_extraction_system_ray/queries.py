@@ -12273,6 +12273,169 @@ ORDER BY n DESC, t1, t2, t3 LIMIT 20
 """
 
 
+def events_user_cumdistinct(sf_dir: str):
+    """Running DISTINCT count per user (the growing-window sibling of
+    W27's trailing-range distinct): after each event, how many distinct
+    event types the user has produced so far. Vectorized identity:
+    running distinct = cumsum of the first-occurrence flag — one
+    ``duplicated`` + ``cumsum`` per user inside the hash-bucket kernel.
+    SQL spells the same trick as ROW_NUMBER()==1 → SUM() OVER.
+
+    Scale shape: one modulo shuffle on user_id, per-bucket mergesort,
+    fact-sized streaming output."""
+    from .functions.partitions import default_parts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    nparts = max(2, min(default_parts(), ev.count() * 16 // 250_000 + 1))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy(zero_copy_only=False) % nparts
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts": t["ts"], "event_type": t["event_type"],
+                         "part": pa.array(part, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = ~g.duplicated(["user_id", "event_type"])
+        run = first.groupby(g["user_id"].to_numpy()).cumsum()
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "n_distinct_types": pa.array(run.to_numpy(np.int64))})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pandas")
+            .sort("event_id"))
+
+
+_EVENTS_CUMDISTINCT_SQL = """
+SELECT event_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS n_distinct_types
+FROM (SELECT event_id, user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+ORDER BY event_id
+"""
+
+
+_RAKE_MAX_PHRASE = 4
+
+
+def _rake_phrases(texts, stopwords) -> "tuple[list, list]":
+    """(phrase, words) candidate pairs for RAKE: lowercase ``[a-z]+``
+    tokens, phrases are maximal stopword-free runs capped at
+    _RAKE_MAX_PHRASE tokens (longer runs emit consecutive chunks —
+    documented rule, mirrored by the test's recompute)."""
+    import re
+
+    tok_re = re.compile(r"[a-z]+")
+    phrases = []
+    for txt in texts:
+        run = []
+        for w in tok_re.findall(txt.lower()):
+            if w in stopwords:
+                if run:
+                    phrases.extend(
+                        (tuple(run[i:i + _RAKE_MAX_PHRASE]))
+                        for i in range(0, len(run), _RAKE_MAX_PHRASE))
+                    run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.extend(tuple(run[i:i + _RAKE_MAX_PHRASE])
+                           for i in range(0, len(run), _RAKE_MAX_PHRASE))
+    return phrases
+
+
+def docs_rake_keyphrases(sf_dir: str):
+    """RAKE keyphrase extraction (Rose et al. 2010 — the unsupervised
+    keyword step that seeds entity/term candidates for KG construction):
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree/freq where freq counts occurrences and degree sums the
+    containing phrase's length; a phrase scores the sum of its words'
+    scores. Corpus-level top 20 by (score, phrase). Fully distributed:
+    phrase explode per batch → word-stat partial sums → one groupby →
+    word scores rejoin the exploded (phrase, word) rows via a hash join
+    (no vocabulary broadcast — the unigram-NLL lesson) → per-phrase sum.
+    Word scores are exact micro-ints (floor(degree·1e6/freq)), so the
+    result is bit-stable. Rows-only; the oracle is a single-process
+    recompute in tests/test_text_functions.py."""
+    from .functions.text import STOPWORDS
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    nparts = max(2, min(16, pq.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows // 100_000 + 2))
+
+    def explode(t: pa.Table) -> pa.Table:
+        phrases = _rake_phrases(t["text"].to_pylist(), STOPWORDS)
+        ptxt, word, plen = [], [], []
+        for ph in phrases:
+            for w in ph:
+                ptxt.append(" ".join(ph))
+                word.append(w)
+                plen.append(len(ph))
+        return pa.table({"phrase": pa.array(ptxt, pa.string()),
+                         "word": pa.array(word, pa.string()),
+                         "plen": pa.array(plen, pa.int64())})
+
+    pw = docs.map_batches(explode, batch_format="pyarrow")
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"word": t["word"], "deg": t["plen"]})
+             .group_by("word").aggregate([("deg", "sum"),
+                                          ([], "count_all")]))
+        return pa.table({"word": g["word"], "deg": g["deg_sum"],
+                         "freq": pc.cast(g["count_all"], pa.int64())})
+
+    wstats = (pw.map_batches(word_partial, batch_format="pyarrow")
+              .groupby("word")
+              .aggregate(Sum("deg", alias_name="deg"),
+                         Sum("freq", alias_name="freq")))
+
+    scored = pw.join(wstats, join_type="inner", num_partitions=nparts,
+                     on=("word",), right_on=("word",))
+
+    def score(t: pa.Table) -> pa.Table:
+        deg = t["deg"].to_numpy(zero_copy_only=False)
+        freq = t["freq"].to_numpy(zero_copy_only=False)
+        return pa.table({"phrase": t["phrase"],
+                         "w_score": pa.array(deg * 1_000_000 // freq,
+                                             pa.int64())})
+
+    return (scored.map_batches(score, batch_format="pyarrow")
+            .groupby("phrase")
+            .aggregate(Sum("w_score", alias_name="score_micro"))
+            .sort(["score_micro", "phrase"], descending=[True, False])
+            .limit(20))
+
+
+def emb_pq_codes(sf_dir: str):
+    """Product-quantization codebook train + encode (functions/
+    vectors.py `pq_train_encode`) — the PQ compression leg of the ANN
+    suite (V2 IVF handles routing; PQ handles memory): 4 subspaces × 16
+    centroids over the 64-d embeddings, each subspace trained by the
+    deterministic integer-exact k-means. Output: per (subspace, code)
+    cell count + exact int64 distortion total — the codebook-balance
+    diagnostic. Bit-deterministic; rows-only (iterative training), with
+    layout-invariance + distortion-recompute tests in
+    tests/test_kmeans.py."""
+    from .functions.vectors import pq_train_encode
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    _, codes = pq_train_encode(emb, m=4, k=16, iters=3)
+    return (codes.groupby(["subspace", "code"])
+            .aggregate(Count(alias_name="n_vecs"),
+                       Sum("distortion_micro2",
+                           alias_name="distortion_micro2"))
+            .sort(["subspace", "code"]))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12532,6 +12695,9 @@ def queries():
         "nation_supplier_hhi": nation_supplier_hhi,
         "docs_sentence_len_quantiles": docs_sentence_len_quantiles,
         "events_type_trigrams": events_type_trigrams,
+        "events_user_cumdistinct": events_user_cumdistinct,
+        "docs_rake_keyphrases": docs_rake_keyphrases,
+        "emb_pq_codes": emb_pq_codes,
     }
 
 
@@ -12748,6 +12914,7 @@ def oracle_sql():
         "nation_supplier_hhi": _NATION_HHI_SQL,
         "docs_sentence_len_quantiles": _DOCS_SENTLEN_SQL,
         "events_type_trigrams": _EVENTS_TRIGRAMS_SQL,
+        "events_user_cumdistinct": _EVENTS_CUMDISTINCT_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

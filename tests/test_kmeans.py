@@ -74,3 +74,44 @@ def test_kmeans_recovers_separated_blobs(ray_session):
     # every recovered cluster is pure: one blob per cluster
     assert all(len(v) == 1 for v in by_cluster.values())
     assert len(rows) == 90
+
+
+def test_pq_layout_invariance_and_distortion(ray_session):
+    """pq_train_encode is bit-deterministic under repartitioning, and
+    its reported distortion equals a numpy recompute from the returned
+    codebooks + codes."""
+    import numpy as np
+    import ray.data
+
+    from information_extraction_system_ray.functions.vectors import (
+        _SCALE, pq_train_encode)
+    from information_extraction_system_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    books, codes = pq_train_encode(emb, m=4, k=16, iters=2)
+    a = codes.to_pandas().sort_values(["vec_id", "subspace"]) \
+        .reset_index(drop=True)
+    books2, codes2 = pq_train_encode(emb.repartition(7), m=4, k=16,
+                                     iters=2)
+    b = codes2.to_pandas().sort_values(["vec_id", "subspace"]) \
+        .reset_index(drop=True)
+    assert np.array_equal(books, books2)
+    assert a.equals(b)
+
+    # distortion recompute from the returned artifacts
+    import pyarrow.parquet as pq2
+    t = pq2.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    vecs = {i: np.asarray(v, np.float64) for i, v in
+            zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    d = len(next(iter(vecs.values())))
+    sub = d // 4
+    cb = np.round(books).astype(np.int64)
+    for _, r in a.iterrows():
+        s = int(r["subspace"])
+        v = np.round(vecs[int(r["vec_id"])][s * sub:(s + 1) * sub]
+                     * _SCALE).astype(np.int64)
+        want = int(((v - cb[s, int(r["code"])]) ** 2).sum())
+        assert int(r["distortion_micro2"]) == want
+    assert sorted(a["vec_id"].unique()) == sorted(vecs)

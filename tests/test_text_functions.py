@@ -65,3 +65,46 @@ def test_compress_ratio_matches_single_process(ray_session):
     got_map = {(r["source"], int(r["bucket"])): int(r["n_docs"])
                for _, r in got.iterrows()}
     assert got_map == dict(want)
+
+
+def test_rake_matches_single_process(ray_session):
+    """docs_rake_keyphrases golden: corpus-level RAKE recomputed
+    single-process with the same phrase rule (stopword-free runs capped
+    at 4) and the same exact micro-int word scores."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq2
+
+    from information_extraction_system_ray.functions.text import STOPWORDS
+    from information_extraction_system_ray.queries import (
+        _rake_phrases, docs_rake_keyphrases)
+
+    sf = "/root/testdata/sf0.001"
+    got = docs_rake_keyphrases(sf).to_pandas()
+    texts = pq2.read_table(f"{sf}/documents.parquet",
+                           columns=["text"])["text"].to_pylist()
+    phrases = _rake_phrases(texts, STOPWORDS)
+    deg, freq = Counter(), Counter()
+    for ph in phrases:
+        for w in ph:
+            deg[w] += len(ph)
+            freq[w] += 1
+    w_score = {w: deg[w] * 1_000_000 // freq[w] for w in deg}
+    ph_score = Counter()
+    for ph in phrases:
+        ph_score[" ".join(ph)] += sum(w_score[w] for w in ph)
+    want = sorted(ph_score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["phrase"], int(r["score_micro"]))
+            for _, r in got.iterrows()] == want
+
+
+def test_rake_phrase_rule():
+    from information_extraction_system_ray.queries import _rake_phrases
+
+    # stopwords break runs; caps split long runs into consecutive chunks
+    ph = _rake_phrases(["alpha beta of gamma delta epsilon zeta eta "
+                        "theta"], {"of"})
+    assert ph == [("alpha", "beta"),
+                  ("gamma", "delta", "epsilon", "zeta"),
+                  ("eta", "theta")]
+    assert _rake_phrases(["the of and"], {"the", "of", "and"}) == []
