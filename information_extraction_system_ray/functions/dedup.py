@@ -596,3 +596,41 @@ def semantic_dedup(emb: ray.data.Dataset, *, id_col: str = "vec_id",
     return (emb.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+# MOSS algorithm): guaranteed detection of shared substrings ≥ w+k−1 chars
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = np.uint64(1_000_003)
+_WINNOW_K = 8          # k-gram length (chars)
+_WINNOW_W = 4          # winnowing window (hashes)
+
+
+def winnow_fingerprints(text: str, *, k: int = _WINNOW_K,
+                        w: int = _WINNOW_W) -> np.ndarray:
+    """Sorted unique winnowed fingerprints of ``text``: polynomial
+    rolling hashes (base 1000003, mod 2^64 wraparound — deterministic
+    everywhere) over lowercase whitespace-collapsed chars, then the
+    RIGHTMOST minimal hash per w-window. Fully vectorized: the k-gram
+    hash matrix and the window minimum are both sliding_window_view
+    kernels; no per-char Python. Winnowing's guarantee: any substring
+    match of length ≥ w+k−1 shares at least one fingerprint."""
+    norm = " ".join(text.lower().split())
+    b = np.frombuffer(norm.encode(), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    grams = sliding_window_view(b, k).astype(np.uint64)
+    powers = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    h = (grams * powers).sum(axis=1, dtype=np.uint64)
+    if len(h) < w:
+        return np.unique(h[[int(np.flatnonzero(
+            h == h.min())[-1])]])
+    wins = sliding_window_view(h, w)
+    # rightmost minimum: argmin over the REVERSED window
+    right_argmin = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+    picked = right_argmin + np.arange(len(wins))
+    return np.unique(h[np.unique(picked)])

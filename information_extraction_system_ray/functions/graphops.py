@@ -407,3 +407,93 @@ def bfs_distances(edges: ray.data.Dataset, *, source,
             "node": pa.array([source]).cast(ktype),
             "dist": pa.array([0], pa.int64())}).cast(out_schema)))
     return res
+
+
+def label_propagation(edges: ray.data.Dataset, *, rounds: int = 5,
+                      num_partitions: "int | None" = None
+                      ) -> ray.data.Dataset:
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    deterministic variant) over an undirected edge list Dataset(u, v):
+    labels start as node ids; each round every node adopts the most
+    frequent label among its NEIGHBORS (ties → smallest label), for a
+    FIXED number of synchronous rounds — the schedule that makes the
+    result bit-deterministic under any partitioning (async/stochastic
+    LPA is run-order dependent).
+
+    Returns Dataset(lnode, label). Per round: one hash join of the
+    (node, nbr) adjacency against the label table, one (node, label)
+    count groupby, one per-node argmax map_groups — nothing denser than
+    the edge list ever shuffles."""
+    from ray.data.aggregate import Count
+
+    num_partitions = num_partitions or default_parts()
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["u"].combine_chunks(),
+                                      t["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["v"].combine_chunks(),
+                                     t["u"].combine_chunks()])})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    lab_schema = pa.schema([("lnode", pa.int64()), ("label", pa.int64())])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:   # empty aggregate partition
+            return lab_schema.empty_table()
+        return pa.table({"lnode": t["node"],
+                         "label": t["node"]}).cast(lab_schema)
+
+    # materialized: the join's right side must stream schema-uniform
+    # blocks (empty aggregate partitions otherwise leak their input
+    # schema into acero's key resolution)
+    labels = (adj.map_batches(
+        lambda t: t.select(["node"]).group_by("node").aggregate([]),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="_n"))
+        .map_batches(init_labels, batch_format="pyarrow").materialize())
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        rows_n, rows_l = [], []
+        for node, grp in g.groupby("node", sort=False):
+            best = grp.sort_values(["n", "label"],
+                                   ascending=[False, True]).iloc[0]
+            rows_n.append(int(node))
+            rows_l.append(int(best["label"]))
+        return pa.table({"lnode": pa.array(rows_n, pa.int64()),
+                         "label": pa.array(rows_l, pa.int64())}
+                        ).cast(lab_schema)
+
+    from .joins import auto_join
+
+    for _ in range(rounds):
+        # auto_join, not Dataset.join: the label table regenerated each
+        # round carries many empty blocks (one per empty map_groups
+        # partition), which Ray's hash-shuffle join feeds acero as
+        # schema-less right partitions → FieldRef resolution errors;
+        # auto_join's paths are robust to empty blocks on either side
+        nbr_lab = (auto_join(adj, labels, left_key="nbr",
+                             right_key="lnode", right_cols=["label"],
+                             num_partitions=num_partitions)
+                   .map_batches(lambda t: pa.table(
+                       {"node": t["node"], "label": t["label"]}),
+                       batch_format="pyarrow"))
+        counted = (nbr_lab.groupby(["node", "label"])
+                   .aggregate(Count(alias_name="n")))
+        def clean(t: pa.Table) -> pa.Table:
+            # EMPTY map_groups partitions pass their INPUT block through
+            # with the pre-group (node, label, n) schema — normalize, or
+            # the next round's join sees heterogeneous right-side blocks
+            if "lnode" not in t.column_names:
+                return lab_schema.empty_table()
+            return pa.table({"lnode": t["lnode"],
+                             "label": t["label"]}).cast(lab_schema)
+
+        # materialize per round: labels is node-sized (skinny), and an
+        # unmaterialized plan would re-execute every prior round at each
+        # consumption (the iterative-Dataset contract pagerank.py uses)
+        labels = (counted.groupby("node")
+                  .map_groups(pick, batch_format="pandas")
+                  .map_batches(clean, batch_format="pyarrow")
+                  .materialize())
+    return labels

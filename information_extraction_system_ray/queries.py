@@ -12436,6 +12436,151 @@ def emb_pq_codes(sf_dir: str):
             .sort(["subspace", "code"]))
 
 
+def docs_winnow_pairs(sf_dir: str):
+    """Winnowing / MOSS document-overlap detection (Schleimer et al.
+    2003 — the guaranteed-recall cousin of MinHash: any shared substring
+    of ≥ w+k−1 chars shares a fingerprint): per doc the winnowed
+    fingerprint set (vectorized rolling-hash + window-min kernels,
+    functions/dedup.py), cross-doc pairs bucketed BY FINGERPRINT
+    (co-partitioned wedge enumeration — never all-pairs), top 20 pairs
+    by shared-fingerprint count. Fingerprints with df > 50 are dropped
+    as boilerplate before pairing (caps the wedge frontier; documented
+    — MOSS does the same). Rows-only; oracle = single-process recompute
+    in tests/test_dedup.py."""
+    from .functions.dedup import winnow_fingerprints
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fps(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            f = winnow_fingerprints(txt)
+            ids.append(np.full(len(f), did, np.int64))
+            hs.append(f.astype(np.int64))   # same bits, arrow-friendly
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids) if ids
+                               else np.empty(0, np.int64)),
+            "fp": pa.array(np.concatenate(hs) if hs
+                           else np.empty(0, np.int64))})
+
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def doc_pairs(g: pd.DataFrame) -> pa.Table:
+        if len(g) > 50 or len(g) < 2:   # boilerplate / singleton fp
+            return pairs_schema.empty_table()
+        _, a, b = _pairs_within_groups(
+            g["fp"].to_numpy(np.int64), g["doc_id"].to_numpy(np.int64))
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())}).cast(pairs_schema)
+
+    return (docs.map_batches(fps, batch_format="pyarrow")
+            .groupby("fp").map_groups(doc_pairs, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
+            .sort(["n_shared", "a", "b"], descending=[True, False, False])
+            .limit(20))
+
+
+def orders_zorder_audit(sf_dir: str):
+    """Z-order (Morton) layout audit — the data-skipping diagnostic a
+    lakehouse runs before choosing a table's clustering keys: orders are
+    bucketed to 8-bit ranks on (o_custkey, price-cents), laid out by
+    Z-value (bit-interleaved), by single-key o_custkey, or by insertion
+    order (o_orderkey — the no-clustering baseline), cut into 64 equal
+    row blocks (global_row_number → block = (rn−1)·64/n), and each
+    layout reports Σ per-block zone SPAN ((x_range+1)+(y_range+1)) —
+    proportional to the expected zone-map scan fraction under point
+    predicates on either dim. Lower = better skipping; Z-order bounds
+    BOTH dims per block where each single-key layout leaves the other
+    dim unclustered. (Additive span is the scale-robust metric: the
+    multiplicative volume flips at sparse occupancy because Morton
+    ranges crossing high-bit boundaries inflate bounding boxes.)
+    Exact ints end-to-end. Rows-only; recompute golden +
+    z-beats-both-baselines property in tests/test_new_ops.py."""
+    from .functions.rank import global_row_number
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"])
+    stats = orders.map_batches(
+        lambda t: pa.table({"xv": t["o_custkey"],
+                            "yv": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow") \
+        .aggregate(Max("xv", alias_name="mx"), Max("yv", alias_name="my"))
+    mx, my = int(stats["mx"]) + 1, int(stats["my"]) + 1
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        x = (t["o_custkey"].to_numpy(zero_copy_only=False)
+             * 256 // mx).astype(np.int64)
+        y = (_cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+             * 256 // my).astype(np.int64)
+        z = np.zeros(len(x), np.int64)
+        for bit in range(8):
+            z |= ((x >> bit) & 1) << (2 * bit + 1)
+            z |= ((y >> bit) & 1) << (2 * bit)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "x": pa.array(x), "y": pa.array(y),
+                         "z": pa.array(z)})
+
+    keyed = orders.map_batches(add_keys, batch_format="pyarrow")
+    n = keyed.count()
+
+    def layout_span(order_cols: "list[str]", name: str) -> pa.Table:
+        rn = global_row_number(keyed, order_by=order_cols + ["o_orderkey"],
+                               out_col="rn")
+        blk = rn.map_batches(
+            lambda t: pa.table({
+                "block": pa.array(
+                    (t["rn"].to_numpy(zero_copy_only=False) - 1)
+                    * 64 // n, pa.int64()),
+                "x": t["x"], "y": t["y"]}),
+            batch_format="pyarrow")
+        spans = (blk.groupby("block")
+                 .aggregate(Min("x", alias_name="x0"),
+                            Max("x", alias_name="x1"),
+                            Min("y", alias_name="y0"),
+                            Max("y", alias_name="y1"))
+                 .map_batches(lambda t: pa.table({
+                     "layout": pa.array([name] * t.num_rows, pa.string()),
+                     "span": pc.add(
+                         pc.add(pc.subtract(t["x1"], t["x0"]),
+                                pc.subtract(t["y1"], t["y0"])),
+                         pa.scalar(2, pa.int64()))}),
+                     batch_format="pyarrow"))
+        return spans
+
+    z_spans = layout_span(["z"], "zorder")
+    k_spans = layout_span(["x"], "custkey")
+    i_spans = layout_span(["o_orderkey"], "insertion")
+    return (z_spans.union(k_spans).union(i_spans)
+            .groupby("layout")
+            .aggregate(Sum("span", alias_name="total_zone_span"),
+                       Count(alias_name="n_blocks"))
+            .sort("layout"))
+
+
+def part_graph_label_prop(sf_dir: str):
+    """Synchronous label propagation communities (Raghavan et al. 2007,
+    deterministic variant): labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors (ties → the
+    smallest label), 5 fixed rounds. Each round is one hash join
+    (labels onto the adjacency's nbr side) + a (node, label) count
+    groupby + a per-node argmax map_groups — nothing denser than the
+    edge list ever shuffles, and the fixed-round synchronous schedule
+    makes the result bit-deterministic (async LPA is run-order
+    dependent; documented choice). Output: top 20 communities by (size
+    desc, label). Rows-only; single-process parity on planted-clique
+    graphs + determinism on this table in
+    tests/test_graph_properties.py."""
+    from .functions.graphops import label_propagation
+
+    labels = label_propagation(_part_strong_edges(sf_dir), rounds=5,
+                               num_partitions=_join_parts(sf_dir))
+    return (labels.groupby("label").aggregate(Count(alias_name="size"))
+            .sort(["size", "label"], descending=[True, False])
+            .limit(20))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12698,6 +12843,9 @@ def queries():
         "events_user_cumdistinct": events_user_cumdistinct,
         "docs_rake_keyphrases": docs_rake_keyphrases,
         "emb_pq_codes": emb_pq_codes,
+        "docs_winnow_pairs": docs_winnow_pairs,
+        "orders_zorder_audit": orders_zorder_audit,
+        "part_graph_label_prop": part_graph_label_prop,
     }
 
 

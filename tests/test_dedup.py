@@ -428,3 +428,53 @@ def test_leakfree_folds_query_covers_corpus(ray_session):
     assert (r["fold"].sort_values().to_numpy() == range(len(r))).all()
     assert (r["n_clusters"] >= 0).all()
     assert int(r["n_clusters"].sum()) > 0
+
+
+def test_winnow_shared_substring_guarantee():
+    """Winnowing's core guarantee: any shared substring of length
+    >= w + k - 1 (11 chars here) shares at least one fingerprint."""
+    import numpy as np
+
+    from information_extraction_system_ray.functions.dedup import winnow_fingerprints
+
+    shared = "a very distinctive shared passage of text"
+    a = winnow_fingerprints("prefix one " + shared + " suffix alpha")
+    b = winnow_fingerprints("other start " + shared + " other end")
+    assert len(np.intersect1d(a, b)) >= 1
+    # disjoint texts share nothing
+    c = winnow_fingerprints("zzz qqq xxx jjj vvv www kkk yyy")
+    assert len(np.intersect1d(a, c)) == 0
+    # edge cases: shorter than k -> empty; k..k+w-2 -> one fingerprint
+    assert len(winnow_fingerprints("tiny")) == 0
+    assert len(winnow_fingerprints("exactly12ch")) == 1
+
+
+def test_winnow_pairs_match_single_process(ray_session):
+    """docs_winnow_pairs golden: the distributed pair counts equal a
+    single-process recompute with the same df<=50 boilerplate cap."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq2
+
+    from information_extraction_system_ray.functions.dedup import winnow_fingerprints
+    from information_extraction_system_ray.queries import docs_winnow_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = docs_winnow_pairs(sf).to_pandas()
+    t = pq2.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "text"])
+    by_fp = defaultdict(list)
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for fp in winnow_fingerprints(txt):
+            by_fp[int(fp)].append(did)
+    pairs = Counter()
+    for fp, docs in by_fp.items():
+        if len(docs) < 2 or len(docs) > 50:
+            continue
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs[(docs[i], docs[j])] += 1
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [((r["a"], r["b"]), int(r["n_shared"]))
+            for _, r in got.iterrows()] == want

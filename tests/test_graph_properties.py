@@ -315,3 +315,51 @@ def test_part_graph_sssp_query_matches_duckdb_dijkstra(ray_session):
     out = e.queries()["part_graph_sssp"](sf).to_pandas()
     got = dict(zip(out["node"], out["dist"]))
     assert got == dist
+
+
+def _lpa_single_process(edges, rounds=5):
+    """Reference synchronous LPA with the same deterministic rule."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    label = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(label[m] for m in nbrs[n])
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best[0]
+        label = new
+    return label
+
+
+def test_label_propagation_parity_planted_cliques(ray_session):
+    """Two planted 6-cliques joined by one bridge edge: distributed LPA
+    equals the single-process reference node-for-node, and the two
+    cliques keep distinct labels."""
+    import pyarrow as pa
+    import ray.data
+
+    from information_extraction_system_ray.functions.graphops import label_propagation
+
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(i, j) for i in range(10, 16) for j in range(i + 1, 16)]
+    edges = c1 + c2 + [(5, 10)]
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64())}))
+    got = {int(r["lnode"]): int(r["label"])
+           for r in label_propagation(ds, rounds=5).take_all()}
+    want = _lpa_single_process(edges, rounds=5)
+    assert got == want
+    assert len({got[i] for i in range(6)}) == 1
+    assert len({got[i] for i in range(10, 16)}) == 1
+    assert got[0] != got[10]
+    # layout invariance
+    got7 = {int(r["lnode"]): int(r["label"])
+            for r in label_propagation(ds.repartition(7),
+                                       rounds=5).take_all()}
+    assert got7 == got

@@ -768,3 +768,50 @@ def test_merge_into_semantics(ray_session):
                       when_not_matched=None).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     assert got2.values.tolist() == [[1, 10], [2, 21]]
+
+
+def test_zorder_audit_beats_single_key_layouts(ray_session):
+    """orders_zorder_audit: the Z-order layout's total zone span must
+    beat BOTH the single-key and the insertion layouts (that is the
+    point of the operator), and all layouts cut 64 blocks; plus an
+    exact golden vs a single-process numpy recompute."""
+    import duckdb
+    import numpy as np
+
+    from information_extraction_system_ray.queries import orders_zorder_audit
+
+    sf = "/root/testdata/sf0.001"
+    got = orders_zorder_audit(sf).to_pandas().set_index("layout")
+    assert (got["n_blocks"] == 64).all()
+    assert (got.loc["zorder", "total_zone_span"]
+            < got.loc["custkey", "total_zone_span"])
+    assert (got.loc["zorder", "total_zone_span"]
+            < got.loc["insertion", "total_zone_span"])
+
+    df = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_custkey, "
+        f"CAST(round(o_totalprice*100) AS BIGINT) cents "
+        f"FROM '{sf}/orders.parquet'").df()
+    mx, my = df["o_custkey"].max() + 1, df["cents"].max() + 1
+    x = (df["o_custkey"].to_numpy() * 256 // mx).astype(np.int64)
+    y = (df["cents"].to_numpy() * 256 // my).astype(np.int64)
+    z = np.zeros(len(x), np.int64)
+    for bit in range(8):
+        z |= ((x >> bit) & 1) << (2 * bit + 1)
+        z |= ((y >> bit) & 1) << (2 * bit)
+    okey = df["o_orderkey"].to_numpy()
+    n = len(x)
+
+    def span(order):
+        idx = np.lexsort(order)
+        blocks = np.arange(n) * 64 // n
+        tot = 0
+        for b in range(64):
+            m = blocks == b
+            tot += int(x[idx][m].max() - x[idx][m].min()
+                       + y[idx][m].max() - y[idx][m].min() + 2)
+        return tot
+
+    assert got.loc["zorder", "total_zone_span"] == span((okey, z))
+    assert got.loc["custkey", "total_zone_span"] == span((okey, x))
+    assert got.loc["insertion", "total_zone_span"] == span((okey,))
