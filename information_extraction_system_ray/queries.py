@@ -12581,6 +12581,180 @@ def part_graph_label_prop(sf_dir: str):
             .limit(20))
 
 
+def orders_max_concurrency(sf_dir: str):
+    """Interval max-concurrency sweep (the classic +1/−1 event-sweep
+    every scheduler/capacity planner runs): treating each order as open
+    for 7 days, the maximum number of simultaneously-open orders and the
+    first microsecond timestamp at which that maximum is reached. Each
+    order emits a (+1 at start, −1 at end) point; a GLOBAL ordered
+    running sum (functions/rank.py two-pass range-partitioned cumsum —
+    ends sort before starts at equal ts, matching half-open intervals)
+    yields the concurrency curve; its max and argmin-ts reduce in one
+    aggregate each. Within an equal-(ts, delta) tie group the running
+    values are a permutation of the same set, so MAX and its first ts
+    are tie-order invariant in both engines (the unique pid tiebreak
+    only satisfies the running-sum contract).
+
+    Scale shape: 2 rows per order through one range shuffle; two scalar
+    reduces."""
+    from .functions.rank import global_running_sum
+
+    DAY7_US = 7 * 86_400_000_000
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+
+    def points(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ts": pa.array(np.concatenate([ts, ts + DAY7_US])),
+            "delta": pa.array(np.concatenate([
+                np.ones(len(ts), np.int64),
+                np.full(len(ts), -1, np.int64)])),
+            "pid": pa.array(np.concatenate([key * 2, key * 2 + 1]))})
+
+    pts = orders.map_batches(points, batch_format="pyarrow")
+    run = global_running_sum(pts, "delta",
+                             order_by=["ts", "delta", "pid"],
+                             out_col="conc")
+    peak = run.aggregate(Max("conc", alias_name="mx"))
+    mx = int(peak["mx"])
+    first = run.map_batches(
+        lambda t: t.filter(pc.equal(t["conc"],
+                                    pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow").aggregate(Min("ts",
+                                              alias_name="first_ts_us"))
+    return pd.DataFrame({"max_concurrency": [mx],
+                         "first_ts_us": [int(first["first_ts_us"])]})
+
+
+_ORDERS_MAXCONC_SQL = """
+WITH pts AS (
+  SELECT epoch_us(o_orderdate) AS ts, 1 AS delta FROM orders
+  UNION ALL
+  SELECT epoch_us(o_orderdate + INTERVAL 7 DAY), -1 FROM orders),
+run AS (SELECT ts, SUM(delta) OVER (ORDER BY ts, delta
+          ROWS UNBOUNDED PRECEDING) AS conc FROM pts)
+SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+       CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM run)
+                THEN ts END) AS BIGINT) AS first_ts_us
+FROM run
+"""
+
+
+def docs_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve (the tokenizer-sizing diagnostic: what
+    share of corpus token OCCURRENCES do the top-K types cover?): for
+    K ∈ {10, 100, 1000}, the covered occurrence count and its exact ppm
+    share. Term counts collapse through per-batch combiners; the global
+    rank is the two-pass range-partitioned row number over the (count
+    desc, term) order — vocabulary-sized, never corpus-sized; three
+    conditional sums finish it.
+
+    Scale shape: corpus → vocab in one combiner groupby; everything
+    after is vocab-sized."""
+    from .functions.rank import global_row_number
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), pattern="[^a-z]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        g = pa.table({"term": flat}).group_by("term") \
+            .aggregate([([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    vocab = (docs.map_batches(term_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("n", alias_name="n")))
+    ranked = global_row_number(vocab, order_by=["n", "term"],
+                               descending=[True, False], out_col="rank")
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        rows = {"k": [], "covered": [], "total": []}
+        for k in (10, 100, 1000):
+            rows["k"].append(k)
+            rows["covered"].append(int(n[r <= k].sum()))
+            rows["total"].append(int(n.sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    agg = (ranked.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("covered", alias_name="covered"),
+                                   Sum("total", alias_name="total")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cov = t["covered"].to_numpy(zero_copy_only=False)
+        tot = t["total"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": t["k"], "covered": t["covered"],
+                         "total": t["total"],
+                         "share_ppm": pa.array(cov * 1_000_000 // tot,
+                                               pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("k")
+
+
+_DOCS_VOCABCOV_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents),
+vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+          WHERE term <> '' GROUP BY 1),
+ranked AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+           FROM vocab),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT k.k AS k,
+       CAST(SUM(CASE WHEN r.rank <= k.k THEN r.n ELSE 0 END) AS BIGINT)
+         AS covered,
+       CAST(SUM(r.n) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN r.rank <= k.k THEN r.n ELSE 0 END) * 1000000
+            // SUM(r.n) AS BIGINT) AS share_ppm
+FROM ks k CROSS JOIN ranked r
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def kg_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity over the materialized KG (the
+    ontology-symmetry diagnostic: how often does s→o come with o→s?):
+    distinct directed entity pairs, the count whose reverse also exists,
+    and the exact ppm ratio. The reverse check is a semi join of the
+    pair table against its own swap — co-partitioned membership, no
+    driver sets.
+
+    Scale shape: edges → distinct pairs (combiner), one semi join, two
+    scalars out. Rows-only (KG tables aren't DuckDB views); golden =
+    pandas recomputation in tests/test_flagship.py."""
+    from .functions.joins import semi_join
+
+    edges = _kg_run(sf_dir)["edges"]
+    pairs = (edges.map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]})
+                    .group_by(["src", "dst"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow").materialize())
+    swapped = pairs.map_batches(
+        lambda t: pa.table({"key": pc.binary_join_element_wise(
+            pc.cast(t["dst"], pa.string()), pc.cast(t["src"], pa.string()),
+            "|")}), batch_format="pyarrow")
+    keyed = pairs.map_batches(
+        lambda t: t.append_column("key", pc.binary_join_element_wise(
+            pc.cast(t["src"], pa.string()), pc.cast(t["dst"], pa.string()),
+            "|")), batch_format="pyarrow")
+    recip = semi_join(keyed, swapped, left_key="key", right_key="key")
+    n_pairs, n_recip = pairs.count(), recip.count()
+    return pd.DataFrame({
+        "n_pairs": [n_pairs], "n_reciprocal": [n_recip],
+        "reciprocity_ppm": [n_recip * 1_000_000 // max(n_pairs, 1)]})
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12846,6 +13020,9 @@ def queries():
         "docs_winnow_pairs": docs_winnow_pairs,
         "orders_zorder_audit": orders_zorder_audit,
         "part_graph_label_prop": part_graph_label_prop,
+        "orders_max_concurrency": orders_max_concurrency,
+        "docs_vocab_coverage": docs_vocab_coverage,
+        "kg_reciprocity": kg_reciprocity,
     }
 
 
@@ -13063,6 +13240,8 @@ def oracle_sql():
         "docs_sentence_len_quantiles": _DOCS_SENTLEN_SQL,
         "events_type_trigrams": _EVENTS_TRIGRAMS_SQL,
         "events_user_cumdistinct": _EVENTS_CUMDISTINCT_SQL,
+        "orders_max_concurrency": _ORDERS_MAXCONC_SQL,
+        "docs_vocab_coverage": _DOCS_VOCABCOV_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -199,3 +199,21 @@ def test_kg_twohop_patterns_matches_pandas(ray_session):
             .head(25).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got, want.astype({"n_paths": "int64"}), check_dtype=False)
+
+
+def test_kg_reciprocity_matches_pandas(ray_session):
+    """kg_reciprocity equals the pandas swap-merge recomputation over
+    the same edge table."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_reciprocity"](sf)
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    pairs = edges[["subj_id", "obj_id"]].drop_duplicates()
+    fwd = set(zip(pairs["subj_id"], pairs["obj_id"]))
+    n_recip = sum((d, s) in fwd for s, d in fwd)
+    assert int(got["n_pairs"].iloc[0]) == len(fwd)
+    assert int(got["n_reciprocal"].iloc[0]) == n_recip
+    assert int(got["reciprocity_ppm"].iloc[0]) == \
+        n_recip * 1_000_000 // max(len(fwd), 1)
