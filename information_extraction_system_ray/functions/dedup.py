@@ -634,3 +634,74 @@ def winnow_fingerprints(text: str, *, k: int = _WINNOW_K,
     right_argmin = w - 1 - np.argmin(wins[:, ::-1], axis=1)
     picked = right_argmin + np.arange(len(wins))
     return np.unique(h[np.unique(picked)])
+
+
+_HAMMING_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()),
+                                  ("id_b", pa.int64()),
+                                  ("hamming", pa.int64())])
+
+
+def hamming_pairs_banded(ds: ray.data.Dataset, *, id_col: str,
+                         hash_col: str, max_hamming: int = 3,
+                         num_tables: int = 4) -> ray.data.Dataset:
+    """Generic near-dup pairs over ANY precomputed int64 hash column at
+    Hamming distance ≤ ``max_hamming`` — the Manku block-permutation
+    candidate scheme simhash_duplicates uses, factored out so other
+    64-bit fingerprints (image pHash, audio chromaprints) get the same
+    EXACT-recall guarantee (pigeonhole: d < num_tables ⇒ ≥1 untouched
+    block). Shuffle cost: num_tables skinny rows per item; cross-table
+    dedup is local (decidable from the two hashes on the rows)."""
+    from .hashing import hamming64
+
+    bits_per = 64 // num_tables
+    mask = (1 << bits_per) - 1
+    pair_parts = default_parts()
+
+    def banded(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hs = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        out_id, out_h, out_tbl, out_blk = [], [], [], []
+        for tbl in range(num_tables):
+            blk = (hs >> np.uint64(bits_per * tbl)) & np.uint64(mask)
+            out_id.append(ids)
+            out_h.append(hs.view(np.int64))
+            out_tbl.append(np.full(len(ids), tbl, dtype=np.int64))
+            out_blk.append(blk.view(np.int64))
+        tbl_a = np.concatenate(out_tbl)
+        blk_a = np.concatenate(out_blk)
+        part = ((tbl_a << bits_per) | blk_a) % pair_parts
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+            "tbl": pa.array(tbl_a, pa.int64()),
+            "blk": pa.array(blk_a, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def pairs_in_part(part: pd.DataFrame) -> pa.Table:
+        oa, ob, oh = [], [], []
+        part = part[part.duplicated(["tbl", "blk"], keep=False)]
+        for (tbl, _), g in part.groupby(["tbl", "blk"], sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            hs = [int(h) & ((1 << 64) - 1) for h in g["h"]]
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if ids[x] == ids[y]:
+                        continue
+                    d = hamming64(hs[x], hs[y])
+                    if d > max_hamming:
+                        continue
+                    if any(((hs[x] >> (bits_per * s)) & mask) ==
+                           ((hs[y] >> (bits_per * s)) & mask)
+                           for s in range(tbl)):
+                        continue
+                    oa.append(int(ids[x])); ob.append(int(ids[y]))
+                    oh.append(d)
+        return to_arrow(pd.DataFrame({"id_a": oa, "id_b": ob,
+                                      "hamming": oh}),
+                        _HAMMING_PAIR_SCHEMA)
+
+    return (ds.map_batches(banded, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(pairs_in_part, batch_format="pandas"))

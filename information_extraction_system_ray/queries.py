@@ -12755,6 +12755,55 @@ def kg_reciprocity(sf_dir: str):
         "reciprocity_ppm": [n_recip * 1_000_000 // max(n_pairs, 1)]})
 
 
+def media_phash_pairs(sf_dir: str):
+    """Image near-duplicate detection by DCT perceptual hash — the
+    multimodal leg of the dedup suite (exact/simhash/minhash cover text;
+    THIS covers re-encoded / lightly-edited images): a deterministic
+    mixed-format corpus (PPM/BMP/PNG round-robin) with PLANTED near-dup
+    pairs (odd ids are ±3-noise copies of their predecessor) →
+    PHashImages actor pool (stages/multimodal.py: real decode →
+    grayscale → block-mean 32×32 → DCT-II → 64-bit sign hash) →
+    hamming_pairs_banded (functions/dedup.py — the Manku block scheme,
+    EXACT recall ≤ hamming 3). Output: (id_a, id_b, hamming) pairs.
+    Rows-only; planted-pair equality golden in tests/test_multimodal.py."""
+    from .functions.dedup import hamming_pairs_banded
+    from .sources.mediacodec import encode_bmp, encode_png, encode_ppm
+    from .stages.multimodal import MEDIA_SCHEMA, phash_images
+
+    n = max(24, _n_media(sf_dir) // 8) // 2 * 2
+    encs = [encode_ppm, encode_bmp, lambda a: encode_png(a)]
+    payloads = []
+    base = None
+    for i in range(n):
+        rng = np.random.default_rng(4000 + i)
+        if i % 2 == 0:
+            base = np.zeros((24, 24, 3), np.uint8)
+            for _ in range(3):   # structured content, far-apart hashes
+                y, x = rng.integers(0, 16, 2)
+                hh, ww = rng.integers(4, 9, 2)
+                base[y:y + hh, x:x + ww] = rng.integers(40, 256, 3)
+            img = base
+        else:
+            img = np.clip(base.astype(np.int64)
+                          + rng.integers(-3, 4, base.shape),
+                          0, 255).astype(np.uint8)
+        payloads.append(encs[i % 3](img))
+    t = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["application/octet-stream"] * n, pa.string()),
+        "width": pa.array([24] * n, pa.int32()),
+        "height": pa.array([24] * n, pa.int32()),
+        "duration_ms": pa.array([0] * n, pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+    hashed = phash_images(ray.data.from_arrow(t))
+    return (hamming_pairs_banded(hashed, id_col="media_id",
+                                 hash_col="phash", max_hamming=3)
+            .rename_columns({"id_a": "media_a", "id_b": "media_b"})
+            .sort(["media_a", "media_b"]))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13023,6 +13072,7 @@ def queries():
         "orders_max_concurrency": orders_max_concurrency,
         "docs_vocab_coverage": docs_vocab_coverage,
         "kg_reciprocity": kg_reciprocity,
+        "media_phash_pairs": media_phash_pairs,
     }
 
 

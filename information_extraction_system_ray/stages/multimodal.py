@@ -287,3 +287,74 @@ def synth_media(n: int, seed: int = 5) -> ray.data.Dataset:
         "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
     })
     return ray.data.from_arrow(t)
+
+
+_PHASH_DCT = None
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) or (h, w) uint8 image:
+    grayscale by exact-integer channel mean, block-mean resize to 32×32,
+    orthonormal DCT-II (numpy matmul basis — deterministic float64), and
+    1 bit per coefficient of the top-left 8×8 low-frequency block (DC
+    excluded) against their median. Near-identical images differ in a
+    few bits; unrelated ones in ~32 — the standard pHash contract."""
+    global _PHASH_DCT
+    if px.ndim == 3:
+        g = px.astype(np.int64).sum(axis=2) // px.shape[2]
+    else:
+        g = px.astype(np.int64)
+    h, w = g.shape
+    # block-mean resize to 32x32 (pad by edge-clamp via index mapping)
+    yi = (np.arange(32)[:, None] * h) // 32
+    y2 = np.maximum(((np.arange(32)[:, None] + 1) * h) // 32, yi + 1)
+    xi = (np.arange(32)[None, :] * w) // 32
+    x2 = np.maximum(((np.arange(32)[None, :] + 1) * w) // 32, xi + 1)
+    cs = np.zeros((h + 1, w + 1), np.int64)
+    cs[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    area = (y2 - yi) * (x2 - xi)
+    small = (cs[y2, x2] - cs[yi, x2] - cs[y2, xi] + cs[yi, xi]) / area
+    if _PHASH_DCT is None:
+        n = 32
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        basis = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) \
+            * np.sqrt(2.0 / n)
+        basis[0] /= np.sqrt(2.0)
+        _PHASH_DCT = basis
+    d = _PHASH_DCT @ small @ _PHASH_DCT.T
+    lo = d[:8, :8].copy().ravel()
+    lo[0] = np.median(lo[1:])   # drop DC from the comparison set
+    med = np.median(lo[1:])
+    bits = (lo > med).astype(np.uint64)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out)
+
+
+class PHashImages:
+    """Actor stage: binary image payload → (media_id, phash int64) via
+    the real pure-stdlib decoders (sources/mediacodec.py)."""
+
+    def __init__(self) -> None:
+        from ..sources.mediacodec import decode_image
+
+        self._decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            px = self._decode(payload)
+            ids.append(mid)
+            hs.append(np.uint64(phash64(px)).astype(np.int64))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(np.array(hs, np.int64))})
+
+
+def phash_images(media: ray.data.Dataset, *, concurrency=(1, 4),
+                 batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(PHashImages, batch_format="pyarrow",
+                             batch_size=batch_size,
+                             concurrency=concurrency)

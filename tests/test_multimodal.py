@@ -139,3 +139,56 @@ def test_scene_cuts_single_segment_has_none(ray_session):
     assert out.iloc[0]["n_frames"] == 5
     assert out.iloc[0]["n_cuts"] == 0
     assert out.iloc[0]["cut_idxs"] == ""
+
+
+def test_phash_pairs_match_bruteforce(ray_session):
+    """media_phash_pairs recall/precision golden: the banded pair set
+    equals the brute-force all-pairs Hamming<=3 set over the same
+    hashes (Manku block scheme has EXACT recall at d < num_tables), and
+    most planted near-dup pairs are found."""
+    import numpy as np
+
+    import __ray_entry__ as e
+    from information_extraction_system_ray.queries import media_phash_pairs
+    from information_extraction_system_ray.sources.mediacodec import (
+        decode_image)
+    from information_extraction_system_ray.stages.multimodal import phash64
+
+    sf = "/root/testdata/sf0.001"
+    got = media_phash_pairs(sf).to_pandas()
+    got_pairs = {(int(r["media_a"]), int(r["media_b"])): int(r["hamming"])
+                 for _, r in got.iterrows()}
+
+    # recompute the same corpus + hashes single-process
+    n = max(24, 600 // 8) // 2 * 2   # _n_media(sf0.001)=600
+    from information_extraction_system_ray.queries import _n_media
+    n = max(24, _n_media(sf) // 8) // 2 * 2
+    from information_extraction_system_ray.sources.mediacodec import (
+        encode_bmp, encode_png, encode_ppm)
+    encs = [encode_ppm, encode_bmp, lambda a: encode_png(a)]
+    hashes = []
+    base = None
+    for i in range(n):
+        rng = np.random.default_rng(4000 + i)
+        if i % 2 == 0:
+            base = np.zeros((24, 24, 3), np.uint8)
+            for _ in range(3):
+                y, x = rng.integers(0, 16, 2)
+                hh, ww = rng.integers(4, 9, 2)
+                base[y:y + hh, x:x + ww] = rng.integers(40, 256, 3)
+            img = base
+        else:
+            img = np.clip(base.astype(np.int64)
+                          + rng.integers(-3, 4, base.shape),
+                          0, 255).astype(np.uint8)
+        hashes.append(phash64(decode_image(encs[i % 3](img))))
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got_pairs == want
+    planted = [(i, i + 1) for i in range(0, n, 2)]
+    found = sum(p in got_pairs for p in planted)
+    assert found >= int(0.8 * len(planted))
