@@ -12804,6 +12804,232 @@ def media_phash_pairs(sf_dir: str):
             .sort(["media_a", "media_b"]))
 
 
+def orders_orc_roundtrip(sf_dir: str):
+    """ORC source/sink (widens the format matrix past parquet / CSV /
+    NDJSON / gzip-NDJSON / Arrow IPC): every input block writes one ORC
+    file via pyarrow.orc inside map_batches (the per-shard sink layout —
+    resumable, never one giant file), the read back is file-parallel
+    (one task per file), and the aggregate is checked against the
+    ORIGINAL parquet through the oracle. Ray Data ships no ORC reader —
+    this is the from_items(paths) → map_batches(orc.read_table) source
+    pattern any missing format gets."""
+    import os
+    import shutil
+
+    import pyarrow.orc as _orc
+
+    out_dir = f"/tmp/ies_orc_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            # content-addressed name: deterministic, collision-free,
+            # resumable (same block → same file on retry)
+            import hashlib as _h
+            name = _h.md5(t["o_orderkey"].to_string().encode()) \
+                .hexdigest()[:16]
+            _orc.write_table(t, f"{out_dir}/{name}.orc")
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    read_table(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderpriority"]) \
+        .map_batches(write_block, batch_format="pyarrow") \
+        .aggregate(Sum("rows", alias_name="rows"))   # drives the write
+
+    files = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir))
+
+    def read_file(batch: pd.DataFrame) -> pa.Table:
+        tabs = [_orc.read_table(p) for p in batch["path"]]
+        return pa.concat_tables(tabs)
+
+    back = ray.data.from_items(
+        [{"path": p} for p in files]).map_batches(
+        read_file, batch_size=1, batch_format="pandas")
+    return (back.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n"),
+                       Sum("o_orderkey", alias_name="sum_orderkey"),
+                       Sum("o_custkey", alias_name="sum_custkey"))
+            .sort("o_orderpriority"))
+
+
+_ORDERS_ORC_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_cohort_revenue(sf_dir: str):
+    """Cohort revenue matrix (the LTV readout marketing runs after the
+    retention table): customers cohorted by FIRST-order year, exact
+    cents revenue per (cohort_year, order_year) cell. First-order year
+    via a per-customer Min aggregate (combiner-backed), attached to the
+    order stream through auto_join's size chooser; the cell groupby is
+    calendar-bounded (#years² rows).
+
+    Scale shape: fact → per-customer min (skinny) → one chooser join →
+    bounded groupby."""
+    from .functions.joins import auto_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "order_year": pc.cast(yr, pa.int64()),
+                         "cents": _cents(t["o_totalprice"])})
+
+    fact = orders.map_batches(prep, batch_format="pyarrow")
+    first = (fact.groupby("o_custkey")
+             .aggregate(Min("order_year", alias_name="cohort_year"))
+             .rename_columns({"o_custkey": "fc"}))
+    j = auto_join(fact, first, left_key="o_custkey", right_key="fc",
+                  right_cols=["cohort_year"])
+    return (j.groupby(["cohort_year", "order_year"])
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="revenue_cents"))
+            .sort(["cohort_year", "order_year"]))
+
+
+_CUSTOMER_COHORT_SQL = """
+WITH f AS (SELECT o_custkey,
+                  MIN(EXTRACT(year FROM o_orderdate)) AS cohort_year
+           FROM orders GROUP BY 1)
+SELECT CAST(f.cohort_year AS BIGINT) AS cohort_year,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_type_burst(sf_dir: str):
+    """Burst detection (Kleinberg-lite): per event type, the maximum
+    number of events of that type inside any trailing-10-minute window —
+    the rate-spike statistic an abuse/incident monitor tracks. Per-type
+    buckets sort once; the window count is the two-searchsorted kernel
+    (W22's formulation), the max reduces in-bucket so only |types| rows
+    shuffle out.
+
+    Scale shape: one modulo shuffle on event_type, per-bucket sort +
+    vectorized window counts, |types| rows out."""
+    TEN_MIN_US = 600_000_000
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part_ids = pd.util.hash_pandas_object(
+            pd.Series(t["event_type"].to_pandas()), index=False) % 8
+        return pa.table({"event_type": t["event_type"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "part": pa.array(part_ids.to_numpy(), pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        rows_t, rows_m = [], []
+        for ty, grp in g.groupby("event_type", sort=False):
+            ts = np.sort(grp["ts_us"].to_numpy())
+            hi = np.searchsorted(ts, ts, side="right")
+            lo = np.searchsorted(ts, ts - TEN_MIN_US, side="left")
+            rows_t.append(ty)
+            rows_m.append(int((hi - lo).max()) if len(ts) else 0)
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "max_burst_10m": pa.array(rows_m, pa.int64())})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pandas")
+            .sort("event_type"))
+
+
+_EVENTS_BURST_SQL = """
+SELECT event_type,
+       CAST(MAX(w) AS BIGINT) AS max_burst_10m
+FROM (SELECT event_type,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS w
+      FROM events) t
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def emb_knn_pq_rerank(sf_dir: str):
+    """PQ-ADC approximate nearest neighbors with exact rerank — the
+    memory-compressed ANN search path that completes the triad (V1
+    brute force, V2 IVF routing, V6 LSH; THIS is how a billion-vector
+    index actually answers queries): train m=8 × k=16 codebooks
+    (pq_train_encode), build the query's asymmetric-distance tables
+    (4×16 ints — a broadcast-safe constant), scan codes per batch
+    summing table lookups (no full vectors touched), take the top-50
+    approximate candidates, then exactly rerank ONLY those 50 in full
+    precision to the final top 10 by (L2², vec_id). Query vector via
+    the row-group-pruned fetch_value point read. Rows-only (iterative
+    training); recall-vs-brute-force + determinism tests in
+    tests/test_similarity.py."""
+    from .functions.vectors import _SCALE, pq_train_encode
+    from .sources.tables import fetch_value
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    books, _ = pq_train_encode(emb, m=8, k=16, iters=3)
+    m, k, sub = books.shape
+    q = np.round(np.asarray(
+        fetch_value(sf_dir, "embeddings", key_col="vec_id", key=0,
+                    value_col="embedding"), np.float64) * _SCALE) \
+        .astype(np.int64)
+    cb = np.round(books).astype(np.int64)
+    adc = np.stack([((q[s * sub:(s + 1) * sub][None, :] - cb[s]) ** 2)
+                    .sum(axis=1) for s in range(m)])   # (m, k) int64
+    adc_ref = ray.put(adc)
+    cb_ref = ray.put(cb)
+    d = m * sub
+
+    def approx(t: pa.Table) -> pa.Table:
+        vecs = t["embedding"].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False)
+        mat = np.round(flat.reshape(len(t), d).astype(np.float64)
+                       * _SCALE).astype(np.int64)
+        c = ray.get(cb_ref)
+        table = ray.get(adc_ref)
+        dist = np.zeros(len(mat), np.int64)
+        for s in range(m):
+            seg = mat[:, s * sub:(s + 1) * sub]
+            d2 = ((seg[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1)
+            dist += table[s][codes]
+        # per-batch partial top-100 before the global sort
+        order = np.argsort(dist, kind="stable")[:100]
+        return pa.table({
+            "vec_id": t["vec_id"].take(pa.array(order)),
+            "approx_d2": pa.array(dist[order], pa.int64())})
+
+    cands = (emb.map_batches(approx, batch_format="pyarrow")
+             .sort(["approx_d2", "vec_id"]).limit(100).to_pandas())
+    cand_ids = set(cands["vec_id"].astype(int))
+
+    def exact(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["vec_id"],
+                        value_set=pa.array(sorted(cand_ids), pa.int64()))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("d2", pa.int64())]).empty_table()
+        vecs = t["embedding"].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False)
+        mat = np.round(flat.reshape(t.num_rows, d).astype(np.float64)
+                       * _SCALE).astype(np.int64)
+        d2 = ((mat - q[None, :]) ** 2).sum(axis=1)
+        return pa.table({"vec_id": t["vec_id"],
+                         "d2": pa.array(d2, pa.int64())})
+
+    return (emb.map_batches(exact, batch_format="pyarrow")
+            .sort(["d2", "vec_id"]).limit(10).to_pandas())
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13073,6 +13299,10 @@ def queries():
         "docs_vocab_coverage": docs_vocab_coverage,
         "kg_reciprocity": kg_reciprocity,
         "media_phash_pairs": media_phash_pairs,
+        "orders_orc_roundtrip": orders_orc_roundtrip,
+        "customer_cohort_revenue": customer_cohort_revenue,
+        "events_type_burst": events_type_burst,
+        "emb_knn_pq_rerank": emb_knn_pq_rerank,
     }
 
 
@@ -13292,6 +13522,9 @@ def oracle_sql():
         "events_user_cumdistinct": _EVENTS_CUMDISTINCT_SQL,
         "orders_max_concurrency": _ORDERS_MAXCONC_SQL,
         "docs_vocab_coverage": _DOCS_VOCABCOV_SQL,
+        "orders_orc_roundtrip": _ORDERS_ORC_SQL,
+        "customer_cohort_revenue": _CUSTOMER_COHORT_SQL,
+        "events_type_burst": _EVENTS_BURST_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -157,3 +157,34 @@ def test_knn_lsh_deterministic_across_layouts(emb_ds):
     b = knn_lsh(emb_ds.repartition(7), q, k=5)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     assert a["cosine"].tolist() == b["cosine"].tolist()
+
+
+def test_pq_rerank_recall_and_selfhit(ray_session):
+    """emb_knn_pq_rerank: the exact-reranked top-10 must (a) contain the
+    query itself at distance 0 and rank 0, (b) overlap the brute-force
+    exact L2 top-10 on >= 6 of 10 ids (PQ-ADC candidate recall), and
+    (c) be deterministic across runs."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from information_extraction_system_ray.functions.vectors import _SCALE
+    from information_extraction_system_ray.queries import emb_knn_pq_rerank
+
+    sf = "/root/testdata/sf0.001"
+    got = emb_knn_pq_rerank(sf)
+    assert int(got["vec_id"].iloc[0]) == 0
+    assert int(got["d2"].iloc[0]) == 0
+
+    t = pq2.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    mat = np.round(np.array(t["embedding"].to_pylist(), np.float64)
+                   * _SCALE).astype(np.int64)
+    q = mat[ids.tolist().index(0)]
+    d2 = ((mat - q[None, :]) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d2))[:10]
+    brute = set(ids[order].tolist())
+    assert len(brute & set(got["vec_id"].astype(int))) >= 6
+
+    again = emb_knn_pq_rerank(sf)
+    assert got.equals(again)
