@@ -153,3 +153,77 @@ def test_upsert_latest_wins(ray_session, keys):
         else:
             b = base[base["k"] == r["k"]].iloc[0]
             assert r["val"] == b["val"]
+
+
+# ---- winnowing (pure kernel, no Ray) --------------------------------------
+
+_texts = st.text(alphabet="abcdef gh", min_size=0, max_size=80)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pre=_texts, post=_texts, pre2=_texts, post2=_texts)
+def test_winnow_guarantee_property(pre, post, pre2, post2):
+    """Any two texts sharing a >= w+k-1 (=11) char substring share at
+    least one winnowed fingerprint — for ARBITRARY surroundings. The
+    shared block is padded with spaces so normalization can't fuse it
+    with the random context."""
+    from information_extraction_system_ray.functions.dedup import (
+        winnow_fingerprints)
+
+    shared = "qzjqxkvwpzy"          # 11 chars, outside the text alphabet
+    a = winnow_fingerprints(pre + " " + shared + " " + post)
+    b = winnow_fingerprints(pre2 + " " + shared + " " + post2)
+    assert len(np.intersect1d(a, b)) >= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(t=_texts)
+def test_winnow_whitespace_case_invariance(t):
+    from information_extraction_system_ray.functions.dedup import (
+        winnow_fingerprints)
+
+    a = winnow_fingerprints(t)
+    b = winnow_fingerprints("  " + t.upper().replace(" ", "   ") + " ")
+    assert np.array_equal(a, b)
+
+
+# ---- pHash (pure kernel, no Ray) -------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000), shift=st.integers(1, 40))
+def test_phash_brightness_invariance(seed, shift):
+    """A uniform brightness shift only moves the DCT DC coefficient,
+    which pHash excludes — the hash must be bit-identical (no clipping:
+    base range keeps headroom)."""
+    from information_extraction_system_ray.stages.multimodal import phash64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(40, 200, size=(24, 24, 3)).astype(np.uint8)
+    shifted = (img.astype(np.int64) + shift).astype(np.uint8)
+    assert phash64(img) == phash64(shifted)
+
+
+# ---- RAKE phrase rule (pure kernel, no Ray) --------------------------------
+
+_words = st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta",
+                                   "the", "of", "and"]),
+                  min_size=0, max_size=30)
+
+
+@settings(max_examples=40, deadline=None)
+@given(words=_words)
+def test_rake_phrase_rule_properties(words):
+    """Every emitted phrase is stopword-free, <= 4 tokens, and the
+    emitted token multiset equals the input's non-stopword multiset."""
+    from collections import Counter
+
+    from information_extraction_system_ray.queries import _rake_phrases
+
+    stop = {"the", "of", "and"}
+    phrases = _rake_phrases([" ".join(words)], stop)
+    for ph in phrases:
+        assert 1 <= len(ph) <= 4
+        assert not (set(ph) & stop)
+    got = Counter(w for ph in phrases for w in ph)
+    want = Counter(w for w in words if w not in stop)
+    assert got == want
