@@ -13030,6 +13030,107 @@ def emb_knn_pq_rerank(sf_dir: str):
             .sort(["d2", "vec_id"]).limit(10).to_pandas())
 
 
+def events_session_duration_quantiles(sf_dir: str):
+    """Session-duration distribution (the engagement readout sessionize
+    feeds): 30-minute-gap sessions (functions/window.py sessionize, W5),
+    per-session duration = max−min ts in exact µs (single-event sessions
+    count as 0), then global session count + exact P50/P90 via the
+    combiner-histogram quantile plan.
+
+    Scale shape: one hash shuffle for sessionize, one (user, session)
+    groupby, a distinct-value-sized histogram to the driver."""
+    from .functions.quantiles import exact_quantiles
+    from .functions.window import sessionize
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+    sess = sessionize(ds, keys=["user_id"], ts_col="ts",
+                      order_by=["ts", "event_id"],
+                      gap=pd.Timedelta(minutes=30))
+
+    durs = (sess.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "session_id": pc.cast(t["session_id"],
+                                                  pa.int64()),
+                            "ts_us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(["user_id", "session_id"])
+        .aggregate(Min("ts_us", alias_name="t0"),
+                   Max("ts_us", alias_name="t1"))
+        .map_batches(lambda t: pa.table({
+            "dur_us": pc.subtract(t["t1"], t["t0"])}),
+            batch_format="pyarrow"))
+
+    n_sessions = durs.count()
+    q = exact_quantiles(durs, "dur_us", [0.5, 0.9])
+    return pd.DataFrame({
+        "n_sessions": [n_sessions],
+        "p50_us": [int(q["value"].iloc[0])],
+        "p90_us": [int(q["value"].iloc[1])]})
+
+
+_EVENTS_SESSDUR_SQL = """
+WITH g AS (SELECT user_id, event_id, ts,
+                  epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events),
+s AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g),
+d AS (SELECT user_id, sess, MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM s GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       quantile_disc(dur_us, 0.5) AS p50_us,
+       quantile_disc(dur_us, 0.9) AS p90_us
+FROM d
+"""
+
+
+def kg_complete_entities(sf_dir: str):
+    """Relational division ON THE KG (the SPARQL star-pattern
+    completeness query: which entities carry EVERY predicate in the
+    ontology's required set?): subjects having all of the KG's 3 most
+    frequent predicates. The required set derives from a bounded
+    predicate-frequency aggregate; coverage is the distinct (subj, pred)
+    combiner + per-subject count == |required| filter — the R3 division
+    plan applied to graph data. Output: n_complete + the 10 smallest
+    qualifying entity ids (bounded cell). Rows-only; pandas golden in
+    tests/test_flagship.py."""
+    edges = _kg_run(sf_dir)["edges"]
+
+    preds = (edges.groupby("pred").aggregate(Count(alias_name="n"))
+             .sort(["n", "pred"], descending=[True, False])
+             .limit(3).to_pandas())
+    req = sorted(preds["pred"])
+    req_ref = ray.put(set(req))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["pred"], value_set=pa.array(req, pa.string()))
+        t = t.filter(keep)
+        return pa.table({"subj_id": t["subj_id"], "pred": t["pred"]}) \
+            .group_by(["subj_id", "pred"]).aggregate([])
+
+    per_subj = (edges.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["subj_id", "pred"])
+                .aggregate(Count(alias_name="_n"))
+                .groupby("subj_id")
+                .aggregate(Count(alias_name="n_preds")))
+
+    full = per_subj.map_batches(
+        lambda t: t.filter(pc.equal(t["n_preds"],
+                                    pa.scalar(len(req), pa.int64()))),
+        batch_format="pyarrow")
+    n_complete = full.count()
+    head = full.sort("subj_id").limit(10).to_pandas()
+    return pd.DataFrame({
+        "n_complete": [n_complete],
+        "required_preds": [",".join(req)],
+        "first_entities": [",".join(map(str, head["subj_id"]))]})
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13303,6 +13404,8 @@ def queries():
         "customer_cohort_revenue": customer_cohort_revenue,
         "events_type_burst": events_type_burst,
         "emb_knn_pq_rerank": emb_knn_pq_rerank,
+        "events_session_duration_quantiles": events_session_duration_quantiles,
+        "kg_complete_entities": kg_complete_entities,
     }
 
 
@@ -13525,6 +13628,7 @@ def oracle_sql():
         "orders_orc_roundtrip": _ORDERS_ORC_SQL,
         "customer_cohort_revenue": _CUSTOMER_COHORT_SQL,
         "events_type_burst": _EVENTS_BURST_SQL,
+        "events_session_duration_quantiles": _EVENTS_SESSDUR_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

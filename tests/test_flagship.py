@@ -217,3 +217,24 @@ def test_kg_reciprocity_matches_pandas(ray_session):
     assert int(got["n_reciprocal"].iloc[0]) == n_recip
     assert int(got["reciprocity_ppm"].iloc[0]) == \
         n_recip * 1_000_000 // max(len(fwd), 1)
+
+
+def test_kg_complete_entities_matches_pandas(ray_session):
+    """kg_complete_entities equals the pandas division recomputation."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_complete_entities"](sf)
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    top3 = (edges.groupby("pred").size().reset_index(name="n")
+            .sort_values(["n", "pred"], ascending=[False, True])
+            .head(3)["pred"].tolist())
+    req = sorted(top3)
+    cov = (edges[edges["pred"].isin(req)][["subj_id", "pred"]]
+           .drop_duplicates().groupby("subj_id").size())
+    full = sorted(cov[cov == len(req)].index)
+    assert int(got["n_complete"].iloc[0]) == len(full)
+    assert got["required_preds"].iloc[0] == ",".join(req)
+    assert got["first_entities"].iloc[0] == \
+        ",".join(map(str, full[:10]))
