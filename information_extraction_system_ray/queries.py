@@ -13131,6 +13131,110 @@ def kg_complete_entities(sf_dir: str):
         "first_entities": [",".join(map(str, head["subj_id"]))]})
 
 
+_HREF_RE = None
+
+
+def pages_link_stats(sf_dir: str):
+    """Outlink extraction + per-domain link stats — the crawl-frontier /
+    web-graph step between fetching and ranking: every ``<a href>`` is
+    pulled from the raw html (compiled regex bound once per process),
+    relative targets resolve against the page url, and the per-domain
+    aggregate reports pages, total links, distinct internal targets, and
+    external-link count. The distinct-target set collapses through a
+    per-batch (domain, target) dedup combiner, so the shuffle carries
+    distinct pairs, never raw link occurrences.
+
+    Scale shape: regex scan per batch (C-speed over html bytes), two
+    bounded groupbys. Rows-only (pages are synthesized); the oracle is
+    the refimpl recompute in tests/test_pages_io.py."""
+    import re
+
+    from .sources.pages import synth_pages
+
+    global _HREF_RE
+    if _HREF_RE is None:
+        _HREF_RE = re.compile(rb'<a\s+href="([^"]*)"')
+    href_re = _HREF_RE
+
+    pages = synth_pages(_n_pages(sf_dir))
+
+    def links(t: pa.Table) -> pa.Table:
+        doms, tgts = [], []
+        n_links = np.zeros(t.num_rows, np.int64)
+        n_ext = np.zeros(t.num_rows, np.int64)
+        urls = t["url"].to_pylist()
+        htmls = t["html"].to_pylist()
+        for i, (url, html) in enumerate(zip(urls, htmls)):
+            host = url.split("://", 1)[1].split("/", 1)[0]
+            for m in href_re.findall(html):
+                href = m.decode()
+                n_links[i] += 1
+                if href.startswith("http://") or href.startswith(
+                        "https://"):
+                    thost = href.split("://", 1)[1].split("/", 1)[0]
+                    if thost != host:
+                        n_ext[i] += 1
+                        continue
+                    tgt = href
+                else:
+                    tgt = f"https://{host}{href}" if href.startswith("/") \
+                        else f"https://{host}/{href}"
+                doms.append(host)
+                tgts.append(tgt)
+        hosts = pa.array([u.split("://", 1)[1].split("/", 1)[0]
+                          for u in urls], pa.string())
+        per_page = pa.table({
+            "domain": hosts,
+            "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_links": pa.array(n_links),
+            "n_external": pa.array(n_ext),
+        }).group_by("domain").aggregate(
+            [("n_pages", "sum"), ("n_links", "sum"),
+             ("n_external", "sum")])
+        pairs = pa.table({"domain": pa.array(doms, pa.string()),
+                          "target": pa.array(tgts, pa.string())}) \
+            .group_by(["domain", "target"]).aggregate([])
+        return pa.table({
+            "domain": pa.concat_arrays([
+                per_page["domain"].combine_chunks(),
+                pairs["domain"].combine_chunks()]),
+            "n_pages": pa.concat_arrays([
+                per_page["n_pages_sum"].combine_chunks(),
+                pa.nulls(pairs.num_rows, pa.int64())]),
+            "n_links": pa.concat_arrays([
+                per_page["n_links_sum"].combine_chunks(),
+                pa.nulls(pairs.num_rows, pa.int64())]),
+            "n_external": pa.concat_arrays([
+                per_page["n_external_sum"].combine_chunks(),
+                pa.nulls(pairs.num_rows, pa.int64())]),
+            "target": pa.concat_arrays([
+                pa.nulls(per_page.num_rows, pa.string()),
+                pairs["target"].combine_chunks()])})
+
+    mixed = pages.map_batches(links, batch_format="pyarrow").materialize()
+
+    counts = (mixed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["n_pages"]))
+                   .select(["domain", "n_pages", "n_links", "n_external"]),
+        batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("n_links", alias_name="n_links"),
+                   Sum("n_external", alias_name="n_external")))
+    uniq = (mixed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["target"]))
+                   .select(["domain", "target"]),
+        batch_format="pyarrow")
+        .groupby(["domain", "target"]).aggregate(Count(alias_name="_n"))
+        .groupby("domain").aggregate(Count(alias_name="n_unique_targets")))
+
+    from .functions.joins import auto_join
+    out = auto_join(counts, uniq.rename_columns({"domain": "d2"}),
+                    left_key="domain", right_key="d2",
+                    right_cols=["n_unique_targets"])
+    return out.sort("domain")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13406,6 +13510,7 @@ def queries():
         "emb_knn_pq_rerank": emb_knn_pq_rerank,
         "events_session_duration_quantiles": events_session_duration_quantiles,
         "kg_complete_entities": kg_complete_entities,
+        "pages_link_stats": pages_link_stats,
     }
 
 

@@ -87,3 +87,46 @@ def test_pages_domain_stats_golden(ray_session):
                       r.text_chars] for r in out.itertuples()}
     assert got == want
     assert list(out["domain"]) == sorted(want)
+
+
+def test_pages_link_stats_matches_refimpl(ray_session):
+    """pages_link_stats equals a single-process recompute with the same
+    href extraction + resolution rules over the same synthesized pages."""
+    import re
+    from collections import defaultdict
+
+    from information_extraction_system_ray.queries import (
+        _n_pages, pages_link_stats)
+    from refimpl.pagegen import gen_page
+
+    sf = "/root/testdata/sf0.001"
+    got = pages_link_stats(sf).to_pandas().set_index("domain")
+
+    href_re = re.compile(rb'<a\s+href="([^"]*)"')
+    n_pages = defaultdict(int)
+    n_links = defaultdict(int)
+    n_ext = defaultdict(int)
+    targets = defaultdict(set)
+    for i in range(_n_pages(sf)):
+        p = gen_page(i)
+        host = p.url.split("://", 1)[1].split("/", 1)[0]
+        n_pages[host] += 1
+        for m in href_re.findall(p.html):
+            href = m.decode()
+            n_links[host] += 1
+            if href.startswith(("http://", "https://")):
+                thost = href.split("://", 1)[1].split("/", 1)[0]
+                if thost != host:
+                    n_ext[host] += 1
+                    continue
+                targets[host].add(href)
+            elif href.startswith("/"):
+                targets[host].add(f"https://{host}{href}")
+            else:
+                targets[host].add(f"https://{host}/{href}")
+    assert set(got.index) == set(n_pages)
+    for d in n_pages:
+        assert int(got.loc[d, "n_pages"]) == n_pages[d]
+        assert int(got.loc[d, "n_links"]) == n_links[d]
+        assert int(got.loc[d, "n_external"]) == n_ext[d]
+        assert int(got.loc[d, "n_unique_targets"]) == len(targets[d])
