@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "events_user_rolling_median", "emb_knn_lsh",
     # round-4 late additions (heaviest of the new audit family)
     "docs_ngram_novelty", "customer_rfm_segments", "orders_cdc_diff",
+    # round-4 continuation (new operator families at their heaviest)
+    "docs_winnow_pairs", "lineitem_star_flatten",
+    "events_user_trailing_distinct", "media_phash_pairs",
 ]
 
 

@@ -13235,6 +13235,46 @@ def pages_link_stats(sf_dir: str):
     return out.sort("domain")
 
 
+def orders_price_eqdepth_hist(sf_dir: str):
+    """Equi-depth (equal-frequency) histogram — the third histogram
+    flavor (equi-width G-family, log2 power-law, now NTILE-based
+    equi-depth, the one query optimizers actually keep): 8 buckets over
+    price cents via the two-pass global NTILE, per-bucket min/max/count.
+    Deterministic: ties broken by o_orderkey in BOTH engines.
+
+    Scale shape: the range-partitioned ntile plan (sample split points +
+    offsets), then a bounded 8-row groupby."""
+    from .functions.rank import ntile
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+    tiled = ntile(cents, 8, order_by=["cents", "o_orderkey"],
+                  out_col="bucket")
+    return (tiled.groupby("bucket")
+            .aggregate(Count(alias_name="n"),
+                       Min("cents", alias_name="lo_cents"),
+                       Max("cents", alias_name="hi_cents"))
+            .sort("bucket"))
+
+
+_ORDERS_EQDEPTH_SQL = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+t AS (SELECT cents,
+             CAST(NTILE(8) OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+               AS bucket
+      FROM c)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13511,6 +13551,7 @@ def queries():
         "events_session_duration_quantiles": events_session_duration_quantiles,
         "kg_complete_entities": kg_complete_entities,
         "pages_link_stats": pages_link_stats,
+        "orders_price_eqdepth_hist": orders_price_eqdepth_hist,
     }
 
 
@@ -13734,6 +13775,7 @@ def oracle_sql():
         "customer_cohort_revenue": _CUSTOMER_COHORT_SQL,
         "events_type_burst": _EVENTS_BURST_SQL,
         "events_session_duration_quantiles": _EVENTS_SESSDUR_SQL,
+        "orders_price_eqdepth_hist": _ORDERS_EQDEPTH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
