@@ -13275,6 +13275,265 @@ FROM t GROUP BY 1 ORDER BY 1
 """
 
 
+def part_skyline(sf_dir: str):
+    """Pareto-skyline operator (multi-objective NOT-EXISTS dominance —
+    the 'cheapest part for its size' catalog audit): a part survives iff
+    no other part has retailprice <= AND size >= with at least one
+    strict. Duplicates of a frontier point are all kept (neither
+    dominates the other).
+
+    Scale shape: a vectorized per-batch local prune first — any row
+    dominated inside its batch is dominated globally, so each batch
+    emits only its local frontier (expected O(log n) rows for
+    independent dims) — then one exact pass over the tiny candidate
+    union in a single small block. The fact table itself never
+    re-shuffles."""
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "p_size": pa.array([], pa.int64()),
+                             "price_cents": pa.array([], pa.int64())})
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        o = np.lexsort((-size, cents))          # price asc, size desc
+        c, s = cents[o], size[o]
+        newg = np.empty(len(c), bool)
+        newg[0] = True
+        newg[1:] = c[1:] != c[:-1]
+        gid = np.cumsum(newg) - 1
+        gmax = s[newg]                          # max size per price group
+        run = np.maximum.accumulate(gmax)
+        pref = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+        keep = (s == gmax[gid]) & (s > pref[gid])
+        sel = o[keep]
+        return pa.table({"p_partkey": pa.array(key[sel], pa.int64()),
+                         "p_size": pa.array(size[sel], pa.int64()),
+                         "price_cents": pa.array(cents[sel], pa.int64())})
+
+    def final_skyline(t: pa.Table) -> pa.Table:
+        return local_skyline(pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_size": pc.cast(t["p_size"], pa.int32()),
+            "p_retailprice": pc.divide(pc.cast(t["price_cents"],
+                                               pa.float64()), 100.0)}))
+
+    cands = part.map_batches(local_skyline, batch_format="pyarrow")
+    return (cands.repartition(1)
+            .map_batches(final_skyline, batch_format="pyarrow")
+            .sort("p_partkey"))
+
+
+_PART_SKYLINE_SQL = """
+WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+           FROM part)
+SELECT p_partkey, p_size, price_cents
+FROM p x
+WHERE NOT EXISTS (
+  SELECT 1 FROM p y
+  WHERE y.price_cents <= x.price_cents AND y.p_size >= x.p_size
+    AND (y.price_cents < x.price_cents OR y.p_size > x.p_size))
+ORDER BY p_partkey
+"""
+
+
+def events_cusum_drift(sf_dir: str):
+    """CUSUM change-point screen over daily event volume (the drift
+    detector a pipeline runs on its own telemetry): per event type, the
+    cumulative sum of deviations from the type's mean daily count,
+    reported at its maximum absolute excursion plus the day it peaks.
+    All math is exact-integer: with n days and total T, the scaled
+    statistic n*cumsum_i - i*T never touches a float, so both engines
+    agree bit-for-bit; peak ties break to the earliest day.
+
+    Scale shape: one (type, day) count groupby (bounded |types|x|days|
+    rows), then a per-type vectorized scan inside map_groups."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return (pa.table({"event_type": t["event_type"], "epoch_day": d,
+                          "c": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["event_type", "epoch_day"])
+                .aggregate([("c", "sum")])
+                .rename_columns(["event_type", "epoch_day", "c"]))
+
+    daily = (ev.map_batches(days, batch_format="pyarrow")
+             .groupby(["event_type", "epoch_day"])
+             .aggregate(Sum("c", alias_name="c")))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("epoch_day", kind="mergesort")
+        c = g["c"].to_numpy(np.int64)
+        n, total = len(c), int(c.sum())
+        i = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(n * np.cumsum(c) - i * total)
+        peak = int(np.argmax(dev))          # first max = earliest day
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_days": [n], "total_events": [total],
+            "max_cusum_n": [int(dev[peak])],
+            "peak_day": [int(g["epoch_day"].to_numpy(np.int64)[peak])]})
+
+    return (daily.groupby("event_type")
+            .map_groups(scan, batch_format="pandas")
+            .sort("event_type"))
+
+
+_EVENTS_CUSUM_SQL = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, epoch_day,
+             SUM(c) OVER w AS cum,
+             ROW_NUMBER() OVER w AS i,
+             SUM(c) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day)),
+a AS (SELECT event_type, epoch_day, n, total,
+             ABS(n * cum - i * total) AS dev,
+             MAX(ABS(n * cum - i * total))
+               OVER (PARTITION BY event_type) AS maxdev
+      FROM s)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(total AS BIGINT) AS total_events,
+       CAST(maxdev AS BIGINT) AS max_cusum_n,
+       MIN(epoch_day) FILTER (WHERE dev = maxdev) AS peak_day
+FROM a GROUP BY event_type, n, total, maxdev ORDER BY event_type
+"""
+
+
+def orders_retention_curve(sf_dir: str):
+    """Discrete retention / survival curve over inter-order gaps (the
+    repeat-purchase health report): among all consecutive same-customer
+    order pairs, the share whose gap is within each horizon of
+    {7,14,30,60,90} days, as exact parts-per-million (integer floor
+    division — no float share crosses an engine boundary).
+
+    Scale shape: one LEAD shuffle on o_custkey (periods=-1 lag), then
+    per-batch partial flag sums folded into a 5-row table; nothing but
+    six counters leaves any worker."""
+    from .functions.window import lag_column
+
+    horizons = [7, 14, 30, 60, 90]
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    led = lag_column(orders, "o_orderdate", keys=["o_custkey"],
+                     order_by=["o_orderdate", "o_orderkey"], periods=-1,
+                     out_col="next_date")
+
+    def flags(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["next_date"]))
+        gap = pc.subtract(t["next_date"].cast(pa.int64()),
+                          t["o_orderdate"].cast(pa.int64()))
+        cols = {"n_pairs": pa.array([t.num_rows], pa.int64())}
+        for h in horizons:
+            within = pc.sum(pc.cast(pc.less_equal(
+                gap, pa.scalar(h * 86_400_000_000, pa.int64())), pa.int64()))
+            cols[f"w{h}"] = pa.array(
+                [int(within.as_py() or 0)], pa.int64())
+        return pa.table(cols)
+
+    parts = led.map_batches(flags, batch_format="pyarrow")
+    agg = parts.sum(["n_pairs"] + [f"w{h}" for h in horizons])
+    n_pairs = int(agg["sum(n_pairs)"])
+    rows = {"horizon_days": [], "n_pairs": [], "n_within": [],
+            "within_ppm": []}
+    for h in horizons:
+        w = int(agg[f"sum(w{h})"])
+        rows["horizon_days"].append(h)
+        rows["n_pairs"].append(n_pairs)
+        rows["n_within"].append(w)
+        rows["within_ppm"].append((1_000_000 * w) // n_pairs
+                                  if n_pairs else 0)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+_ORDERS_RETENTION_SQL = """
+WITH g AS (
+  SELECT epoch_us(LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         - epoch_us(o_orderdate) AS gap_us
+  FROM orders),
+u AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+h AS (SELECT CAST(unnest([7, 14, 30, 60, 90]) AS BIGINT) AS horizon_days)
+SELECT h.horizon_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (
+         WHERE u.gap_us <= h.horizon_days * 86400000000) AS BIGINT)
+         AS n_within,
+       CAST((1000000 * COUNT(*) FILTER (
+         WHERE u.gap_us <= h.horizon_days * 86400000000)) // COUNT(*)
+         AS BIGINT) AS within_ppm
+FROM h CROSS JOIN u
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_seasonal_naive_error(sf_dir: str):
+    """Seasonal-naive forecast backtest (the sanity floor every demand
+    model is judged against): predict each day's per-type event count
+    with the count from exactly 7 days earlier, score only days where
+    both sides exist, and report exact-integer SAE plus WAPE in ppm.
+
+    Scale shape: the fact table collapses to bounded (type, day) counts
+    in one groupby; the 7-day self-alignment happens per type inside
+    map_groups with a dict probe — no second fact shuffle."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return (pa.table({"event_type": t["event_type"], "epoch_day": d,
+                          "c": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["event_type", "epoch_day"])
+                .aggregate([("c", "sum")])
+                .rename_columns(["event_type", "epoch_day", "c"]))
+
+    daily = (ev.map_batches(days, batch_format="pyarrow")
+             .groupby(["event_type", "epoch_day"])
+             .aggregate(Sum("c", alias_name="c")))
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["epoch_day"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        lut = dict(zip(day.tolist(), c.tolist()))
+        pred = np.array([lut.get(d - 7, -1) for d in day.tolist()],
+                        np.int64)
+        m = pred >= 0
+        n, sae = int(m.sum()), int(np.abs(c[m] - pred[m]).sum())
+        tot = int(c[m].sum())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_scored": [n], "sae": [sae], "total_actual": [tot],
+            "wape_ppm": [(1_000_000 * sae) // tot if tot else 0]})
+
+    return (daily.groupby("event_type")
+            .map_groups(score, batch_format="pandas")
+            .sort("event_type"))
+
+
+_EVENTS_SNAIVE_SQL = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS sae,
+       CAST(SUM(a.c) AS BIGINT) AS total_actual,
+       CAST((1000000 * SUM(ABS(a.c - b.c))) // SUM(a.c) AS BIGINT)
+         AS wape_ppm
+FROM d a JOIN d b
+  ON a.event_type = b.event_type AND b.epoch_day = a.epoch_day - 7
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13552,6 +13811,10 @@ def queries():
         "kg_complete_entities": kg_complete_entities,
         "pages_link_stats": pages_link_stats,
         "orders_price_eqdepth_hist": orders_price_eqdepth_hist,
+        "part_skyline": part_skyline,
+        "events_cusum_drift": events_cusum_drift,
+        "orders_retention_curve": orders_retention_curve,
+        "events_seasonal_naive_error": events_seasonal_naive_error,
     }
 
 
@@ -13776,6 +14039,10 @@ def oracle_sql():
         "events_type_burst": _EVENTS_BURST_SQL,
         "events_session_duration_quantiles": _EVENTS_SESSDUR_SQL,
         "orders_price_eqdepth_hist": _ORDERS_EQDEPTH_SQL,
+        "part_skyline": _PART_SKYLINE_SQL,
+        "events_cusum_drift": _EVENTS_CUSUM_SQL,
+        "orders_retention_curve": _ORDERS_RETENTION_SQL,
+        "events_seasonal_naive_error": _EVENTS_SNAIVE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
