@@ -13534,6 +13534,223 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_table_digest(sf_dir: str):
+    """Order-invariant table checksum audit (the replication/migration
+    integrity check: do two copies of a table hold exactly the same
+    rows?): per priority class, row count + two commutative digests of
+    the canonical row string ``orderkey|status|cents`` — a SUM of the
+    28-bit md5 prefix and a BIT_XOR of the 60-bit md5 prefix. Both
+    reductions are associative+commutative, so any partitioning and any
+    reduce order yields the identical digest; 28-bit values summed over
+    2^33 rows stay inside int64.
+
+    Scale shape: per-batch partial (sum, xor, n) rows per group; only
+    |groups| x |batches| tiny partials shuffle."""
+    import hashlib
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus",
+                                 "o_totalprice", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        stat = t["o_orderstatus"].to_pylist()
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        prio = t["o_orderpriority"].to_pylist()
+        hexes = [hashlib.md5(f"{k}|{s}|{c}".encode()).hexdigest()
+                 for k, s, c in zip(keys.tolist(), stat, cents.tolist())]
+        s28 = np.array([int(h[:7], 16) for h in hexes], np.int64)
+        x60 = np.array([int(h[:15], 16) for h in hexes], np.int64)
+        df = pd.DataFrame({"o_orderpriority": prio, "s28": s28, "x60": x60})
+        g = df.groupby("o_orderpriority", sort=False)
+        out = pd.DataFrame({
+            "o_orderpriority": list(g.groups),
+            "n_rows": g.size().to_numpy(np.int64),
+            "checksum_sum": g["s28"].sum().to_numpy(np.int64),
+            "checksum_xor": [int(np.bitwise_xor.reduce(
+                v.to_numpy(np.int64))) for _, v in g["x60"]]})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_rows": [int(g["n_rows"].sum())],
+            "checksum_sum": [int(g["checksum_sum"].sum())],
+            "checksum_xor": [int(np.bitwise_xor.reduce(
+                g["checksum_xor"].to_numpy(np.int64)))]})
+
+    return (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .map_groups(combine, batch_format="pandas")
+            .sort("o_orderpriority"))
+
+
+_ORDERS_DIGEST_SQL = """
+WITH r AS (
+  SELECT o_orderpriority,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+           AS h
+  FROM orders)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || substr(h, 1, 7) AS BIGINT)) AS BIGINT)
+         AS checksum_sum,
+       bit_xor(CAST('0x' || substr(h, 1, 15) AS BIGINT)) AS checksum_xor
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_sentence_dedup(sf_dir: str):
+    """Cross-document repeated-SENTENCE audit (finer-grained than the
+    C4 span pass: boilerplate sentences that recur across documents are
+    the classic web-corpus contamination signal): split on terminator
+    runs ``[.!?]+``, trim whitespace, and per source report how many
+    sentence instances belong to a sentence seen in >= 2 distinct
+    documents, as exact ppm.
+
+    Scale shape: one shuffle keyed by the sentence string; inside each
+    sentence group a tiny kernel counts distinct docs and per-source
+    instances, then a bounded |sources| groupby folds the partials."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sents = pc.split_pattern_regex(t["text"].combine_chunks(),
+                                       pattern="[.!?]+")
+        flat = pc.utf8_trim(pc.list_flatten(sents), " \t\n\r")
+        parent = pc.list_parent_indices(sents)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        return pa.table({
+            "sent": flat.filter(keep),
+            "doc_id": t["doc_id"].combine_chunks().take(parent)
+                       .filter(keep),
+            "source": t["source"].combine_chunks().take(parent)
+                       .filter(keep)})
+
+    def per_sentence(g: pd.DataFrame) -> pd.DataFrame:
+        shared = g["doc_id"].nunique() >= 2
+        counts = g.groupby("source", sort=False).size()
+        return pd.DataFrame({
+            "source": list(counts.index),
+            "n_inst": counts.to_numpy(np.int64),
+            "n_shared": counts.to_numpy(np.int64) if shared
+            else np.zeros(len(counts), np.int64)})
+
+    def ppm(t: pa.Table) -> pa.Table:
+        inst = t["n_instances"].to_numpy(zero_copy_only=False)
+        sh = t["n_shared"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shared_ppm",
+            pa.array((1_000_000 * sh) // np.maximum(inst, 1), pa.int64()))
+
+    return (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("sent").map_groups(per_sentence, batch_format="pandas")
+            .groupby("source")
+            .aggregate(Sum("n_inst", alias_name="n_instances"),
+                       Sum("n_shared", alias_name="n_shared"))
+            .map_batches(ppm, batch_format="pyarrow")
+            .sort("source"))
+
+
+_DOCS_SENT_DEDUP_SQL = """
+WITH s AS (
+  SELECT doc_id, source,
+         trim(sent, ' ' || chr(9) || chr(10) || chr(13)) AS sent
+  FROM (SELECT doc_id, source,
+               unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
+        FROM documents)
+  WHERE length(trim(sent, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+d AS (SELECT sent, COUNT(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_instances,
+       CAST(COUNT(*) FILTER (WHERE d.n_docs >= 2) AS BIGINT) AS n_shared,
+       CAST((1000000 * COUNT(*) FILTER (WHERE d.n_docs >= 2))
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS shared_ppm
+FROM s JOIN d USING (sent)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_supplier_percentile(sf_dir: str):
+    """Distribution-transfer percentile join (score one table's rows
+    against ANOTHER table's empirical distribution — the calibration
+    shape behind 'where does this account sit among its nation's
+    suppliers?'): each customer's balance is ranked, in exact integer
+    counts, against the sorted supplier balances of its nation.
+
+    Scale shape: suppliers collapse to one sorted-list row per nation
+    (a distributed groupby; only 25 aggregated rows reach the driver),
+    broadcast once via ray.put, then a per-batch np.searchsorted over
+    customers. At reference-distribution sizes past broadcast range the
+    same plan quantizes the per-nation distribution to a fixed-width
+    histogram (exact bucket counts) before broadcasting."""
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_nationkey", "s_acctbal"])
+
+    def scents(t: pa.Table) -> pa.Table:
+        return pa.table({"nation": pc.cast(t["s_nationkey"], pa.int64()),
+                         "cents": _cents(t["s_acctbal"])})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": [int(g["nation"].iloc[0])],
+            "sorted_cents": [np.sort(g["cents"].to_numpy(np.int64))]})
+
+    packed = (sup.map_batches(scents, batch_format="pyarrow")
+              .groupby("nation").map_groups(pack, batch_format="pandas")
+              .take_all())
+    dist_ref = ray.put({int(r["nation"]): np.asarray(r["sorted_cents"],
+                                                     np.int64)
+                        for r in packed})
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def rank(t: pa.Table) -> pa.Table:
+        dist = ray.get(dist_ref)
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        n_leq = np.zeros(len(key), np.int64)
+        n_sup = np.zeros(len(key), np.int64)
+        for nk in np.unique(nat):
+            arr = dist.get(int(nk))
+            m = nat == nk
+            if arr is None or len(arr) == 0:
+                n_sup[m] = 0
+                continue
+            n_leq[m] = np.searchsorted(arr, cents[m], side="right")
+            n_sup[m] = len(arr)
+        keep = n_sup > 0
+        return pa.table({
+            "c_custkey": pa.array(key[keep], pa.int64()),
+            "n_leq": pa.array(n_leq[keep], pa.int64()),
+            "n_sup": pa.array(n_sup[keep], pa.int64()),
+            "pct_ppm": pa.array(
+                (1_000_000 * n_leq[keep]) // n_sup[keep], pa.int64())})
+
+    return cust.map_batches(rank, batch_format="pyarrow").sort("c_custkey")
+
+
+_CUSTOMER_SUP_PCT_SQL = """
+WITH s AS (SELECT s_nationkey,
+                  CAST(round(s_acctbal * 100) AS BIGINT) AS s_cents
+           FROM supplier),
+c AS (SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents
+      FROM customer)
+SELECT c.c_custkey,
+       CAST(COUNT(*) FILTER (WHERE s.s_cents <= c.c_cents) AS BIGINT)
+         AS n_leq,
+       CAST(COUNT(*) AS BIGINT) AS n_sup,
+       CAST((1000000 * COUNT(*) FILTER (WHERE s.s_cents <= c.c_cents))
+            // COUNT(*) AS BIGINT) AS pct_ppm
+FROM c JOIN s ON s.s_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13815,6 +14032,9 @@ def queries():
         "events_cusum_drift": events_cusum_drift,
         "orders_retention_curve": orders_retention_curve,
         "events_seasonal_naive_error": events_seasonal_naive_error,
+        "orders_table_digest": orders_table_digest,
+        "docs_sentence_dedup": docs_sentence_dedup,
+        "customer_supplier_percentile": customer_supplier_percentile,
     }
 
 
@@ -14043,6 +14263,9 @@ def oracle_sql():
         "events_cusum_drift": _EVENTS_CUSUM_SQL,
         "orders_retention_curve": _ORDERS_RETENTION_SQL,
         "events_seasonal_naive_error": _EVENTS_SNAIVE_SQL,
+        "orders_table_digest": _ORDERS_DIGEST_SQL,
+        "docs_sentence_dedup": _DOCS_SENT_DEDUP_SQL,
+        "customer_supplier_percentile": _CUSTOMER_SUP_PCT_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
