@@ -13751,6 +13751,290 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_ohlc_daily(sf_dir: str):
+    """OHLC candlestick bars (the time-bucketed open/high/low/close
+    reduction every metrics store runs): per (day, event_type), the
+    value at the earliest (ts, event_id), the latest, and the min/max —
+    exact integer micro-units, ties broken by the unique event_id.
+
+    Scale shape: each batch collapses to one partial row per (day,
+    type) carrying (open key+value, close key+value, lo, hi, n); the
+    groupby folds |groups| x |batches| tiny partials — row volume never
+    shuffles."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d").to_pylist(),
+            "event_type": t["event_type"].to_pylist(),
+            "ts": pc.cast(t["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "eid": t["event_id"].to_numpy(zero_copy_only=False),
+            "vm": pc.cast(pc.round(pc.multiply(t["value"], 1e6),
+                                   round_mode="half_towards_infinity"),
+                          pa.int64()).to_numpy(zero_copy_only=False)})
+        df = df.iloc[np.lexsort((df["eid"].to_numpy(),
+                                 df["ts"].to_numpy()))]
+        g = df.groupby(["day", "event_type"], sort=False)
+        out = g.agg(o_ts=("ts", "first"), o_eid=("eid", "first"),
+                    o_vm=("vm", "first"), c_ts=("ts", "last"),
+                    c_eid=("eid", "last"), c_vm=("vm", "last"),
+                    lo=("vm", "min"), hi=("vm", "max"),
+                    n=("vm", "size")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["o_eid"].to_numpy(), g["o_ts"].to_numpy()))[0]
+        c = np.lexsort((g["c_eid"].to_numpy(), g["c_ts"].to_numpy()))[-1]
+        return pd.DataFrame({
+            "day": [g["day"].iloc[0]],
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": [int(g["n"].sum())],
+            "open_micro": [int(g["o_vm"].iloc[o])],
+            "high_micro": [int(g["hi"].max())],
+            "low_micro": [int(g["lo"].min())],
+            "close_micro": [int(g["c_vm"].iloc[c])]})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby(["day", "event_type"])
+            .map_groups(combine, batch_format="pandas")
+            .sort(["day", "event_type"]))
+
+
+_EVENTS_OHLC_SQL = """
+WITH r AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS vm,
+         printf('%020d|%020d', epoch_us(ts), event_id) AS k
+  FROM events)
+SELECT day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       arg_min(vm, k) AS open_micro,
+       CAST(MAX(vm) AS BIGINT) AS high_micro,
+       CAST(MIN(vm) AS BIGINT) AS low_micro,
+       arg_max(vm, k) AS close_micro
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_user_twap(sf_dir: str):
+    """Time-weighted average value per user (the TWAP shape for
+    irregularly-sampled series — a plain AVG over-weights bursts): each
+    observation is held until the next one, weighted by its holding
+    duration in whole seconds; exact integer cents x seconds.
+
+    Scale shape: one groupby(user_id) shuffle; inside each group a
+    vectorized lexsort + diff — no cross-group state, no driver data."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "eid": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "vc": _cents(t["value"])})
+
+    def twap(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy(np.int64)
+        order = np.lexsort((g["eid"].to_numpy(np.int64), ts))
+        ts, vc = ts[order], g["vc"].to_numpy(np.int64)[order]
+        dur = (ts[1:] - ts[:-1]) // 1_000_000
+        tot = int(dur.sum())
+        if tot <= 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "twap_cents": pd.Series([], dtype=np.int64),
+                                 "dur_s": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "twap_cents": [int((vc[:-1] * dur).sum()) // tot],
+            "dur_s": [tot]})
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id").map_groups(twap, batch_format="pandas")
+            .sort("user_id"))
+
+
+_EVENTS_TWAP_SQL = """
+WITH o AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) AS es,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nes
+  FROM events)
+SELECT user_id,
+       CAST(SUM((nes - es) // 1000000 * vc)
+            // SUM((nes - es) // 1000000) AS BIGINT) AS twap_cents,
+       CAST(SUM((nes - es) // 1000000) AS BIGINT) AS dur_s
+FROM o WHERE nes IS NOT NULL
+GROUP BY 1 HAVING SUM((nes - es) // 1000000) > 0
+ORDER BY 1
+"""
+
+
+def docs_shingle_containment(sf_dir: str, n: int = 5,
+                             min_ppm: int = 500_000,
+                             max_df: int = 50):
+    """Asymmetric near-duplicate CONTAINMENT detection (Broder's other
+    resemblance measure: |S(a) ∩ S(b)| / |S(a)| — catches a short doc
+    embedded inside a longer one, which symmetric Jaccard misses):
+    ordered pairs (a, b) where at least half of a's distinct 5-word
+    shingles also occur in b, as exact ppm.
+
+    Scale shape: distinct shingles explode per batch carrying a hash
+    partition id; ONE groupby(part) shuffle (P groups, not millions of
+    per-shingle group tasks) emits the pair matrix per shingle run
+    inside each partition (stop-shingles in > ``max_df`` docs are
+    dropped on BOTH sides — the PPJoin-style frequency cap that keeps
+    hub shingles from quadratic blowup); pair counts fold in a second
+    skinny groupby and join against per-doc shingle totals."""
+    from .functions.hashing import stable_hash64
+    from .functions.partitions import default_parts
+    from .functions.terms import _TERM_RE
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      rows_per_block=500)
+    nparts = default_parts()
+
+    def shingles(t: pa.Table) -> pa.Table:
+        out_d, out_s = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            ws = _TERM_RE.findall((txt or "").lower())
+            seen = {" ".join(ws[i:i + n])
+                    for i in range(len(ws) - n + 1)}
+            out_d.extend([did] * len(seen))
+            out_s.extend(seen)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "sh": pa.array(out_s, pa.string()),
+                         "part": pa.array(
+                             [stable_hash64(s) % nparts for s in out_s],
+                             pa.int64())})
+
+    sh = docs.map_batches(shingles, batch_format="pyarrow")
+
+    totals = (sh.select_columns(["doc_id"])
+              .groupby("doc_id").aggregate(Count(alias_name="n_sh")))
+
+    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated("sh", keep=False)]
+        oa, ob = [], []
+        for _, g in part.groupby("sh", sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > max_df:
+                continue
+            x, y = np.meshgrid(ids, ids, indexing="ij")
+            keep = x.ravel() != y.ravel()
+            oa.append(x.ravel()[keep])
+            ob.append(y.ravel()[keep])
+        if not oa:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(oa),
+                             "b": np.concatenate(ob)})
+
+    inter = (sh.groupby("part")
+             .map_groups(pairs_in_part, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="n_inter")))
+
+    from .functions.joins import auto_join
+    att = auto_join(inter, totals, left_key="a", right_key="doc_id",
+                    right_cols=["n_sh"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ppm = (1_000_000 * t["n_inter"].to_numpy(zero_copy_only=False)
+               // t["n_sh"].to_numpy(zero_copy_only=False))
+        out = pa.table({"a": t["a"], "b": t["b"],
+                        "n_inter": t["n_inter"], "n_sh_a": t["n_sh"],
+                        "containment_ppm": pa.array(ppm, pa.int64())})
+        return out.filter(pc.greater_equal(out["containment_ppm"],
+                                           pa.scalar(min_ppm)))
+
+    return (att.map_batches(score, batch_format="pyarrow")
+            .sort(["a", "b"]))
+
+
+_DOCS_CONTAINMENT_SQL = """
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+              ws[i+3] || ' ' || ws[i+4] AS sh
+       FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+       WHERE len(ws) >= 5),
+ok AS (SELECT sh FROM sh GROUP BY sh
+       HAVING COUNT(*) BETWEEN 2 AND 50),
+tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM sh x JOIN ok USING (sh) JOIN sh y USING (sh)
+          WHERE x.doc_id <> y.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, n_inter, CAST(t.n_sh AS BIGINT) AS n_sh_a,
+       CAST(1000000 * n_inter // t.n_sh AS BIGINT) AS containment_ppm
+FROM inter JOIN tot t ON t.doc_id = a
+WHERE 1000000 * n_inter // t.n_sh >= 500000
+ORDER BY 1, 2
+"""
+
+
+def orders_prefix_dominance(sf_dir: str):
+    """Per-customer inversion count (the "was each order bigger than
+    what came before?" sequential-dominance audit — inversions == 0
+    means monotone growth, the spend-trajectory signal churn models
+    bin on): pairs of orders by the same customer where the earlier
+    order, by (o_orderdate, o_orderkey), had the strictly larger price.
+
+    Scale shape: one groupby(custkey) shuffle; groups are customer-
+    sized (tens of rows), so the per-group O(k²) comparison matrix is
+    a few kilobytes — nothing quadratic in the corpus."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "okey": t["o_orderkey"],
+            "d": pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()),
+            "cents": _cents(t["o_totalprice"])})
+
+    def inv(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["okey"].to_numpy(np.int64),
+                            g["d"].to_numpy(np.int64)))
+        c = g["cents"].to_numpy(np.int64)[order]
+        n_inv = int(np.sum(np.triu(c[:, None] > c[None, :], k=1)))
+        return pd.DataFrame({"o_custkey": [int(g["o_custkey"].iloc[0])],
+                             "n_orders": [len(c)],
+                             "n_inversions": [n_inv]})
+
+    return (orders.map_batches(prep, batch_format="pyarrow")
+            .groupby("o_custkey").map_groups(inv, batch_format="pandas")
+            .sort("o_custkey"))
+
+
+_ORDERS_DOMINANCE_SQL = """
+WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+p AS (SELECT a.o_custkey AS k, COUNT(*) AS inv
+      FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+       AND (a.o_orderdate < b.o_orderdate OR
+            (a.o_orderdate = b.o_orderdate AND
+             a.o_orderkey < b.o_orderkey))
+       AND a.cents > b.cents
+      GROUP BY 1)
+SELECT o.o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COALESCE(MAX(p.inv), 0) AS BIGINT) AS n_inversions
+FROM o LEFT JOIN p ON p.k = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14035,6 +14319,10 @@ def queries():
         "orders_table_digest": orders_table_digest,
         "docs_sentence_dedup": docs_sentence_dedup,
         "customer_supplier_percentile": customer_supplier_percentile,
+        "events_ohlc_daily": events_ohlc_daily,
+        "events_user_twap": events_user_twap,
+        "docs_shingle_containment": docs_shingle_containment,
+        "orders_prefix_dominance": orders_prefix_dominance,
     }
 
 
@@ -14266,6 +14554,10 @@ def oracle_sql():
         "orders_table_digest": _ORDERS_DIGEST_SQL,
         "docs_sentence_dedup": _DOCS_SENT_DEDUP_SQL,
         "customer_supplier_percentile": _CUSTOMER_SUP_PCT_SQL,
+        "events_ohlc_daily": _EVENTS_OHLC_SQL,
+        "events_user_twap": _EVENTS_TWAP_SQL,
+        "docs_shingle_containment": _DOCS_CONTAINMENT_SQL,
+        "orders_prefix_dominance": _ORDERS_DOMINANCE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
