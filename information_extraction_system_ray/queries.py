@@ -14035,6 +14035,341 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_ab_precedence(sf_dir: str):
+    """Sequential-pattern support counts (the PrefixSpan level-2 shape:
+    "how many users did A strictly before B?" — non-contiguous, unlike
+    the trigram query): for every ordered type pair (a, b), the number
+    of users with some a-event at a strictly earlier timestamp than
+    some b-event, i.e. min_ts(a) < max_ts(b).
+
+    Scale shape: events collapse to one (user, type, min_ts, max_ts)
+    row per pair in a distributed aggregate; the per-user cross product
+    is |types|² ≤ 25 rows, then a skinny pair-count groupby."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    spans = (ev.map_batches(prep, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"])
+             .aggregate(Min("ts_us", alias_name="mn"),
+                        Max("ts_us", alias_name="mx")))
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        ty = g["event_type"].to_numpy()
+        mn = g["mn"].to_numpy(np.int64)
+        mx = g["mx"].to_numpy(np.int64)
+        i, j = np.meshgrid(np.arange(len(ty)), np.arange(len(ty)),
+                           indexing="ij")
+        keep = (i.ravel() != j.ravel()) & \
+            (mn[i.ravel()] < mx[j.ravel()])
+        return pd.DataFrame({"type_a": ty[i.ravel()[keep]],
+                             "type_b": ty[j.ravel()[keep]]})
+
+    return (spans.groupby("user_id")
+            .map_groups(cross, batch_format="pandas")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Count(alias_name="n_users"))
+            .sort(["type_a", "type_b"]))
+
+
+_EVENTS_AB_PRECEDENCE_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM s a JOIN s b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+WHERE a.mn < b.mx
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def lineitem_weighted_median(sf_dir: str):
+    """Grouped WEIGHTED median (quantity-weighted price — the "median
+    dollar" question a plain median gets wrong when cheap lines carry
+    huge volumes): per returnflag, the smallest price whose cumulative
+    quantity reaches half the group's total quantity (discrete lower
+    weighted median, exact integer cents).
+
+    Scale shape: per-batch combiner collapses to (flag, cents)→Σqty
+    distinct rows before the shuffle; the per-flag sorted cumsum runs
+    over the distinct-PRICE table, not row volume."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice",
+                             "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "flag": t["l_returnflag"].to_pylist(),
+            "cents": _cents(t["l_extendedprice"]).to_numpy(
+                zero_copy_only=False),
+            "q": t["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = (df.groupby(["flag", "cents"], sort=False)["q"].sum()
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dist = (li.map_batches(prep, batch_format="pyarrow")
+            .groupby(["flag", "cents"]).aggregate(Sum("q", alias_name="q")))
+
+    def wmedian(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        cum = g["q"].to_numpy(np.int64).cumsum()
+        tot = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, tot, side="left"))
+        return pd.DataFrame({
+            "flag": [g["flag"].iloc[0]],
+            "wmedian_cents": [int(g["cents"].iloc[idx])],
+            "total_qty": [tot]})
+
+    return (dist.groupby("flag").map_groups(wmedian, batch_format="pandas")
+            .sort("flag"))
+
+
+_LINEITEM_WMEDIAN_SQL = """
+WITH r AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+w AS (SELECT flag, cents, SUM(q) AS q FROM r GROUP BY 1, 2),
+c AS (SELECT flag, cents,
+             SUM(q) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             SUM(q) OVER (PARTITION BY flag) AS tot
+      FROM w)
+SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+       CAST(MIN(tot) AS BIGINT) AS total_qty
+FROM c WHERE 2 * cum >= tot GROUP BY 1 ORDER BY 1
+"""
+
+
+def part_item_cosine(sf_dir: str, min_co: int = 3):
+    """Item-item collaborative-filtering similarity (the co-occurrence
+    cosine behind "customers who bought X also bought": cos(a,b) =
+    co(a,b) / sqrt(n(a)·n(b)) over order baskets): unordered part pairs
+    co-purchased in ≥ ``min_co`` orders, cosine at 4 dp.
+
+    Scale shape: distinct (order, part) rows hash-partition by order id
+    — ONE groupby(part-id) shuffle emits per-basket pairs (baskets are
+    order-sized, single digits) already COUNTED within the bucket, so a
+    second hash-bucketed map_groups sums ≤ |pairs| skinny partial rows.
+    Both Ray-level groupbys have exactly ``nparts`` groups — the naive
+    groupby([part_a, part_b]).aggregate(Count) is ~116k groups at
+    sf0.01 and Ray's sort-aggregate handles each group in Python
+    (measured 45 s / effectively hung single-block); the pandas
+    value_counts inside the bucket is the vectorized path."""
+    from .functions.joins import auto_join
+    from .functions.partitions import default_parts
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    nparts = default_parts()
+
+    def dedup(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "p": t["l_partkey"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        df["part"] = df["o"] % nparts
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # blocks are written order-clustered, so the per-batch drop_duplicates
+    # removes nearly all repeats; the groupby(part) pass below re-dedups
+    # exactly within each hash partition
+    op = li.map_batches(dedup, batch_format="pyarrow")
+
+    _empty_pairs = pd.DataFrame(
+        {"part_a": pd.Series([], dtype=np.int64),
+         "part_b": pd.Series([], dtype=np.int64),
+         "n_co": pd.Series([], dtype=np.int64),
+         "bucket": pd.Series([], dtype=np.int64)})
+
+    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["o", "p"])
+        oa, ob = [], []
+        for _, g in part.groupby("o", sort=False):
+            ids = np.sort(g["p"].unique())
+            if len(ids) < 2:
+                continue
+            x, y = np.triu_indices(len(ids), k=1)
+            oa.append(ids[x])
+            ob.append(ids[y])
+        if not oa:
+            return _empty_pairs
+        # partial pair counts within this order-bucket (vectorized);
+        # exact across buckets after the bucket-sum pass below
+        cnt = (pd.DataFrame({"part_a": np.concatenate(oa),
+                             "part_b": np.concatenate(ob)})
+               .groupby(["part_a", "part_b"], sort=False)
+               .size().rename("n_co").reset_index())
+        cnt["bucket"] = (cnt["part_a"] * 1_000_003 + cnt["part_b"]) % nparts
+        return cnt
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["part_a", "part_b"], sort=False)["n_co"]
+               .sum().reset_index())
+        return tot[tot["n_co"] >= min_co]
+
+    co = (op.groupby("part").map_groups(pairs_in_part,
+                                        batch_format="pandas")
+          .groupby("bucket").map_groups(sum_bucket, batch_format="pandas")
+          .select_columns(["part_a", "part_b", "n_co"]))
+
+    def parts_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.drop_duplicates(["o", "p"])["p"].value_counts()
+        out = pd.DataFrame({"p": vc.index.to_numpy(np.int64),
+                            "n_part": vc.to_numpy(np.int64)})
+        out["bucket"] = out["p"] % nparts
+        return out
+
+    def sum_parts(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby("p", sort=False)["n_part"].sum()
+               .rename("n").reset_index())
+        return tot
+
+    # per-part DISTINCT-basket counts, exact: an (o, p) pair lives in
+    # exactly one order-bucket, so the in-bucket dedup is global; the
+    # partial sums then fold in a second nparts-group pass
+    n_per = (op.groupby("part").map_groups(parts_in_bucket,
+                                           batch_format="pandas")
+             .groupby("bucket").map_groups(sum_parts,
+                                           batch_format="pandas")
+             .select_columns(["p", "n"]))
+
+    att = auto_join(co, n_per, left_key="part_a", right_key="p",
+                    right_cols=["n"])
+    att = att.map_batches(lambda t: t.rename_columns(
+        [c if c != "n" else "n_a" for c in t.column_names]),
+        batch_format="pyarrow")
+    att = auto_join(att, n_per, left_key="part_b", right_key="p",
+                    right_cols=["n"])
+
+    def cosine(t: pa.Table) -> pa.Table:
+        nco = t["n_co"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "part_a": t["part_a"], "part_b": t["part_b"],
+            "n_co": t["n_co"], "n_a": t["n_a"],
+            "n_b": t["n"],
+            "cosine": pa.array(np.round(nco / np.sqrt(na * nb), 4),
+                               pa.float64())})
+
+    return (att.map_batches(cosine, batch_format="pyarrow")
+            .sort(["part_a", "part_b"]))
+
+
+_PART_ITEM_COSINE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT p, COUNT(*) AS n FROM op GROUP BY 1),
+co AS (SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_co
+       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       GROUP BY 1, 2)
+SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       ROUND(n_co / sqrt(na.n * nb.n), 4) AS cosine
+FROM co JOIN n na ON na.p = part_a JOIN n nb ON nb.p = part_b
+WHERE n_co >= 3
+ORDER BY 1, 2
+"""
+
+
+def events_value_psi(sf_dir: str):
+    """Population-stability-index drift monitor (the scorecard-industry
+    standard the JS-divergence query complements): the event stream is
+    split at its midpoint timestamp; the reference half's value deciles
+    define 10 bins; PSI = Σ (p̂ᵢ−q̂ᵢ)·ln(p̂ᵢ/q̂ᵢ) with add-one smoothing,
+    4 dp, reported alongside the exact per-bin counts.
+
+    Scale shape: three streaming passes (global min/max ts; a distinct-
+    value histogram for the reference deciles; per-batch searchsorted
+    bin-count partials) — only 9 edges and 20 bin counts ever leave the
+    workers."""
+    from .functions.quantiles import exact_quantiles
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "us": pc.cast(t["ts"], pa.int64()),
+            "cents": pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    c = ev.map_batches(prep, batch_format="pyarrow")
+    mm = c.aggregate(Min("us", alias_name="mn"), Max("us", alias_name="mx"))
+    mid = (int(mm["mn"]) + int(mm["mx"])) // 2
+
+    ref = c.filter(expr=f"us < {mid}")
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    edges = exact_quantiles(ref, "cents", qs)["value"] \
+        .to_numpy().astype(np.int64)
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        us = t["us"].to_numpy(zero_copy_only=False)
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        # sorted edges + side="left" == count of edges strictly < v,
+        # exactly the SQL's COUNT(*) WHERE v > edge (dup edges included)
+        b = np.searchsorted(edges, v, side="left")
+        rows = []
+        for half, mask in (("ref", us < mid), ("cur", us >= mid)):
+            cnt = np.bincount(b[mask], minlength=10)
+            rows.append(cnt)
+        return pa.table({
+            "bin": pa.array(np.arange(10, dtype=np.int64), pa.int64()),
+            "n_ref": pa.array(rows[0].astype(np.int64), pa.int64()),
+            "n_cur": pa.array(rows[1].astype(np.int64), pa.int64())})
+
+    agg = (c.map_batches(bin_counts, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Sum("n_ref", alias_name="n_ref"),
+                      Sum("n_cur", alias_name="n_cur"))
+           .sort("bin").to_pandas())
+    nr = agg["n_ref"].to_numpy(np.int64)
+    nc = agg["n_cur"].to_numpy(np.int64)
+    p = (nr + 1.0) / (nr.sum() + 10.0)
+    q = (nc + 1.0) / (nc.sum() + 10.0)
+    psi = round(float(np.sum((p - q) * np.log(p / q))), 4)
+    return pa.table({
+        "bin": pa.array(np.arange(10, dtype=np.int64), pa.int64()),
+        "n_ref": pa.array(nr, pa.int64()),
+        "n_cur": pa.array(nc, pa.int64()),
+        "psi": pa.array(np.full(10, psi), pa.float64())})
+
+
+_EVENTS_PSI_SQL = """
+WITH e AS (SELECT epoch_us(ts) AS us,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+ref AS (SELECT cents FROM e, m WHERE us < mid),
+ed AS (SELECT unnest([quantile_disc(cents, 0.1), quantile_disc(cents, 0.2),
+                      quantile_disc(cents, 0.3), quantile_disc(cents, 0.4),
+                      quantile_disc(cents, 0.5), quantile_disc(cents, 0.6),
+                      quantile_disc(cents, 0.7), quantile_disc(cents, 0.8),
+                      quantile_disc(cents, 0.9)]) AS edge
+      FROM ref),
+b AS (SELECT (SELECT COUNT(*) FROM ed WHERE e.cents > ed.edge) AS bin,
+             CASE WHEN us < (SELECT mid FROM m) THEN 1 ELSE 0 END AS is_ref
+      FROM e),
+bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+j AS (SELECT bins.bin,
+             COALESCE(SUM(is_ref), 0) AS n_ref,
+             COALESCE(SUM(1 - is_ref), 0) AS n_cur
+      FROM bins LEFT JOIN b ON b.bin = bins.bin
+      GROUP BY 1),
+t AS (SELECT SUM(n_ref) AS cr, SUM(n_cur) AS cc FROM j),
+s AS (SELECT ROUND(SUM(((n_ref + 1.0) / (cr + 10) - (n_cur + 1.0) / (cc + 10))
+                       * ln(((n_ref + 1.0) / (cr + 10))
+                            / ((n_cur + 1.0) / (cc + 10)))), 4) AS psi
+      FROM j, t)
+SELECT j.bin, CAST(j.n_ref AS BIGINT) AS n_ref,
+       CAST(j.n_cur AS BIGINT) AS n_cur, s.psi
+FROM j, s ORDER BY j.bin
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14323,6 +14658,10 @@ def queries():
         "events_user_twap": events_user_twap,
         "docs_shingle_containment": docs_shingle_containment,
         "orders_prefix_dominance": orders_prefix_dominance,
+        "events_ab_precedence": events_ab_precedence,
+        "lineitem_weighted_median": lineitem_weighted_median,
+        "part_item_cosine": part_item_cosine,
+        "events_value_psi": events_value_psi,
     }
 
 
@@ -14558,6 +14897,10 @@ def oracle_sql():
         "events_user_twap": _EVENTS_TWAP_SQL,
         "docs_shingle_containment": _DOCS_CONTAINMENT_SQL,
         "orders_prefix_dominance": _ORDERS_DOMINANCE_SQL,
+        "events_ab_precedence": _EVENTS_AB_PRECEDENCE_SQL,
+        "lineitem_weighted_median": _LINEITEM_WMEDIAN_SQL,
+        "part_item_cosine": _PART_ITEM_COSINE_SQL,
+        "events_value_psi": _EVENTS_PSI_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
