@@ -14370,6 +14370,404 @@ FROM j, s ORDER BY j.bin
 """
 
 
+def _levenshtein(a: str, b: str, maxd: int) -> int:
+    """Plain DP edit distance with a length-difference early exit;
+    returns maxd+1 when the true distance exceeds maxd."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return maxd + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def part_fuzzy_name_pairs(sf_dir: str, max_d: int = 2):
+    """Edit-distance fuzzy self-join (the entity-resolution blocking +
+    verify step a KG build runs on surface forms): unordered distinct
+    part-name pairs with Levenshtein distance ≤ ``max_d``, each with
+    its exact distance and both names' row counts.
+
+    Scale shape: Garbe's SymSpell deletion-neighborhood blocking —
+    lev(a,b) ≤ d guarantees the ≤d-deletion sets intersect, so names
+    explode to hashed deletion keys (O(len^d) per name, names are
+    short), candidate pairs emit inside ONE key-hash-bucketed
+    map_groups, dedup + DP verification run inside a second pair-hash
+    bucket pass. Row counts ride the same two-level bucket-sum idiom;
+    no driver materialization and every Ray-level groupby stays at
+    ``nparts`` groups."""
+    from .functions.hashing import stable_hash64
+    from .functions.joins import auto_join
+    from .functions.partitions import default_parts
+    part = read_table(sf_dir, "part", columns=["p_name"])
+    nparts = default_parts()
+
+    def name_counts(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["p_name"].to_pylist()).value_counts()
+        names = vc.index.to_numpy(object)
+        return pa.table({
+            "name": pa.array(names, pa.string()),
+            "n_rows": pa.array(vc.to_numpy(np.int64)),
+            "bucket": pa.array(
+                np.array([stable_hash64(s) % nparts for s in names],
+                         np.int64))})
+
+    def sum_names(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("name", sort=False)["n_rows"].sum()
+                .reset_index())
+
+    names = (part.map_batches(name_counts, batch_format="pyarrow")
+             .groupby("bucket").map_groups(sum_names,
+                                           batch_format="pandas"))
+
+    def _deletions(s: str, d: int) -> set:
+        seen, frontier = {s}, {s}
+        for _ in range(d):
+            nxt = set()
+            for w in frontier:
+                for i in range(len(w)):
+                    c = w[:i] + w[i + 1:]
+                    if c not in seen:
+                        seen.add(c)
+                        nxt.add(c)
+            frontier = nxt
+        return seen
+
+    def expand(t: pa.Table) -> pa.Table:
+        out_n, out_k = [], []
+        for nm in t["name"].to_pylist():
+            for k in _deletions(nm, max_d):
+                out_n.append(nm)
+                out_k.append(stable_hash64(k))
+        keys = np.array(out_k, np.int64)
+        return pa.table({"name": pa.array(out_n, pa.string()),
+                         "key": pa.array(keys),
+                         "kb": pa.array(keys % nparts)})
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        pa_, pb_ = [], []
+        for _, kg in g.groupby("key", sort=False):
+            nm = np.sort(kg["name"].unique())
+            if len(nm) < 2:
+                continue
+            x, y = np.triu_indices(len(nm), k=1)
+            pa_.append(nm[x])
+            pb_.append(nm[y])
+        if not pa_:
+            return pd.DataFrame({
+                "name_a": pd.Series([], dtype=object),
+                "name_b": pd.Series([], dtype=object),
+                "pb": pd.Series([], dtype=np.int64)})
+        cand = (pd.DataFrame({"name_a": np.concatenate(pa_),
+                              "name_b": np.concatenate(pb_)})
+                .drop_duplicates())
+        cand["pb"] = [(stable_hash64(a + "\x00" + b)) % nparts
+                      for a, b in zip(cand["name_a"], cand["name_b"])]
+        return cand
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["name_a", "name_b"])
+        dist = np.array([_levenshtein(a, b, max_d) for a, b in
+                         zip(g["name_a"], g["name_b"])], np.int64)
+        keep = dist <= max_d
+        return pd.DataFrame({"name_a": g["name_a"].to_numpy(object)[keep],
+                             "name_b": g["name_b"].to_numpy(object)[keep],
+                             "dist": dist[keep]})
+
+    pairs = (names.map_batches(expand, batch_format="pyarrow")
+             .groupby("kb").map_groups(candidates, batch_format="pandas")
+             .groupby("pb").map_groups(verify, batch_format="pandas")
+             .select_columns(["name_a", "name_b", "dist"]))
+
+    counts = names.select_columns(["name", "n_rows"])
+    att = auto_join(pairs, counts, left_key="name_a", right_key="name",
+                    right_cols=["n_rows"])
+    att = att.map_batches(lambda t: t.rename_columns(
+        [c if c != "n_rows" else "n_a" for c in t.column_names]),
+        batch_format="pyarrow")
+    att = auto_join(att, counts, left_key="name_b", right_key="name",
+                    right_cols=["n_rows"])
+    att = att.map_batches(lambda t: t.rename_columns(
+        [c if c != "n_rows" else "n_b" for c in t.column_names]),
+        batch_format="pyarrow")
+    return att.sort(["name_a", "name_b"])
+
+
+_PART_FUZZY_SQL = """
+WITH n AS (SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       CAST(a.n_rows AS BIGINT) AS n_a, CAST(b.n_rows AS BIGINT) AS n_b
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY 1, 2
+"""
+
+
+def events_value_ranksum(sf_dir: str):
+    """Mann–Whitney rank-sum statistic per event type (the
+    nonparametric two-sample drift test: does this type's value
+    distribution sit above the rest of the stream?): for each type,
+    n₁, n₂ and U₁ of that type vs all other events, with average ranks
+    for ties. Everything is doubled once (U₁×2) so tie midpoints stay
+    exact integers end to end.
+
+    Scale shape: values collapse to a distinct-cents histogram with
+    per-type counts (value-hash bucket sums — never a per-value Ray
+    aggregate); the global below-count comes from the range-partitioned
+    ``global_running_sum`` over one flagged row per distinct value; the
+    final reduction is |types| partial sums."""
+    from .functions.joins import auto_join
+    from .functions.partitions import default_parts
+    from .functions.rank import global_running_sum
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    nparts = default_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ty": t["event_type"].to_pylist(),
+            "v": pc.cast(pc.floor(pc.multiply(t["value"], 100.0)),
+                         pa.int64()).to_numpy(zero_copy_only=False)})
+        g = df.groupby(["v", "ty"], sort=False).size().rename(
+            "cnt").reset_index()
+        g["bucket"] = g["v"] % nparts
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        vt = (g.groupby(["v", "ty"], sort=False)["cnt"].sum()
+              .reset_index())
+        tot = vt.groupby("v", sort=False)["cnt"].sum().rename("cnt_all")
+        vt = vt.merge(tot, left_on="v", right_index=True)
+        # exactly one flagged row per distinct value feeds the global
+        # cumulative below-count
+        vt = vt.sort_values(["v", "ty"], kind="mergesort")
+        vt["is_first"] = ~vt["v"].duplicated()
+        return vt
+
+    hist = (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas"))
+
+    firsts = (hist.filter(expr="is_first == True")
+              .select_columns(["v", "cnt_all"])
+              .map_batches(lambda t: t.rename_columns(["v", "cnt_v"]),
+                           batch_format="pyarrow"))
+    cum = global_running_sum(firsts, "cnt_v", order_by=["v"],
+                             out_col="cum")
+    below = cum.map_batches(
+        lambda t: pa.table({
+            "v": t["v"],
+            "below": pc.subtract(t["cum"], t["cnt_v"])}),
+        batch_format="pyarrow")
+
+    att = auto_join(hist.select_columns(["v", "ty", "cnt", "cnt_all"]),
+                    below, left_key="v", right_key="v",
+                    right_cols=["below"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ty": t["ty"].to_pylist(),
+            "cnt": t["cnt"].to_numpy(zero_copy_only=False),
+            "r": (t["cnt"].to_numpy(zero_copy_only=False)
+                  * (2 * t["below"].to_numpy(zero_copy_only=False)
+                     + t["cnt_all"].to_numpy(zero_copy_only=False) + 1))})
+        g = df.groupby("ty", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (att.map_batches(partials, batch_format="pyarrow")
+           .groupby("ty")
+           .aggregate(Sum("cnt", alias_name="n1"),
+                      Sum("r", alias_name="r1x2"))
+           .sort("ty").to_pandas())
+    n = int(agg["n1"].sum())
+    n1 = agg["n1"].to_numpy(np.int64)
+    r1x2 = agg["r1x2"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(agg["ty"].tolist(), pa.string()),
+        "n1": pa.array(n1),
+        "n2": pa.array(n - n1),
+        "u1_x2": pa.array(r1x2 - n1 * (n1 + 1))})
+
+
+_EVENTS_RANKSUM_SQL = """
+WITH c AS (SELECT event_type AS ty,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+h AS (SELECT v, COUNT(*) AS cnt_all FROM c GROUP BY 1),
+r AS (SELECT v, cnt_all,
+             SUM(cnt_all) OVER (ORDER BY v) - cnt_all AS below FROM h),
+ht AS (SELECT ty, v, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+j AS (SELECT ty, SUM(cnt) AS n1,
+             SUM(cnt * (2 * below + cnt_all + 1)) AS r1x2
+      FROM ht JOIN r USING (v) GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM c)
+SELECT ty AS event_type, CAST(n1 AS BIGINT) AS n1,
+       CAST(n - n1 AS BIGINT) AS n2,
+       CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2
+FROM j, tot ORDER BY 1
+"""
+
+
+def orders_kendall_tau(sf_dir: str):
+    """Kendall τ-b rank correlation between daily order volume and
+    daily revenue (the monotone-association complement to the exact
+    Spearman query — tie-aware, all-integer concordance counts): over
+    all day pairs, concordant / discordant / tied-in-x / tied-in-y
+    counts plus τ-b at 6 dp.
+
+    Scale shape: the fact table collapses to one (day, n, cents) row
+    per calendar day through per-batch combiners + one bounded groupby;
+    the O(days²) sign matrix (a few thousand days even at 100 TB —
+    calendar-bounded, not data-bounded) runs vectorized in a single
+    worker task, never on the driver."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "day": (pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000),
+            "cents": _cents(t["o_totalprice"]).to_numpy(
+                zero_copy_only=False)})
+        g = (df.groupby("day", sort=False)
+             .agg(n=("cents", "size"), cents=("cents", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (orders.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"),
+                                       Sum("cents", alias_name="cents")))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        x = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(x)
+        i, j = np.triu_indices(k, k=1)
+        dx = np.sign(x[j] - x[i])
+        dy = np.sign(y[j] - y[i])
+        prod = dx * dy
+        nc = int((prod > 0).sum())
+        nd = int((prod < 0).sum())
+        tx = int((dx == 0).sum())
+        ty = int((dy == 0).sum())
+        n0 = k * (k - 1) // 2
+        tau = round((nc - nd) / np.sqrt(float(n0 - tx) * (n0 - ty)), 6)
+        return pa.table({
+            "n_days": pa.array([k], pa.int64()),
+            "concordant": pa.array([nc], pa.int64()),
+            "discordant": pa.array([nd], pa.int64()),
+            "tied_x": pa.array([tx], pa.int64()),
+            "tied_y": pa.array([ty], pa.int64()),
+            "tau_b": pa.array([tau], pa.float64())})
+
+    return (daily.repartition(1)
+            .map_batches(kernel, batch_format="pyarrow",
+                         batch_size=None))
+
+
+_ORDERS_KENDALL_SQL = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  COUNT(*) AS n,
+                  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+p AS (SELECT a.n AS xa, a.cents AS ya, b.n AS xb, b.cents AS yb
+      FROM d a JOIN d b ON a.day < b.day),
+s AS (SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN (xb - xa) * (yb - ya) > 0 THEN 1 ELSE 0 END)
+                 AS nc,
+             SUM(CASE WHEN (xb - xa) * (yb - ya) < 0 THEN 1 ELSE 0 END)
+                 AS nd,
+             SUM(CASE WHEN xb = xa THEN 1 ELSE 0 END) AS tx,
+             SUM(CASE WHEN yb = ya THEN 1 ELSE 0 END) AS ty
+      FROM p),
+k AS (SELECT COUNT(*) AS n_days FROM d)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(nc AS BIGINT) AS concordant,
+       CAST(nd AS BIGINT) AS discordant, CAST(tx AS BIGINT) AS tied_x,
+       CAST(ty AS BIGINT) AS tied_y,
+       ROUND((nc - nd) / sqrt((n0 - tx) * (n0 - ty)), 6) AS tau_b
+FROM s, k
+"""
+
+
+_BOILERPLATE_PATTERNS = [
+    "batch batch batch",
+    "window window",
+    "sort table scan",
+    "hash scan join",
+    "key order",
+    "spark window",
+]
+
+
+def docs_boilerplate_scan(sf_dir: str):
+    """Multi-pattern literal contamination scan (the benchmark-string /
+    boilerplate screen a curation pipeline runs before training): for
+    each needle in a fixed pattern list, how many documents contain it
+    and how many non-overlapping occurrences exist corpus-wide, plus
+    the containment rate in exact ppm.
+
+    Scale shape: one streaming pass; each batch emits K-row partial
+    (pattern, docs, occurrences) counts from vectorized pandas
+    ``str.count`` (left-to-right non-overlapping, identical to the
+    SQL replace-length count), folded by a K-group sum. Nothing but
+    K×|batches| tiny rows ever shuffles."""
+    import re as _re
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    pats = list(_BOILERPLATE_PATTERNS)
+
+    def scan(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        rows_p, rows_d, rows_o, rows_n = [], [], [], []
+        for p in pats:
+            c = s.str.count(_re.escape(p))
+            rows_p.append(p)
+            rows_d.append(int((c > 0).sum()))
+            rows_o.append(int(c.sum()))
+            rows_n.append(len(s))
+        return pa.table({"pattern": pa.array(rows_p, pa.string()),
+                         "n_docs": pa.array(rows_d, pa.int64()),
+                         "occurrences": pa.array(rows_o, pa.int64()),
+                         "n_total": pa.array(rows_n, pa.int64())})
+
+    agg = (docs.map_batches(scan, batch_format="pyarrow")
+           .groupby("pattern")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("occurrences", alias_name="occurrences"),
+                      Sum("n_total", alias_name="n_total")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        nt = t["n_total"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pattern": t["pattern"],
+            "n_docs": t["n_docs"],
+            "occurrences": t["occurrences"],
+            "doc_ppm": pa.array(nd * 1_000_000 // nt, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("pattern")
+
+
+_DOCS_BOILERPLATE_SQL = """
+WITH p(pattern) AS (VALUES ('batch batch batch'), ('window window'),
+                           ('sort table scan'), ('hash scan join'),
+                           ('key order'), ('spark window')),
+s AS (SELECT pattern,
+             SUM(CASE WHEN POSITION(pattern IN text) > 0
+                      THEN 1 ELSE 0 END) AS n_docs,
+             SUM((LENGTH(text) - LENGTH(REPLACE(text, pattern, '')))
+                 // LENGTH(pattern)) AS occurrences,
+             COUNT(*) AS n_total
+      FROM documents, p GROUP BY 1)
+SELECT pattern, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(occurrences AS BIGINT) AS occurrences,
+       CAST(n_docs * 1000000 // n_total AS BIGINT) AS doc_ppm
+FROM s ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14662,6 +15060,10 @@ def queries():
         "lineitem_weighted_median": lineitem_weighted_median,
         "part_item_cosine": part_item_cosine,
         "events_value_psi": events_value_psi,
+        "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
+        "events_value_ranksum": events_value_ranksum,
+        "orders_kendall_tau": orders_kendall_tau,
+        "docs_boilerplate_scan": docs_boilerplate_scan,
     }
 
 
@@ -14901,6 +15303,10 @@ def oracle_sql():
         "lineitem_weighted_median": _LINEITEM_WMEDIAN_SQL,
         "part_item_cosine": _PART_ITEM_COSINE_SQL,
         "events_value_psi": _EVENTS_PSI_SQL,
+        "part_fuzzy_name_pairs": _PART_FUZZY_SQL,
+        "events_value_ranksum": _EVENTS_RANKSUM_SQL,
+        "orders_kendall_tau": _ORDERS_KENDALL_SQL,
+        "docs_boilerplate_scan": _DOCS_BOILERPLATE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
