@@ -1522,6 +1522,59 @@ def media_scene_cuts(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def media_vad_segments(sf_dir: str):
+    """Energy-gate voice-activity detection over real PCM WAV clips
+    (the silence-trim / speech-segmentation step of an audio-corpus
+    pipeline): a deterministic synthesized corpus — each clip is
+    1 + (mid % 3) planted 300 ms 440 Hz tone bursts separated by 200 ms
+    true silences at 8 kHz — → VadSegments actor pool
+    (stages/multimodal.py; exact-integer peak-relative energy gate) →
+    per-clip segment count, voiced ms, first-start / last-end ms.
+    Detection is bit-deterministic; tests/test_multimodal.py asserts
+    detected == planted within one hop. Rows-only (no SQL analogue for
+    PCM decode)."""
+    from .sources.mediacodec import encode_wav
+    from .stages.multimodal import MEDIA_SCHEMA, vad_segments
+
+    n = max(16, _n_media(sf_dir) // 4)
+    rate = 8000
+    payloads, durs = [], []
+    for mid in range(n):
+        k = 1 + mid % 3
+        pieces = [np.zeros(rate * 200 // 1000, np.float32)]
+        tlen = rate * 300 // 1000
+        tone = 0.5 * np.sin(2 * np.pi * 440.0
+                            * np.arange(tlen) / rate).astype(np.float32)
+        for _ in range(k):
+            pieces.append(tone)
+            pieces.append(np.zeros(rate * 200 // 1000, np.float32))
+        x = np.concatenate(pieces)
+        payloads.append(encode_wav(x, rate))
+        durs.append(int(len(x) * 1000 // rate))
+    t = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["audio/wav"] * n, pa.string()),
+        "width": pa.array([0] * n, pa.int32()),
+        "height": pa.array([0] * n, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+    segs = vad_segments(ray.data.from_arrow(t))
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": [int(g["media_id"].iloc[0])],
+            "n_segments": [len(g)],
+            "voiced_ms": [int((g["end_ms"] - g["start_ms"]).sum())],
+            "first_start_ms": [int(g["start_ms"].min())],
+            "last_end_ms": [int(g["end_ms"].max())]})
+
+    return (segs.groupby("media_id")
+            .map_groups(summarize, batch_format="pandas")
+            .sort("media_id"))
+
+
 def docs_compress_ratio(sf_dir: str):
     """Compressibility quality signal (the zlib-ratio heuristic web
     curation uses next to the Gopher rules — near-random text doesn't
@@ -14768,6 +14821,208 @@ FROM s ORDER BY 1
 """
 
 
+def events_type_profile_cosine(sf_dir: str):
+    """Behavioral-profile similarity matrix (the 'which metrics move
+    together over the day' diagnostic): each event type's 24-bin
+    hour-of-day activity histogram, pairwise cosine between types —
+    exact integer dot products, cosine at 6 dp.
+
+    Scale shape: the stream collapses to ≤ |types|×24 rows through
+    per-batch combiners + one bounded groupby; the pair matrix is
+    |types|² and computes vectorized in a single worker task."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ty": t["event_type"].to_pylist(),
+            "hr": pc.hour(t["ts"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby(["ty", "hr"], sort=False).size().rename(
+            "n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    prof = (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby(["ty", "hr"]).aggregate(Sum("n", alias_name="n")))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"ty": t["ty"].to_pylist(),
+                           "hr": t["hr"].to_numpy(zero_copy_only=False),
+                           "n": t["n"].to_numpy(zero_copy_only=False)})
+        mat = (df.pivot_table(index="ty", columns="hr", values="n",
+                              aggfunc="sum", fill_value=0)
+               .sort_index())
+        types = mat.index.to_numpy(object)
+        m = mat.to_numpy(np.int64)
+        dot = m @ m.T                          # exact int64
+        ss = np.diag(dot).astype(np.float64)
+        i, j = np.triu_indices(len(types), k=1)
+        cos = np.round(dot[i, j] / np.sqrt(ss[i] * ss[j]), 6)
+        return pa.table({
+            "type_a": pa.array(types[i], pa.string()),
+            "type_b": pa.array(types[j], pa.string()),
+            "dot": pa.array(dot[i, j].astype(np.int64)),
+            "cosine": pa.array(cos, pa.float64())})
+
+    return (prof.repartition(1)
+            .map_batches(kernel, batch_format="pyarrow", batch_size=None)
+            .sort(["type_a", "type_b"]))
+
+
+_EVENTS_PROFILE_COSINE_SQL = """
+WITH h AS (SELECT event_type AS ty, EXTRACT(hour FROM ts) AS hr,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.ty AS type_a, b.ty AS type_b, SUM(a.n * b.n) AS dot
+      FROM h a JOIN h b ON a.hr = b.hr AND a.ty < b.ty GROUP BY 1, 2),
+s AS (SELECT ty, SUM(n * n) AS ss FROM h GROUP BY 1)
+SELECT type_a, type_b, CAST(dot AS BIGINT) AS dot,
+       ROUND(dot / sqrt(sa.ss * sb.ss), 6) AS cosine
+FROM p JOIN s sa ON sa.ty = type_a JOIN s sb ON sb.ty = type_b
+ORDER BY 1, 2
+"""
+
+
+def schema_fk_orphan_scan(sf_dir: str):
+    """Referential-integrity orphan scan over every declared FK edge of
+    the star schema (the nightly warehouse audit: child rows whose
+    parent key is missing): per edge, total child rows and orphan rows.
+
+    Scale shape: each edge is one distributed ``anti_join`` (distinct-
+    key combiner on the parent side, hash-partitioned membership probe
+    — no driver key sets); only seven (edge, count, count) rows are
+    ever collected."""
+    from .functions.joins import anti_join
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in edges:
+        c = read_table(sf_dir, child, columns=[ck])
+        p = read_table(sf_dir, parent, columns=[pk])
+        rows.append((name, c.count(),
+                     anti_join(c, p, left_key=ck, right_key=pk).count()))
+    return pa.table({
+        "edge": pa.array([r[0] for r in rows], pa.string()),
+        "n_child": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64())})
+
+
+_FK_ORPHAN_SQL = """
+SELECT * FROM (
+SELECT 'lineitem.l_orderkey->orders' AS edge,
+       (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+       AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation', (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', (SELECT COUNT(*) FROM supplier),
+       (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+UNION ALL
+SELECT 'nation.n_regionkey->region', (SELECT COUNT(*) FROM nation),
+       (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+        (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+) ORDER BY edge
+"""
+
+
+def customer_erasure_cascade(sf_dir: str):
+    """Right-to-be-forgotten cascade audit (the GDPR Article-17 blast
+    radius report: if these customers are erased, how many rows in
+    each downstream table are touched?): targets are AUTOMOBILE-segment
+    customers with negative balance; affected counts cascade customer →
+    orders → lineitem, each as rows and table-ppm.
+
+    Scale shape: two chained distributed semi-joins (distinct-key
+    combiners, hash-partitioned probes — the target key set never
+    lands on the driver); three counters collected."""
+    from .functions.joins import semi_join
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    targets = cust.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t["c_mktsegment"], pa.scalar("AUTOMOBILE")),
+            pc.less(t["c_acctbal"], pa.scalar(0.0))))
+        .select(["c_custkey"]), batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    hit_orders = semi_join(orders, targets, left_key="o_custkey",
+                           right_key="c_custkey")
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    hit_li = semi_join(li, hit_orders, left_key="l_orderkey",
+                       right_key="o_orderkey")
+
+    n_c, n_o, n_l = cust.count(), orders.count(), li.count()
+    a_c = targets.count()
+    a_o = hit_orders.count()
+    a_l = hit_li.count()
+    return pa.table({
+        "table_name": pa.array(["customer", "lineitem", "orders"],
+                               pa.string()),
+        "n_affected": pa.array([a_c, a_l, a_o], pa.int64()),
+        "n_total": pa.array([n_c, n_l, n_o], pa.int64()),
+        "affected_ppm": pa.array(
+            [a_c * 1_000_000 // n_c, a_l * 1_000_000 // n_l,
+             a_o * 1_000_000 // n_o], pa.int64())})
+
+
+_ERASURE_CASCADE_SQL = """
+WITH t AS (SELECT c_custkey FROM customer
+           WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0),
+o AS (SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM t)),
+l AS (SELECT 1 FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+SELECT * FROM (
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_affected,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM t) * 1000000
+            // (SELECT COUNT(*) FROM customer) AS BIGINT) AS affected_ppm
+UNION ALL
+SELECT 'orders', (SELECT COUNT(*) FROM o),
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM o) * 1000000
+       // (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'lineitem', (SELECT COUNT(*) FROM l),
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM l) * 1000000
+       // (SELECT COUNT(*) FROM lineitem)
+) ORDER BY table_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15064,6 +15319,10 @@ def queries():
         "events_value_ranksum": events_value_ranksum,
         "orders_kendall_tau": orders_kendall_tau,
         "docs_boilerplate_scan": docs_boilerplate_scan,
+        "events_type_profile_cosine": events_type_profile_cosine,
+        "schema_fk_orphan_scan": schema_fk_orphan_scan,
+        "customer_erasure_cascade": customer_erasure_cascade,
+        "media_vad_segments": media_vad_segments,
     }
 
 
@@ -15307,6 +15566,9 @@ def oracle_sql():
         "events_value_ranksum": _EVENTS_RANKSUM_SQL,
         "orders_kendall_tau": _ORDERS_KENDALL_SQL,
         "docs_boilerplate_scan": _DOCS_BOILERPLATE_SQL,
+        "events_type_profile_cosine": _EVENTS_PROFILE_COSINE_SQL,
+        "schema_fk_orphan_scan": _FK_ORPHAN_SQL,
+        "customer_erasure_cascade": _ERASURE_CASCADE_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

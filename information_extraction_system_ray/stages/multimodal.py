@@ -264,6 +264,85 @@ def scene_cuts(media: ray.data.Dataset, *, threshold_milli: int = 20_000,
         concurrency=concurrency)
 
 
+class VadSegments:
+    """Actor stage: WAV payload → energy-based voice-activity segments
+    (the speech/noise gate an audio-corpus pipeline runs before any
+    transcription or feature stage). Frames of ``frame_ms`` every
+    ``hop_ms``; a frame is voiced when its integer energy (sum of
+    squared int16-scaled samples) exceeds ``threshold_ppm`` parts-per-
+    million of the clip's PEAK frame energy — the peak-relative gate is
+    robust to mostly-voiced clips where a median gate saturates. Runs
+    of voiced frames merge into segments. All decisions are exact-
+    integer, so the output is bit-deterministic. One row per segment:
+    (media_id, seg_idx, start_ms, end_ms); silent clips emit no rows,
+    summarized instead by the caller."""
+
+    def __init__(self, frame_ms: int = 25, hop_ms: int = 10,
+                 threshold_ppm: int = 10_000) -> None:
+        from ..sources.mediacodec import decode_wav
+
+        self._decode = decode_wav
+        self.frame_ms = frame_ms
+        self.hop_ms = hop_ms
+        self.threshold_ppm = threshold_ppm
+
+    def _frame_energy(self, x: np.ndarray, rate: int) -> np.ndarray:
+        # int64 energies on the int16 grid — exact, no float threshold
+        xi = np.round(x * 32767.0).astype(np.int64)
+        flen = max(1, rate * self.frame_ms // 1000)
+        hop = max(1, rate * self.hop_ms // 1000)
+        if len(xi) < flen:
+            xi = np.pad(xi, (0, flen - len(xi)))
+        n_frames = 1 + (len(xi) - flen) // hop
+        idx = (np.arange(n_frames)[:, None] * hop
+               + np.arange(flen)[None, :])
+        sq = xi * xi
+        return sq[idx].sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, seg, st, en = [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            x, rate = self._decode(payload)
+            e = self._frame_energy(x, rate)
+            peak = int(e.max())
+            if peak == 0:
+                continue
+            voiced = e * 1_000_000 > self.threshold_ppm * peak
+            # run-length merge of consecutive voiced frames
+            d = np.diff(voiced.astype(np.int8))
+            starts = np.flatnonzero(d == 1) + 1
+            ends = np.flatnonzero(d == -1) + 1
+            if voiced[0]:
+                starts = np.concatenate([[0], starts])
+            if voiced[-1]:
+                ends = np.concatenate([ends, [len(voiced)]])
+            for k, (a, b) in enumerate(zip(starts, ends)):
+                ids.append(mid)
+                seg.append(k)
+                st.append(int(a) * self.hop_ms)
+                en.append((int(b) - 1) * self.hop_ms + self.frame_ms)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "seg_idx": pa.array(seg, pa.int32()),
+            "start_ms": pa.array(st, pa.int64()),
+            "end_ms": pa.array(en, pa.int64()),
+        })
+
+
+def vad_segments(media: ray.data.Dataset, *, frame_ms: int = 25,
+                 hop_ms: int = 10, threshold_ppm: int = 10_000,
+                 concurrency=(1, 4), batch_size: int = 32
+                 ) -> ray.data.Dataset:
+    """Audio payloads are fat rows — keep batches small (SURVEY.md §4)."""
+    return media.map_batches(
+        VadSegments,
+        fn_constructor_kwargs={"frame_ms": frame_ms, "hop_ms": hop_ms,
+                               "threshold_ppm": threshold_ppm},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def synth_media(n: int, seed: int = 5) -> ray.data.Dataset:
     """Deterministic fake media table in MEDIA_SCHEMA (tests/bench only)."""
     rng = np.random.default_rng(seed)

@@ -192,3 +192,49 @@ def test_phash_pairs_match_bruteforce(ray_session):
     planted = [(i, i + 1) for i in range(0, n, 2)]
     found = sum(p in got_pairs for p in planted)
     assert found >= int(0.8 * len(planted))
+
+
+def test_vad_segments_planted(ray_session):
+    """VadSegments recovers the planted tone bursts exactly: each clip
+    has 1 + (mid % 3) 300 ms tones separated by 200 ms true silences,
+    so detected segment count == planted and every boundary lands
+    within one hop+frame of the planted edge."""
+    from information_extraction_system_ray.queries import media_vad_segments
+
+    out = (media_vad_segments("/root/testdata/sf0.001").to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert len(out) >= 16
+    hop, frame = 10, 25
+    for _, r in out.iterrows():
+        mid = int(r["media_id"])
+        k = 1 + mid % 3
+        assert int(r["n_segments"]) == k, (mid, r.to_dict())
+        # planted layout: 200ms silence, then k x (300ms tone + 200ms
+        # silence) — first tone starts at 200ms, last ends at
+        # 200 + k*300 + (k-1)*200
+        first_planted = 200
+        last_planted = 200 + k * 300 + (k - 1) * 200
+        assert abs(int(r["first_start_ms"]) - first_planted) <= hop + frame
+        assert abs(int(r["last_end_ms"]) - last_planted) <= hop + frame
+        # voiced time within one frame+hop per boundary of k*300
+        assert abs(int(r["voiced_ms"]) - k * 300) <= k * 2 * (hop + frame)
+
+
+def test_vad_all_silence_emits_nothing(ray_session):
+    import ray
+
+    from information_extraction_system_ray.sources.mediacodec import encode_wav
+    from information_extraction_system_ray.stages.multimodal import (
+        MEDIA_SCHEMA, vad_segments)
+
+    x = np.zeros(8000, np.float32)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["audio"], pa.string()),
+        "payload": pa.array([encode_wav(x, 8000)], pa.binary()),
+        "mime": pa.array(["audio/wav"], pa.string()),
+        "width": pa.array([0], pa.int32()),
+        "height": pa.array([0], pa.int32()),
+        "duration_ms": pa.array([1000], pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+    assert vad_segments(ray.data.from_arrow(t)).count() == 0
