@@ -14551,7 +14551,7 @@ def part_fuzzy_name_pairs(sf_dir: str, max_d: int = 2):
     return att.sort(["name_a", "name_b"])
 
 
-_PART_FUZZY_SQL = """
+_PART_SYMSPELL_FUZZY_SQL = """
 WITH n AS (SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1)
 SELECT a.name AS name_a, b.name AS name_b,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
@@ -15562,7 +15562,7 @@ def oracle_sql():
         "lineitem_weighted_median": _LINEITEM_WMEDIAN_SQL,
         "part_item_cosine": _PART_ITEM_COSINE_SQL,
         "events_value_psi": _EVENTS_PSI_SQL,
-        "part_fuzzy_name_pairs": _PART_FUZZY_SQL,
+        "part_fuzzy_name_pairs": _PART_SYMSPELL_FUZZY_SQL,
         "events_value_ranksum": _EVENTS_RANKSUM_SQL,
         "orders_kendall_tau": _ORDERS_KENDALL_SQL,
         "docs_boilerplate_scan": _DOCS_BOILERPLATE_SQL,

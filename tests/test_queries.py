@@ -72,3 +72,25 @@ def test_rows_only_queries_run(ray_session):
     for name in rows_only:
         df = _to_pandas(qs[name](SF_DIR))
         assert df is not None and len(df) >= 0, name
+
+
+def test_no_duplicate_toplevel_sql_constants():
+    """Regression guard (round 4): a second module-level assignment to the
+    same ``_*_SQL`` constant silently clobbers the first (this bit
+    ``part_name_fuzzy_pairs`` when the SymSpell query reused
+    ``_PART_FUZZY_SQL``). AST-scan queries.py and fail on any repeat."""
+    import ast
+    import collections
+    import information_extraction_system_ray.queries as qmod
+
+    tree = ast.parse(open(qmod.__file__).read())
+    seen = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    seen[tgt.id] += 1
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            seen[node.name] += 1
+    dups = sorted(n for n, c in seen.items() if c > 1)
+    assert dups == [], f"duplicate top-level names in queries.py: {dups}"
