@@ -409,6 +409,32 @@ def bfs_distances(edges: ray.data.Dataset, *, source,
     return res
 
 
+def dag_longest_paths(edges: ray.data.Dataset, *, u: str = "u",
+                      v: str = "v",
+                      num_partitions: "int | None" = None,
+                      max_iters: int = 400) -> ray.data.Dataset:
+    """Longest-path level of every node over a DIRECTED ACYCLIC edge
+    list Dataset(u → v) — the DAG layering / critical-path / topological
+    -depth primitive (level 0 = sources; level k = longest chain of k
+    edges ends here). Round 4: the Pregel shard ring in directed
+    max-plus mode (stages/pregel.py mode="longest") — edges partition
+    once into shard memory, each round exchanges only (level+1)
+    candidates of nodes that improved, converging in depth(DAG) rounds.
+    A cyclic input raises (max-plus never converges on a cycle), which
+    makes the operator double as distributed cycle detection."""
+    from ..stages.pregel import run_propagation
+
+    ktype = edges.schema().base_schema.field(u).type
+    out_schema = pa.schema([("node", ktype), ("level", pa.int64())])
+    return run_propagation(edges, mode="longest", src_col=u, dst_col=v,
+                           num_partitions=num_partitions or 16,
+                           max_rounds=max_iters) \
+        .map_batches(lambda t: pa.table({"node": t["node"],
+                                         "level": t["dist"]}
+                                        ).cast(out_schema),
+                     batch_format="pyarrow")
+
+
 def label_propagation(edges: ray.data.Dataset, *, rounds: int = 5,
                       num_partitions: "int | None" = None
                       ) -> ray.data.Dataset:

@@ -15023,6 +15023,194 @@ SELECT 'lineitem', (SELECT COUNT(*) FROM l),
 """
 
 
+def part_dag_levels(sf_dir: str):
+    """DAG layering / critical-path depth (round 4): orient the strong
+    co-occurrence edges small→large partkey (acyclic by construction)
+    and compute every node's LONGEST-path level — topological depth,
+    the scheduling primitive behind build planners and dataflow DAG
+    visualizers. Runs on the Pregel shard ring in directed max-plus
+    mode (stages/pregel.py mode="longest"): edges partition once into
+    shard memory, rounds = depth(DAG), each round exchanges only
+    improved (level+1) candidates. The SQL oracle walks the same DAG
+    with a recursive CTE and takes MAX(dist) per node."""
+    from .functions.graphops import dag_longest_paths
+
+    edges = _part_strong_edges(sf_dir)
+    return dag_longest_paths(edges, num_partitions=_join_parts(sf_dir),
+                             max_iters=400).sort(["level", "node"])
+
+
+_PART_DAG_LEVELS_SQL = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey u, b.l_partkey v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+base AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+walk(node, dist) AS (
+    SELECT node, 0 FROM base
+    UNION
+    SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node
+)
+SELECT node, CAST(MAX(dist) AS BIGINT) AS level
+FROM walk GROUP BY node ORDER BY level, node
+"""
+
+
+def orders_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier survival estimator (Kaplan & Meier 1958) over
+    customer lifetime: duration = days between a customer's first and
+    last order; the "death" event is churn (last order > 90 days before
+    the corpus end date), otherwise the customer is right-censored.
+    Output one row per event time: (t_days, n_risk, n_event, survival).
+
+    Distribution shape: per-customer min/max is one narrow groupby;
+    the per-duration event/censor counts are a second groupby over a
+    domain bounded by the CALENDAR (≤ a few thousand distinct day
+    durations, independent of corpus size), so the final risk-set scan
+    + cumulative product runs in a single map_groups task. survival is
+    exp(Σ ln(1 − d/r)) in t-order with float64 on both engines,
+    rounded to 6 dp."""
+    ords = read_table(sf_dir, "orders", columns=["o_custkey",
+                                                 "o_orderdate"])
+    end = ords.max("o_orderdate")
+    cutoff = pd.Timestamp(end) - pd.Timedelta(days=90)
+    per = ords.groupby("o_custkey").aggregate(
+        Min("o_orderdate", alias_name="first_dt"),
+        Max("o_orderdate", alias_name="last_dt"))
+
+    def obs(t: pa.Table) -> pa.Table:
+        # the Min/Max aggregate can narrow timestamp precision; pin µs
+        # so the day divisor below is unit-correct
+        first = pc.cast(t["first_dt"], pa.timestamp("us"))
+        last = pc.cast(t["last_dt"], pa.timestamp("us"))
+        dur = pc.subtract(last, first)
+        t_days = pc.divide(pc.cast(dur, pa.int64()),
+                           pa.scalar(86_400_000_000, pa.int64()))
+        ev = pc.cast(pc.less(last,
+                             pa.scalar(cutoff, type=pa.timestamp("us"))),
+                     pa.int64())
+        return pa.table({"t_days": t_days, "ev": ev})
+
+    agg = (per.map_batches(obs, batch_format="pyarrow")
+           .groupby("t_days")
+           .aggregate(Sum("ev", alias_name="d"), Count(alias_name="c")))
+
+    out_schema = pa.schema([("t_days", pa.int64()), ("n_risk", pa.int64()),
+                            ("n_event", pa.int64()),
+                            ("survival", pa.float64())])
+
+    def km(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("t_days")
+        c = g["c"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        r = c[::-1].cumsum()[::-1]            # at risk: duration >= t
+        surv = np.exp(np.cumsum(np.log(1.0 - d / r)))
+        keep = d > 0                          # KM curve steps at events
+        return pa.table({
+            "t_days": pa.array(g["t_days"].to_numpy(np.int64)[keep]),
+            "n_risk": pa.array(r[keep]),
+            "n_event": pa.array(d[keep]),
+            "survival": pa.array(np.round(surv[keep], 6)),
+        }).cast(out_schema)
+
+    def const_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pa.array([0] * t.num_rows, pa.int8()))
+
+    return (agg.map_batches(const_key, batch_format="pyarrow")
+            .groupby("_k").map_groups(km, batch_format="pandas")
+            .sort("t_days"))
+
+
+_ORDERS_KM_SQL = """
+WITH per AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+             FROM orders GROUP BY 1),
+mx AS (SELECT MAX(o_orderdate) AS fin FROM orders),
+obs AS (SELECT CAST(floor((epoch(l) - epoch(f)) / 86400) AS BIGINT) AS t,
+               CASE WHEN l < fin - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+        FROM per, mx),
+agg AS (SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM obs GROUP BY t),
+risk AS (SELECT t, d, SUM(c) OVER (ORDER BY t DESC) AS r FROM agg),
+km AS (SELECT t, d, r,
+              EXP(SUM(LN(1 - CAST(d AS DOUBLE) / r)) OVER (ORDER BY t)) AS s
+       FROM risk)
+SELECT t AS t_days, CAST(r AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_event,
+       ROUND(s, 6) AS survival
+FROM km WHERE d > 0 ORDER BY t
+"""
+
+
+def events_ab_ztest(sf_dir: str):
+    """Two-proportion z-test (pooled) for an A/B split: unit = EVENT,
+    variant = event_id % 2, conversion = the event is a 'purchase'.
+    Output a single row (n_a, n_b, conv_a, conv_b, z) with z rounded to
+    6 dp — the online-experimentation readout primitive. (Event-level
+    bucketing keeps the proportion interior at every test scale; a
+    per-USER split degenerates to p=1 here — every sf0.01 user
+    purchases — and 0/0 NaN is not a stable driver hash.) Per-batch
+    (variant, n, conv) combiners mean only 2·#blocks partial rows ever
+    shuffle."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.equal(t["event_type"], pa.scalar("purchase")),
+                       pa.int64())
+        var = pc.cast(pc.bit_wise_and(t["event_id"], pa.scalar(1)),
+                      pa.int64())
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        # per-batch combiner: collapse to ≤2 rows before the shuffle
+        return pa.table({"variant": var, "one": one, "conv": conv}) \
+            .group_by("variant").aggregate([("one", "sum"),
+                                            ("conv", "sum")]) \
+            .rename_columns(["variant", "n_part", "conv_part"])
+
+    agg = (ev.map_batches(flag, batch_format="pyarrow")
+           .groupby("variant")
+           .aggregate(Sum("n_part", alias_name="n"),
+                      Sum("conv_part", alias_name="conv")))
+
+    out_schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("conv_a", pa.int64()), ("conv_b", pa.int64()),
+                            ("z", pa.float64())])
+
+    def ztest(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().set_index("variant")   # exactly 2 rows
+        n0, c0 = int(df.loc[0, "n"]), int(df.loc[0, "conv"])
+        n1, c1 = int(df.loc[1, "n"]), int(df.loc[1, "conv"])
+        p0, p1 = c0 / n0, c1 / n1
+        p = (c0 + c1) / (n0 + n1)
+        z = (p1 - p0) / np.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+        return pa.table({"n_a": [n0], "n_b": [n1], "conv_a": [c0],
+                         "conv_b": [c1], "z": [round(float(z), 6)]}
+                        ).cast(out_schema)
+
+    two = pa.Table.from_pandas(agg.to_pandas())   # 2 rows by construction
+    return ray.data.from_arrow(ztest(two))
+
+
+_EVENTS_AB_ZTEST_SQL = """
+WITH v AS (SELECT event_id % 2 AS variant,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS converted
+           FROM events),
+agg AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        FROM v GROUP BY 1),
+w AS (SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM agg)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       CAST(c0 AS BIGINT) AS conv_a, CAST(c1 AS BIGINT) AS conv_b,
+       ROUND((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+             / SQRT((CAST(c0+c1 AS DOUBLE)/(n0+n1))
+                    * (1 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+                    * (1.0/n0 + 1.0/n1)), 6) AS z
+FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15323,6 +15511,9 @@ def queries():
         "schema_fk_orphan_scan": schema_fk_orphan_scan,
         "customer_erasure_cascade": customer_erasure_cascade,
         "media_vad_segments": media_vad_segments,
+        "part_dag_levels": part_dag_levels,
+        "orders_kaplan_meier": orders_kaplan_meier,
+        "events_ab_ztest": events_ab_ztest,
     }
 
 
@@ -15569,6 +15760,9 @@ def oracle_sql():
         "events_type_profile_cosine": _EVENTS_PROFILE_COSINE_SQL,
         "schema_fk_orphan_scan": _FK_ORPHAN_SQL,
         "customer_erasure_cascade": _ERASURE_CASCADE_SQL,
+        "part_dag_levels": _PART_DAG_LEVELS_SQL,
+        "orders_kaplan_meier": _ORDERS_KM_SQL,
+        "events_ab_ztest": _EVENTS_AB_ZTEST_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

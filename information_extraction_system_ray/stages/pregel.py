@@ -37,13 +37,19 @@ import ray.data
 class PropagationShard:
     """One hash partition of the bidirectional edge list, held across
     rounds. ``mode``: "minlabel" (CC — values start as the node's own
-    id, min-label wins) or "bfs" (values start unset except ``source``
-    at 0; candidates are value+1; min wins)."""
+    id, min-label wins), "bfs" (values start unset except ``source``
+    at 0; candidates are value+1; min wins), "sssp" (min-plus over
+    int64 weights), or "longest" (round 4: DIRECTED max-plus — every
+    node starts at level 0, candidates are value+1 pushed along
+    forward edges only, MAX wins; on a DAG this converges in depth
+    rounds and yields the longest-path level of every node — the DAG
+    layering / critical-path primitive. A cycle never converges, so
+    the max_rounds raise doubles as cycle detection)."""
 
     def __init__(self, pid: int, num_parts: int, mode: str = "minlabel",
                  source=None, node_type: "pa.DataType | None" = None
                  ) -> None:
-        if mode not in ("minlabel", "bfs", "sssp"):
+        if mode not in ("minlabel", "bfs", "sssp", "longest"):
             raise ValueError(f"unknown mode {mode!r}")
         self.pid = pid
         self.P = num_parts
@@ -57,18 +63,22 @@ class PropagationShard:
         self._pend_nodes: "list[np.ndarray]" = []
         self._pend_others: "list[np.ndarray]" = []
         self._pend_weights: "list[np.ndarray]" = []
+        self._pend_fwd: "list[np.ndarray]" = []
         self.outbox: "dict[int, tuple]" = {}
         self.inbox: "list[tuple]" = []
 
-    def add_edges(self, nodes, others, weights=None) -> None:
+    def add_edges(self, nodes, others, weights=None, fwd=None) -> None:
         self._pend_nodes.append(np.asarray(nodes))
         self._pend_others.append(np.asarray(others))
         if weights is not None:
             self._pend_weights.append(np.asarray(weights, np.int64))
+        if fwd is not None:
+            self._pend_fwd.append(np.asarray(fwd, bool))
 
     def build(self) -> int:
         import pandas as pd
         weighted = self.mode == "sssp"
+        directed = self.mode == "longest"
         if self._pend_nodes:
             df = pd.DataFrame({
                 "node": np.concatenate(self._pend_nodes),
@@ -80,23 +90,37 @@ class PropagationShard:
                 df["w"] = np.concatenate(self._pend_weights)
                 df = df.groupby(["node", "other"], sort=False)["w"] \
                     .min().reset_index()
+            elif directed:
+                # reverse "ghost" rows exist only so every endpoint owns
+                # a node slot in its hash partition; push walks fwd rows
+                df["fwd"] = np.concatenate(self._pend_fwd)
+                df = df.groupby(["node", "other"], sort=False)["fwd"] \
+                    .max().reset_index()
             else:
                 df = df.drop_duplicates()
         else:
             df = pd.DataFrame({"node": np.array([], dtype=object),
                                "other": np.array([], dtype=object),
-                               "w": np.array([], dtype=np.int64)})
-        self._pend_nodes = self._pend_others = self._pend_weights = None
+                               "w": np.array([], dtype=np.int64),
+                               "fwd": np.array([], dtype=bool)})
+        self._pend_nodes = self._pend_others = None
+        self._pend_weights = self._pend_fwd = None
         self.nodes, inv = np.unique(df["node"].to_numpy(),
                                     return_inverse=True)
-        self.edge_src = inv.astype(np.int64)
-        self.edge_dst = df["other"].to_numpy()
-        self.edge_w = df["w"].to_numpy() if weighted else None
+        keep = df["fwd"].to_numpy() if directed \
+            else np.ones(len(df), dtype=bool)
+        self.edge_src = inv.astype(np.int64)[keep]
+        self.edge_dst = df["other"].to_numpy()[keep]
+        self.edge_w = df["w"].to_numpy()[keep] if weighted else None
         self.dst_part = (pd.util.hash_pandas_object(
-            df["other"], index=False) % self.P).to_numpy().astype(np.int64)
+            df["other"], index=False) % self.P).to_numpy() \
+            .astype(np.int64)[keep]
         n = len(self.nodes)
         if self.mode == "minlabel":
             self.values = self.nodes.copy()
+            self.changed = np.ones(n, dtype=bool)
+        elif self.mode == "longest":          # every node is a source
+            self.values = np.zeros(n, dtype=np.int64)
             self.changed = np.ones(n, dtype=bool)
         else:                                 # bfs / sssp: -1 = unreached
             self.values = np.full(n, -1, dtype=np.int64)
@@ -116,14 +140,16 @@ class PropagationShard:
         if not m.any():
             return
         cand = self.values[self.edge_src[m]]
-        if self.mode == "bfs":
+        if self.mode in ("bfs", "longest"):
             cand = cand + 1
         elif self.mode == "sssp":             # min-plus semiring
             cand = cand + self.edge_w[m]
         df = pd.DataFrame({"dst": self.edge_dst[m], "cand": cand,
                            "p": self.dst_part[m]})
-        # per-destination min BEFORE the exchange (combiner)
-        g = df.groupby(["p", "dst"], sort=False)["cand"].min().reset_index()
+        # per-destination min/max BEFORE the exchange (combiner)
+        agg = "max" if self.mode == "longest" else "min"
+        g = df.groupby(["p", "dst"], sort=False)["cand"] \
+            .agg(agg).reset_index()
         for p, sub in g.groupby("p", sort=False):
             self.outbox[int(p)] = (sub["dst"].to_numpy(),
                                    sub["cand"].to_numpy())
@@ -144,7 +170,8 @@ class PropagationShard:
         cand = np.concatenate([p[1] for p in self.inbox])
         self.inbox = []
         g = pd.DataFrame({"dst": dst, "cand": cand}) \
-            .groupby("dst", sort=False)["cand"].min()
+            .groupby("dst", sort=False)["cand"] \
+            .agg("max" if self.mode == "longest" else "min")
         # every destination exists in this shard: edges are
         # bidirectional, so any dst also appears as a node row in its
         # own hash partition (self.nodes is np.unique → sorted)
@@ -153,6 +180,8 @@ class PropagationShard:
         cur = self.values[idx]
         if self.mode in ("bfs", "sssp"):
             better = (cur == -1) | (best < cur)
+        elif self.mode == "longest":
+            better = best > cur
         else:
             better = best < cur
         if better.any():
@@ -179,7 +208,9 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
     """Route → build → rounds → collect, over (src_col, dst_col) edges.
     Returns Dataset(node, label) for "minlabel", Dataset(node, dist)
     (reachable nodes only) for "bfs" and "sssp" (the weighted min-plus
-    semiring over ``weight_col`` int64 costs, undirected)."""
+    semiring over ``weight_col`` int64 costs, undirected), and
+    Dataset(node, dist) = longest-path level of EVERY node for
+    "longest" (directed max-plus over a DAG; raises on cycles)."""
     import pandas as pd
 
     if mode == "sssp" and weight_col is None:
@@ -196,11 +227,15 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
                                   t[src_col].combine_chunks()])
         narr = node.to_numpy(zero_copy_only=False)
         oarr = other.to_numpy(zero_copy_only=False)
-        warr = None
+        warr = farr = None
         if weight_col is not None:
             w1 = t[weight_col].combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             warr = np.concatenate([w1, w1])   # both directions, same cost
+        if mode == "longest":                 # directed: flag the fwd half
+            half = t.num_rows
+            farr = np.zeros(2 * half, dtype=bool)
+            farr[:half] = True
         part = (pd.util.hash_pandas_object(
             pd.Series(narr), index=False) % P).to_numpy()
         refs = []
@@ -209,7 +244,8 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
             if m.any():
                 refs.append(shards[p].add_edges.remote(
                     narr[m], oarr[m],
-                    warr[m] if warr is not None else None))
+                    warr[m] if warr is not None else None,
+                    farr[m] if farr is not None else None))
         ray.get(refs)       # delivery barrier before the task completes
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
@@ -234,11 +270,11 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
         else:
             # mode-dependent max_rounds semantics: BFS's cap is a
             # TRUNCATION contract (distances ≤ max_rounds are exact —
-            # round k only ever assigns distance k); min-label or sssp
-            # left unconverged would be silently WRONG labels/distances
-            # (a weighted distance can still improve after round k), so
-            # both raise
-            if mode in ("minlabel", "sssp"):
+            # round k only ever assigns distance k); min-label / sssp /
+            # longest left unconverged would be silently WRONG
+            # labels/distances (and for "longest" a non-converging run
+            # means the input graph has a CYCLE), so all three raise
+            if mode in ("minlabel", "sssp", "longest"):
                 raise RuntimeError(
                     f"{mode} propagation did not converge "
                     f"in {max_rounds} rounds")

@@ -275,6 +275,55 @@ def test_sssp_matches_dijkstra(ray_session):
     assert run(rand, src, nparts=1) == want
 
 
+def test_dag_longest_paths_matches_brute_force(ray_session):
+    """Pregel directed max-plus (stages/pregel.py mode="longest") equals
+    a pure-Python topological DP on a chain, a diamond with a shortcut
+    (the LONGER route must win), and a random u<v DAG; layout-invariant;
+    a cyclic input raises (cycle detection contract)."""
+    import random
+
+    import pytest
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        dag_longest_paths
+
+    def brute(edges):
+        nodes = sorted({n for e in edges for n in e})
+        level = {n: 0 for n in nodes}
+        for _ in nodes:                       # |V| relaxation sweeps
+            for a, b in edges:
+                level[b] = max(level[b], level[a] + 1)
+        return level
+
+    def run(edges, nparts=4):
+        t = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        out = dag_longest_paths(rd.from_arrow(t).repartition(nparts),
+                                num_partitions=3)
+        return {r["node"]: r["level"] for r in out.take_all()}
+
+    chain = [(i, i + 1) for i in range(12)]
+    assert run(chain) == brute(chain)
+
+    # diamond + direct shortcut: 0→5 direct must still sit at the
+    # longest-route level, not the 1-hop one
+    diamond = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 5)]
+    got = run(diamond)
+    assert got == brute(diamond)
+    assert got[5] == 5
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(120)})      # u<v ⇒ acyclic
+    want = brute(rand)
+    assert run(rand) == want
+    assert run(rand, nparts=1) == want
+
+    with pytest.raises(RuntimeError):
+        run([(0, 1), (1, 2), (2, 0)])         # 3-cycle never converges
+
+
 def test_part_graph_sssp_query_matches_duckdb_dijkstra(ray_session):
     """End-to-end oracle for the registry query: derive the weighted
     co-occurrence edges INDEPENDENTLY in DuckDB (same basket semantics
