@@ -96,22 +96,14 @@ def two_hop_counts(edges: ray.data.Dataset, *, src: str = "src",
             .aggregate(Sum("hops", alias_name="n_two_hop")))
 
 
-def triangle_count(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
-                   num_partitions: "int | None" = None) -> ray.data.Dataset:
-    """Distributed triangle counting — Dataset with ONE row ``{triangles}``.
-
-    ``edges`` must hold each undirected edge exactly once with ``u < v``
-    (vertex-id order). Classic degree-oriented wedge counting: orient each
-    edge from its lower-(degree, id) endpoint so every triangle is counted
-    exactly once at its minimum vertex, and out-degree — hence the wedge
-    blow-up per vertex — is bounded by O(sqrt(|E|)) even at a
-    wikipedia.org-scale hub. Degrees attach to both endpoints via the
-    co-partitioned union+groupby trick (no driver-side degree dict), wedges
-    are generated inside the source's hash partition with a local
-    (pair → count) combine before the closure shuffle, and closure is a
-    per-partition set membership against the edge list."""
-    nparts = num_partitions or default_parts()
-    ktype = edges.schema().base_schema.field(u).type
+def _orient_by_degree(edges: ray.data.Dataset, u: str, v: str,
+                      nparts: int, ktype) -> ray.data.Dataset:
+    """Shared degree-orientation pass (triangle_count, ktruss): attach
+    both endpoint degrees via co-partitioned union+groupby (no driver
+    degree dict) and orient each edge from its lower-(degree, id)
+    endpoint — every triangle is then enumerated exactly once at its
+    minimum vertex and wedge blow-up per vertex is O(sqrt(|E|)) even at
+    a hub. Returns Dataset(src, dst, part) hash-partitioned by src."""
 
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.concat_tables([pa.table({"node": t[u]}),
@@ -190,7 +182,22 @@ def triangle_count(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
                         "dst": pa.array(dst).cast(ktype)})
         return out.append_column("part", _hash_part(out, "src"))
 
-    oriented = e_dd.map_batches(orient, batch_format="pyarrow")
+    return e_dd.map_batches(orient, batch_format="pyarrow")
+
+
+def triangle_count(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
+                   num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Distributed triangle counting — Dataset with ONE row ``{triangles}``.
+
+    ``edges`` must hold each undirected edge exactly once with ``u < v``
+    (vertex-id order). Classic degree-oriented wedge counting
+    (_orient_by_degree); wedges are generated inside the source's hash
+    partition with a local (pair → count) combine before the closure
+    shuffle, and closure is a per-partition set membership against the
+    edge list."""
+    nparts = num_partitions or default_parts()
+    ktype = edges.schema().base_schema.field(u).type
+    oriented = _orient_by_degree(edges, u, v, nparts, ktype)
 
     wedge_schema = pa.schema([("wu", ktype), ("wv", ktype),
                               ("nw", pa.int64())])
@@ -371,6 +378,176 @@ def kcore(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
         if cur.count() == 0:
             return cur
     raise RuntimeError(f"kcore: no fixed point in {max_iters} rounds")
+
+
+def edge_supports(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
+                  num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """Per-edge triangle SUPPORT — Dataset(u, v, support) for EVERY
+    input edge (zero-triangle edges included), the inner step of
+    k-truss peeling. Same degree-oriented enumeration as
+    triangle_count (_orient_by_degree: each triangle surfaces exactly
+    once, at its min-(degree,id) apex; wedge blow-up O(sqrt(|E|)) per
+    vertex), but the closure step EMITS the triangle's three edges in
+    canonical (min,max) form instead of counting — apex wedges can't
+    pair-combine because each apex contributes different side edges.
+    Two skinny shuffles: (apex,wu,wv) triples by pair hash, then the
+    (edge → count) groupby; the final zero-fill attach is one
+    co-partitioned union+merge against the edge list."""
+    nparts = num_partitions or default_parts()
+    ktype = edges.schema().base_schema.field(u).type
+    oriented = _orient_by_degree(edges, u, v, nparts, ktype)
+
+    tri_schema = pa.schema([("apex", ktype), ("wu", ktype),
+                            ("wv", ktype)])
+
+    def wedges(part: pd.DataFrame) -> pa.Table:
+        outs_a, outs_u, outs_v = [], [], []
+        for src, g in part.groupby("src", sort=False):
+            ns = np.unique(g["dst"].to_numpy())
+            if len(ns) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ns), 1)
+            outs_a.append(np.full(len(iu), src, dtype=ns.dtype))
+            outs_u.append(ns[iu])
+            outs_v.append(ns[iv])
+        if not outs_u:
+            return tri_schema.empty_table()
+        return pa.table({"apex": pa.array(np.concatenate(outs_a)),
+                         "wu": pa.array(np.concatenate(outs_u)),
+                         "wv": pa.array(np.concatenate(outs_v))}
+                        ).cast(tri_schema)
+
+    w = oriented.groupby("part").map_groups(wedges, batch_format="pandas")
+
+    close_schema = pa.schema([("apex", ktype), ("wu", ktype),
+                              ("wv", ktype), ("part", pa.int64()),
+                              ("side", pa.int8())])
+
+    def _pair_part2(t: pa.Table, c1: str, c2: str) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t[c1].to_pandas(),
+                          "b": t[c2].to_pandas()}), index=False) % nparts
+        return pa.array(h.to_numpy(), pa.int64())
+
+    def tag_w(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"apex": t["apex"], "wu": t["wu"], "wv": t["wv"],
+                         "part": _pair_part2(t, "wu", "wv"),
+                         "side": pa.array(np.zeros(n, np.int8), pa.int8())}
+                        ).cast(close_schema)
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"apex": pa.nulls(n, ktype),
+                         "wu": t[u], "wv": t[v],
+                         "part": _pair_part2(t, u, v),
+                         "side": pa.array(np.ones(n, np.int8), pa.int8())}
+                        ).cast(close_schema)
+
+    emit_schema = pa.schema([("eu", ktype), ("ev", ktype)])
+
+    def close(part: pa.Table) -> pa.Table:
+        wd = part.filter(pc.equal(part["side"], 0))
+        ed = part.filter(pc.equal(part["side"], 1))
+        if wd.num_rows == 0 or ed.num_rows == 0:
+            return emit_schema.empty_table()
+        epair = pd.MultiIndex.from_arrays(
+            [ed["wu"].to_numpy(zero_copy_only=False),
+             ed["wv"].to_numpy(zero_copy_only=False)])
+        wpair = pd.MultiIndex.from_arrays(
+            [wd["wu"].to_numpy(zero_copy_only=False),
+             wd["wv"].to_numpy(zero_copy_only=False)])
+        hit = wpair.isin(epair)
+        if not hit.any():
+            return emit_schema.empty_table()
+        a = wd["apex"].to_numpy(zero_copy_only=False)[hit]
+        b = wd["wu"].to_numpy(zero_copy_only=False)[hit]
+        c = wd["wv"].to_numpy(zero_copy_only=False)[hit]
+        eu = np.concatenate([np.minimum(a, b), np.minimum(a, c), b])
+        ev = np.concatenate([np.maximum(a, b), np.maximum(a, c), c])
+        return pa.table({"eu": pa.array(eu).cast(ktype),
+                         "ev": pa.array(ev).cast(ktype)}).cast(emit_schema)
+
+    sup = (w.map_batches(tag_w, batch_format="pyarrow")
+           .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+           .groupby("part").map_groups(close, batch_format="pyarrow")
+           .groupby(["eu", "ev"]).aggregate(Count(alias_name="support")))
+
+    # zero-fill attach: every input edge gets its support (0 if no row)
+    mem = pa.schema([("eu", ktype), ("ev", ktype), ("sup", pa.int64()),
+                     ("part", pa.int64()), ("side", pa.int8())])
+
+    def tag_s(t: pa.Table) -> pa.Table:
+        if "eu" not in t.column_names:    # empty aggregate partition
+            return mem.empty_table()
+        n = len(t)
+        return pa.table({"eu": t["eu"], "ev": t["ev"],
+                         "sup": t["support"],
+                         "part": _pair_part2(t, "eu", "ev"),
+                         "side": pa.array(np.zeros(n, np.int8), pa.int8())}
+                        ).cast(mem)
+
+    def tag_e2(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"eu": t[u], "ev": t[v],
+                         "sup": pa.nulls(n, pa.int64()),
+                         "part": _pair_part2(t, u, v),
+                         "side": pa.array(np.ones(n, np.int8), pa.int8())}
+                        ).cast(mem)
+
+    out_schema = pa.schema([(u, ktype), (v, ktype),
+                            ("support", pa.int64())])
+
+    def merge(part: pa.Table) -> pa.Table:
+        s = part.filter(pc.equal(part["side"], 0))
+        e = part.filter(pc.equal(part["side"], 1))
+        if e.num_rows == 0:
+            return out_schema.empty_table()
+        smap = dict(zip(zip(s["eu"].to_pylist(), s["ev"].to_pylist()),
+                        s["sup"].to_pylist()))
+        vals = np.array([smap.get(kk, 0) for kk in
+                         zip(e["eu"].to_pylist(), e["ev"].to_pylist())],
+                        np.int64)
+        return pa.table({u: e["eu"], v: e["ev"],
+                         "support": pa.array(vals, pa.int64())}
+                        ).cast(out_schema)
+
+    return (sup.map_batches(tag_s, batch_format="pyarrow")
+            .union(edges.map_batches(tag_e2, batch_format="pyarrow"))
+            .groupby("part").map_groups(merge, batch_format="pyarrow"))
+
+
+def ktruss(edges: ray.data.Dataset, *, k: int = 4, u: str = "u",
+           v: str = "v", num_partitions: "int | None" = None,
+           max_iters: int = 100) -> ray.data.Dataset:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph in
+    which every edge participates in ≥ k−2 triangles WITHIN the
+    subgraph — the cohesion notion strictly stronger than k-core
+    (a k-truss is a (k−1)-core but not vice versa). Iterative peeling:
+    recompute per-edge support over the surviving edges
+    (edge_supports), drop every edge under k−2, repeat to fixpoint.
+    Each round is the two skinny support shuffles + one streaming
+    filter; loop state rebinds through lineage.snapshot (as kcore does)
+    so stats ancestry doesn't compound. Rounds ≤ peeling depth
+    (small-world graphs: single digits)."""
+    from .lineage import snapshot
+
+    nparts = num_partitions or default_parts()
+    thresh = pa.scalar(k - 2, pa.int64())
+    cur = snapshot(edges, num_blocks=nparts)
+    n_cur = cur.count()
+    for _ in range(max_iters):
+        if n_cur == 0:
+            return cur
+        sup = edge_supports(cur, u=u, v=v, num_partitions=nparts)
+        keep = snapshot(sup.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["support"], thresh))
+            .select([u, v]), batch_format="pyarrow"), num_blocks=nparts)
+        n_keep = keep.count()
+        if n_keep == n_cur:
+            return keep
+        cur, n_cur = keep, n_keep
+    raise RuntimeError(f"ktruss: no fixed point in {max_iters} rounds")
 
 
 def bfs_distances(edges: ray.data.Dataset, *, source,

@@ -15211,6 +15211,201 @@ FROM w
 """
 
 
+def lineitem_cov_matrix(sf_dir: str):
+    """Pairwise covariance MATRIX over (l_quantity, l_discount, l_tax)
+    — the multi-column-statistics primitive behind feature analysis and
+    CBO column-group stats — kept FULLY EXACT: values enter as small
+    integers (quantity as-is, discount/tax in cents ≤ 10), every batch
+    emits one row of (n, Σx, Σy, Σxy) int64 partials per column pair,
+    and the covariance is reported as the exact integer NUMERATOR
+    cov_num = n·Σxy − Σx·Σy with n alongside (cov = cov_num/n²) so no
+    float ever crosses the engine boundary. Headroom: Σxy ≤ 500·rows
+    and n·Σxy ≤ 500·rows² — int64-safe past sf100; swap to HUGEINT
+    partials beyond."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_discount", "l_tax"])
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+
+    out_schema = pa.schema([("col_a", pa.string()), ("col_b", pa.string()),
+                            ("n", pa.int64()), ("sx", pa.int64()),
+                            ("sy", pa.int64()), ("sxy", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        x = np.round(t["l_tax"].to_numpy() * 100).astype(np.int64)
+        vals = {"l_quantity": q, "l_discount": d, "l_tax": x}
+        rows = {"col_a": [], "col_b": [], "n": [], "sx": [], "sy": [],
+                "sxy": []}
+        for a, b in pairs:
+            rows["col_a"].append(a)
+            rows["col_b"].append(b)
+            rows["n"].append(len(q))
+            rows["sx"].append(int(vals[a].sum()))
+            rows["sy"].append(int(vals[b].sum()))
+            rows["sxy"].append(int((vals[a] * vals[b]).sum()))
+        return pa.table(rows).cast(out_schema)
+
+    agg = (li.map_batches(partials, batch_format="pyarrow")
+           .groupby(["col_a", "col_b"])
+           .aggregate(Sum("n", alias_name="n_total"),
+                      Sum("sx", alias_name="sx_t"),
+                      Sum("sy", alias_name="sy_t"),
+                      Sum("sxy", alias_name="sxy_t")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_total"].to_numpy().astype(np.int64)
+        sx = t["sx_t"].to_numpy().astype(np.int64)
+        sy = t["sy_t"].to_numpy().astype(np.int64)
+        sxy = t["sxy_t"].to_numpy().astype(np.int64)
+        return pa.table({"col_a": t["col_a"], "col_b": t["col_b"],
+                         "n": pa.array(n),
+                         "cov_num": pa.array(n * sxy - sx * sy)})
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort(["col_a", "col_b"]))
+
+
+_LINEITEM_COV_SQL = """
+WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS l_quantity,
+                  CAST(round(l_discount * 100) AS BIGINT) AS l_discount,
+                  CAST(round(l_tax * 100) AS BIGINT) AS l_tax
+           FROM lineitem),
+m AS (SELECT COUNT(*) AS n,
+             SUM(l_quantity) AS s_q, SUM(l_discount) AS s_d,
+             SUM(l_tax) AS s_t,
+             SUM(l_quantity*l_quantity) AS s_qq,
+             SUM(l_quantity*l_discount) AS s_qd,
+             SUM(l_quantity*l_tax) AS s_qt,
+             SUM(l_discount*l_discount) AS s_dd,
+             SUM(l_discount*l_tax) AS s_dt,
+             SUM(l_tax*l_tax) AS s_tt
+      FROM v)
+SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num
+FROM (
+  SELECT 'l_quantity' col_a, 'l_quantity' col_b, n, s_q sx, s_q sy, s_qq sxy FROM m
+  UNION ALL SELECT 'l_quantity', 'l_discount', n, s_q, s_d, s_qd FROM m
+  UNION ALL SELECT 'l_quantity', 'l_tax', n, s_q, s_t, s_qt FROM m
+  UNION ALL SELECT 'l_discount', 'l_discount', n, s_d, s_d, s_dd FROM m
+  UNION ALL SELECT 'l_discount', 'l_tax', n, s_d, s_t, s_dt FROM m
+  UNION ALL SELECT 'l_tax', 'l_tax', n, s_t, s_t, s_tt FROM m
+)
+ORDER BY col_a, col_b
+"""
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Textbook Jaro–Winkler (Winkler 1990): prefix ≤ 4, scale 0.1,
+    boost only above 0.7 — the parameterization DuckDB's
+    jaro_winkler_similarity uses (probed: boost NOT applied at
+    jaro ≤ 0.7; 'martha'/'marhta' = 0.9611); property-tested against
+    DuckDB on random strings in tests/test_properties_ops.py."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    a = [c for i, c in enumerate(s1) if m1[i]]
+    b = [c for j, c in enumerate(s2) if m2[j]]
+    t = sum(x != y for x, y in zip(a, b)) // 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    p = 0
+    for x, y in zip(s1[:4], s2[:4]):
+        if x != y:
+            break
+        p += 1
+    return jaro + 0.1 * p * (1.0 - jaro)
+
+
+def part_jw_name_pairs(sf_dir: str, theta: float = 0.85):
+    """Jaro–Winkler record-linkage join with an EXPLICIT blocking key
+    (Fellegi–Sunter blocking: candidates must share the first
+    whitespace token) over distinct part names — the probabilistic
+    surface-form matcher complementing the edit-distance (FastSS /
+    SymSpell) joins. Contract: recall is bounded by the blocking key
+    (pairs in different blocks are out of scope BY DEFINITION, mirrored
+    in the SQL oracle), which is what makes the operator scale — work
+    is Σ(block size²) over a vocab-sized DISTINCT-name table, never
+    corpus-sized, and blocks hash-partition independently."""
+    part = read_table(sf_dir, "part", columns=["p_name"])
+    names = part.groupby("p_name").aggregate(Count(alias_name="_n"))
+
+    out_schema = pa.schema([("name_a", pa.string()),
+                            ("name_b", pa.string()),
+                            ("jw", pa.float64())])
+
+    def blocked(t: pa.Table) -> pa.Table:
+        if "p_name" not in t.column_names:
+            return pa.table({"block": pa.array([], pa.string()),
+                             "name": pa.array([], pa.string())})
+        name = t["p_name"]
+        block = pc.list_element(pc.split_pattern(name, " "), 0)
+        return pa.table({"block": block, "name": name})
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        ns = sorted(g["name"].tolist())
+        ra, rb, rj = [], [], []
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                jw = _jaro_winkler(a, b)
+                if jw >= theta:
+                    ra.append(a)
+                    rb.append(b)
+                    rj.append(round(jw, 6))
+        return pa.table({"name_a": ra, "name_b": rb,
+                         "jw": pa.array(rj, pa.float64())}).cast(out_schema)
+
+    return (names.map_batches(blocked, batch_format="pyarrow")
+            .groupby("block").map_groups(pairs, batch_format="pandas")
+            .sort(["name_a", "name_b"]))
+
+
+_PART_JW_PAIRS_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM n a JOIN n b
+  ON a.p_name < b.p_name
+ AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+ORDER BY name_a, name_b
+"""
+
+
+def part_graph_ktruss(sf_dir: str, k: int = 3):
+    """k-truss of the part co-occurrence graph
+    (functions/graphops.py ``ktruss``): the maximal subgraph where
+    every surviving edge closes ≥ k−2 triangles with other survivors
+    — the community-core extraction step (strictly stronger cohesion
+    than k-core). Default k=3 (every edge in ≥1 triangle): this sparse
+    graph's 4-truss is empty at every test scale, so k=3 keeps the
+    registry entry non-degenerate; brute-parity tests cover k=3..5.
+    Iterative peeling, per-round support via the
+    degree-oriented wedge enumeration; rows-only registry entry (the
+    fixpoint is not SQL-expressible) — its real oracle is the
+    brute-force peeling parity in tests/test_graph_properties.py."""
+    from .functions.graphops import ktruss
+
+    edges = _part_strong_edges(sf_dir)
+    return ktruss(edges, k=k,
+                  num_partitions=_join_parts(sf_dir)).sort(["u", "v"])
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15514,6 +15709,9 @@ def queries():
         "part_dag_levels": part_dag_levels,
         "orders_kaplan_meier": orders_kaplan_meier,
         "events_ab_ztest": events_ab_ztest,
+        "lineitem_cov_matrix": lineitem_cov_matrix,
+        "part_jw_name_pairs": part_jw_name_pairs,
+        "part_graph_ktruss": part_graph_ktruss,
     }
 
 
@@ -15763,6 +15961,8 @@ def oracle_sql():
         "part_dag_levels": _PART_DAG_LEVELS_SQL,
         "orders_kaplan_meier": _ORDERS_KM_SQL,
         "events_ab_ztest": _EVENTS_AB_ZTEST_SQL,
+        "lineitem_cov_matrix": _LINEITEM_COV_SQL,
+        "part_jw_name_pairs": _PART_JW_PAIRS_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

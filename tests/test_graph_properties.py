@@ -275,6 +275,70 @@ def test_sssp_matches_dijkstra(ray_session):
     assert run(rand, src, nparts=1) == want
 
 
+def test_ktruss_matches_brute_force_peeling(ray_session):
+    """edge_supports == per-edge brute triangle counts, and ktruss ==
+    pure-Python peeling, on K5, K4+pendant-chain, and a random graph;
+    layout-invariant; k larger than any truss → empty."""
+    import itertools
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        edge_supports, ktruss
+
+    def brute_supports(edges):
+        es = set(edges)
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        return {(a, b): len(nbrs[a] & nbrs[b]) for a, b in es}
+
+    def brute_truss(edges, k):
+        cur = set(edges)
+        while True:
+            sup = brute_supports(sorted(cur))
+            drop = {e for e, s in sup.items() if s < k - 2}
+            if not drop:
+                return cur
+            cur -= drop
+
+    def ds_of(edges, nparts=3):
+        return rd.from_arrow(pa.table({
+            "u": pa.array([a for a, _ in edges], pa.int64()),
+            "v": pa.array([b for _, b in edges], pa.int64())})
+        ).repartition(nparts)
+
+    def run_sup(edges):
+        out = edge_supports(ds_of(edges), num_partitions=3)
+        return {(r["u"], r["v"]): r["support"] for r in out.take_all()}
+
+    def run_truss(edges, k, nparts=3):
+        out = ktruss(ds_of(edges, nparts), k=k, num_partitions=3)
+        return {(r["u"], r["v"]) for r in out.take_all()}
+
+    k5 = list(itertools.combinations(range(5), 2))
+    assert run_sup(k5) == brute_supports(k5)
+    assert run_truss(k5, 5) == set(k5)
+    assert run_truss(k5, 6) == set()
+
+    # K4 + pendant chain: the chain must peel away, the clique survive
+    k4chain = list(itertools.combinations(range(4), 2)) + \
+        [(3, 10), (10, 11), (11, 12)]
+    assert run_sup(k4chain) == brute_supports(k4chain)
+    assert run_truss(k4chain, 4) == set(itertools.combinations(range(4), 2))
+
+    rng = random.Random(5)
+    nodes = list(range(25))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(120)})
+    assert run_sup(rand) == brute_supports(rand)
+    for k in (3, 4, 5):
+        want = brute_truss(rand, k)
+        assert run_truss(rand, k) == want
+        assert run_truss(rand, k, nparts=1) == want
+
+
 def test_dag_longest_paths_matches_brute_force(ray_session):
     """Pregel directed max-plus (stages/pregel.py mode="longest") equals
     a pure-Python topological DP on a chain, a diamond with a shortcut

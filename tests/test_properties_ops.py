@@ -227,3 +227,22 @@ def test_rake_phrase_rule_properties(words):
     got = Counter(w for ph in phrases for w in ph)
     want = Counter(w for w in words if w not in stop)
     assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef #", min_size=0, max_size=12),
+                min_size=2, max_size=2))
+def test_jaro_winkler_matches_duckdb(pair):
+    """_jaro_winkler (queries.py) must reproduce DuckDB's
+    jaro_winkler_similarity double-for-double — the exactness the
+    part_jw_name_pairs oracle depends on. Alphabet includes repeats,
+    spaces and '#' to hit transposition/window/prefix edge cases."""
+    import duckdb
+
+    from information_extraction_system_ray.queries import _jaro_winkler
+
+    a, b = pair
+    want = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+    got = _jaro_winkler(a, b)
+    assert abs(got - want) < 1e-12, (a, b, got, want)
