@@ -15406,6 +15406,211 @@ def part_graph_ktruss(sf_dir: str, k: int = 3):
                   num_partitions=_join_parts(sf_dir)).sort(["u", "v"])
 
 
+def emb_dim_stats(sf_dir: str):
+    """Per-DIMENSION statistics of the embedding list column — the
+    list-column (UNNEST WITH ORDINALITY) shape: n / sum / min / max of
+    each coordinate in exact micro-units (pc.round
+    half_towards_infinity == DuckDB round(); float32→float64 widening
+    identical on both engines). Each batch reshapes its fixed-width
+    lists to an (n, d) matrix and emits ONE d-row partial — only
+    d × #blocks rows ever shuffle, never element rows (the SQL oracle's
+    UNNEST explodes n·d rows; the Ray plan never does)."""
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    out_schema = pa.schema([("dim", pa.int64()), ("n", pa.int64()),
+                            ("s", pa.int64()), ("mn", pa.int64()),
+                            ("mx", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy()
+        if len(lens) == 0:
+            return out_schema.empty_table()
+        d = int(lens[0])
+        assert (lens == d).all(), "ragged embedding widths"
+        vals = pc.cast(col.flatten(), pa.float64())
+        micro = pc.cast(pc.round(pc.multiply(vals, 1e6),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy().reshape(-1, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, micro.shape[0], np.int64)),
+            "s": pa.array(micro.sum(axis=0)),
+            "mn": pa.array(micro.min(axis=0)),
+            "mx": pa.array(micro.max(axis=0))}).cast(out_schema)
+
+    return (emb.map_batches(partial, batch_format="pyarrow")
+            .groupby("dim")
+            .aggregate(Sum("n", alias_name="n_vecs"),
+                       Sum("s", alias_name="sum_micro"),
+                       Min("mn", alias_name="min_micro"),
+                       Max("mx", alias_name="max_micro"))
+            .sort("dim"))
+
+
+_EMB_DIM_STATS_SQL = """
+WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                       AS BIGINT) AS m
+           FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(m) AS BIGINT) AS sum_micro,
+       CAST(MIN(m) AS BIGINT) AS min_micro,
+       CAST(MAX(m) AS BIGINT) AS max_micro
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
+def part_name_resolution(sf_dir: str):
+    """END-TO-END entity resolution over surface forms: the blocked
+    Jaro–Winkler match join (part_jw_name_pairs, θ=0.85) supplies the
+    match edges, connected-components min-label propagation
+    (stages/canonicalize.py — the flagship's Pregel CC) canonicalizes
+    transitively (A≈B, B≈C ⇒ {A,B,C} one entity even when A≉C), and
+    every distinct name maps to its component's lexicographic-min name
+    (singletons map to themselves). The full record-linkage pipeline —
+    block → score → cluster → canonicalize — as one composable query;
+    work is vocab-sized at every stage. SQL oracle: the identical JW
+    edge predicate fed to a recursive min-label CTE."""
+    from .stages.canonicalize import connected_components_distributed
+
+    pairs = part_jw_name_pairs(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["name_a"], "dst": t["name_b"]}),
+        batch_format="pyarrow")
+    labels = connected_components_distributed(edges)
+
+    part = read_table(sf_dir, "part", columns=["p_name"])
+    names = part.groupby("p_name").aggregate(Count(alias_name="_n"))
+
+    mem = pa.schema([("name", pa.string()), ("canon", pa.string()),
+                     ("part", pa.int64()), ("side", pa.int8())])
+
+    def _npart(t: pa.Table, col: str) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[col].to_pandas()), index=False) % 16
+        return pa.array(h.to_numpy(), pa.int64())
+
+    def tag_name(t: pa.Table) -> pa.Table:
+        if "p_name" not in t.column_names:
+            return mem.empty_table()
+        n = len(t)
+        return pa.table({"name": t["p_name"],
+                         "canon": pa.nulls(n, pa.string()),
+                         "part": _npart(t, "p_name"),
+                         "side": pa.array(np.zeros(n, np.int8), pa.int8())}
+                        ).cast(mem)
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"name": t["node"], "canon": t["label"],
+                         "part": _npart(t, "node"),
+                         "side": pa.array(np.ones(n, np.int8), pa.int8())}
+                        ).cast(mem)
+
+    out_schema = pa.schema([("name", pa.string()), ("canon", pa.string())])
+
+    def merge(part_t: pa.Table) -> pa.Table:
+        base = part_t.filter(pc.equal(part_t["side"], 0))
+        lab = part_t.filter(pc.equal(part_t["side"], 1))
+        if base.num_rows == 0:
+            return out_schema.empty_table()
+        lmap = dict(zip(lab["name"].to_pylist(), lab["canon"].to_pylist()))
+        nm = base["name"].to_pylist()
+        return pa.table({"name": nm,
+                         "canon": [lmap.get(x, x) for x in nm]}
+                        ).cast(out_schema)
+
+    return (names.map_batches(tag_name, batch_format="pyarrow")
+            .union(labels.map_batches(tag_label, batch_format="pyarrow"))
+            .groupby("part").map_groups(merge, batch_format="pyarrow")
+            .sort("name"))
+
+
+_PART_NAME_RESOLUTION_SQL = """
+WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+e AS (SELECT a.p_name u, b.p_name v
+      FROM n a JOIN n b
+        ON a.p_name < b.p_name
+       AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+       AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85),
+sym AS (SELECT u AS mid, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+reach(node, lbl) AS (
+    SELECT p_name, p_name FROM n
+    UNION
+    SELECT s.nbr, r.lbl FROM reach r JOIN sym s ON s.mid = r.node
+    WHERE r.lbl < s.nbr
+)
+SELECT node AS name, MIN(lbl) AS canon FROM reach GROUP BY node
+ORDER BY name
+"""
+
+
+def events_trimmed_mean(sf_dir: str, trim_pct: int = 5):
+    """Grouped 5 %-TRIMMED mean components per event type — the robust
+    location estimator between mean and median: drop the lowest and
+    highest ⌊n·5/100⌋ values by count, report the kept count and exact
+    integer cents sum (mean = sum_cents / n_kept / 100, no float
+    crosses the engines). Scale shape: the shuffle carries only the
+    per-(type, cents) DISTINCT-VALUE histogram (domain-bounded, not
+    corpus-bounded); each type's trim is interval arithmetic over its
+    histogram in one map_groups task — boundary ties need no
+    tie-break because trimming by COUNT keeps the same multiset
+    whichever equal copies are dropped."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "cents": cents}) \
+            .group_by(["event_type", "cents"]).aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "cents", "c"])
+
+    hist = (ev.map_batches(to_hist, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("c", alias_name="cnt")))
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_kept", pa.int64()),
+                            ("sum_cents", pa.int64())])
+
+    def trim(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("cents")
+        c = g["cnt"].to_numpy(np.int64)
+        vals = g["cents"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = n * trim_pct // 100
+        starts = np.concatenate([[0], np.cumsum(c)[:-1]])
+        kept = np.minimum(starts + c, n - k) - np.maximum(starts, k)
+        kept = np.maximum(kept, 0)
+        return pa.table({
+            "event_type": [str(g["event_type"].iloc[0])],
+            "n_kept": [int(kept.sum())],
+            "sum_cents": [int((vals * kept).sum())]}).cast(out_schema)
+
+    return (hist.groupby("event_type")
+            .map_groups(trim, batch_format="pandas")
+            .sort("event_type"))
+
+
+_EVENTS_TRIMMED_MEAN_SQL = """
+WITH v AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM r
+WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15712,6 +15917,9 @@ def queries():
         "lineitem_cov_matrix": lineitem_cov_matrix,
         "part_jw_name_pairs": part_jw_name_pairs,
         "part_graph_ktruss": part_graph_ktruss,
+        "emb_dim_stats": emb_dim_stats,
+        "part_name_resolution": part_name_resolution,
+        "events_trimmed_mean": events_trimmed_mean,
     }
 
 
@@ -15963,6 +16171,9 @@ def oracle_sql():
         "events_ab_ztest": _EVENTS_AB_ZTEST_SQL,
         "lineitem_cov_matrix": _LINEITEM_COV_SQL,
         "part_jw_name_pairs": _PART_JW_PAIRS_SQL,
+        "emb_dim_stats": _EMB_DIM_STATS_SQL,
+        "part_name_resolution": _PART_NAME_RESOLUTION_SQL,
+        "events_trimmed_mean": _EVENTS_TRIMMED_MEAN_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
