@@ -15611,6 +15611,190 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def cust_supp_balance_band(sf_dir: str, band_cents: int = 1000):
+    """BAND JOIN (the |x − y| ≤ ε non-equi join Ray Data lacks):
+    customers × suppliers whose account balances agree within $10
+    (a $1 band is empty at sf0.001 — the width keeps every test scale
+    non-degenerate).
+    Physical plan: bucket both sides by ⌊cents/ε⌋ — a row can only
+    match rows in its own or adjacent buckets, so the SMALL side
+    replicates to 3 buckets and the large side ships once; each bucket
+    hash-partitions independently and verifies |diff| ≤ ε exactly with
+    one vectorized two-pointer sweep (sort + searchsorted), never a
+    per-bucket cross product. Output pairs are emitted only from the
+    large side's home bucket ⇒ no dedup pass needed."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey",
+                                                   "c_acctbal"])
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey",
+                                                   "s_acctbal"])
+    eps = band_cents
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"]).to_numpy()
+        b = np.floor_divide(cents, eps)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "key": t["c_custkey"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    def s_rows(t: pa.Table) -> pa.Table:
+        cents = _cents(t["s_acctbal"]).to_numpy()
+        b = np.floor_divide(cents, eps)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([b - 1, b, b + 1]),
+                               pa.int64()),
+            "key": pa.array(np.tile(
+                t["s_suppkey"].to_numpy(zero_copy_only=False), 3),
+                pa.int64()),
+            "cents": pa.array(np.tile(cents, 3), pa.int64())})
+
+    mem = pa.schema([("bucket", pa.int64()), ("key", pa.int64()),
+                     ("cents", pa.int64()), ("side", pa.int8())])
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return t.append_column(
+                "side", pa.array(np.full(n, side, np.int8), pa.int8())) \
+                .cast(mem)
+        return fn
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("s_suppkey", pa.int64()),
+                            ("diff_cents", pa.int64())])
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        c = g[g["side"] == 0].sort_values(["cents", "key"])
+        s = g[g["side"] == 1].sort_values(["cents", "key"])
+        if len(c) == 0 or len(s) == 0:
+            return out_schema.empty_table()
+        cv = c["cents"].to_numpy()
+        sv = s["cents"].to_numpy()
+        lo = np.searchsorted(sv, cv - eps, side="left")
+        hi = np.searchsorted(sv, cv + eps, side="right")
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return out_schema.empty_table()
+        ci = np.repeat(np.arange(len(c)), cnt)
+        si = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)
+                             if b > a])
+        ck = c["key"].to_numpy()[ci]
+        sk = s["key"].to_numpy()[si]
+        dd = cv[ci] - sv[si]
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "s_suppkey": pa.array(sk, pa.int64()),
+                         "diff_cents": pa.array(dd, pa.int64())}
+                        ).cast(out_schema)
+
+    both = (cust.map_batches(c_rows, batch_format="pyarrow")
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(supp.map_batches(s_rows, batch_format="pyarrow")
+                   .map_batches(tag(1), batch_format="pyarrow")))
+    # schema seed: a fully-empty match set must still carry the output
+    # columns (an all-empty map_groups yields a schemaless Dataset)
+    seed = ray.data.from_arrow(out_schema.empty_table())
+    return (both.groupby("bucket")
+            .map_groups(sweep, batch_format="pandas")
+            .union(seed)
+            .sort(["c_custkey", "s_suppkey"]))
+
+
+_CUST_SUPP_BAND_SQL = """
+WITH c AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) cc
+           FROM customer),
+s AS (SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) sc
+      FROM supplier)
+SELECT c_custkey, s_suppkey, CAST(cc - sc AS BIGINT) AS diff_cents
+FROM c JOIN s ON ABS(cc - sc) <= 1000
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+def orders_revenue_drawdown(sf_dir: str):
+    """Maximum DRAWDOWN of the daily order-revenue series (the
+    peak-to-trough risk statistic): dd(t) = max_{s≤t} v(s) − v(t),
+    reported as (trough_day, max_drawdown_cents) with the EARLIEST day
+    achieving the max (deterministic). Fact rows collapse through
+    per-batch (day → cents) combiners to a calendar-bounded series;
+    the running-max scan is one map_groups task over ≤ #days rows."""
+    ords = read_table(sf_dir, "orders", columns=["o_orderdate",
+                                                 "o_totalprice"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"),
+                      pa.timestamp("us"))
+        cents = _cents(t["o_totalprice"])
+        return pa.table({"day": day, "cents": cents}) \
+            .group_by("day").aggregate([("cents", "sum")]) \
+            .rename_columns(["day", "cents"])
+
+    series = (ords.map_batches(daily, batch_format="pyarrow")
+              .groupby("day").aggregate(Sum("cents", alias_name="rev")))
+
+    out_schema = pa.schema([("trough_day", pa.timestamp("us")),
+                            ("max_drawdown_cents", pa.int64())])
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("day")
+        v = g["rev"].to_numpy(np.int64)
+        dd = np.maximum.accumulate(v) - v
+        best = int(dd.max())
+        i = int(np.argmax(dd))              # first occurrence = earliest
+        return pa.table({"trough_day": pa.array([g["day"].iloc[i]],
+                                                pa.timestamp("us")),
+                         "max_drawdown_cents": [best]}).cast(out_schema)
+
+    def const_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pa.array([0] * t.num_rows, pa.int8()))
+
+    return (series.map_batches(const_key, batch_format="pyarrow")
+            .groupby("_k").map_groups(scan, batch_format="pandas"))
+
+
+_ORDERS_DRAWDOWN_SQL = """
+WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                      SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+               FROM orders GROUP BY 1),
+dd AS (SELECT day,
+              MAX(rev) OVER (ORDER BY day) - rev AS d
+       FROM daily)
+SELECT MIN(day) AS trough_day,
+       CAST(MAX(d) AS BIGINT) AS max_drawdown_cents
+FROM dd WHERE d = (SELECT MAX(d) FROM dd)
+"""
+
+
+def docs_compaction_plan(sf_dir: str, target_bytes: int = 1 << 14):
+    """Small-file compaction plan over the documents corpus treated as
+    a file manifest (file = doc, size = utf8 byte length):
+    first-fit-decreasing packing into 16 KiB bins (sized so every
+    test scale produces a multi-bin plan; a real table-maintenance run
+    passes its format's target, e.g. 512 MiB)
+    (functions/partitions.py ``compaction_plan``), reported per bin as
+    (bin_id, n_files, total_bytes). The manifest — one row per FILE —
+    is the only thing that ever reaches the sequential FFD task;
+    rows-only registry entry (FFD is not SQL-expressible), its real
+    oracle is the pure-Python FFD parity + packing invariants in
+    tests/test_new_ops.py."""
+    from .functions.partitions import compaction_plan
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def manifest(t: pa.Table) -> pa.Table:
+        nbytes = pc.binary_length(
+            pc.cast(t["text"], pa.binary())) if t.num_rows else \
+            pa.array([], pa.int32())
+        return pa.table({"file_id": t["doc_id"],
+                         "bytes": pc.cast(nbytes, pa.int64())})
+
+    plan = compaction_plan(docs.map_batches(manifest,
+                                            batch_format="pyarrow"),
+                           target_bytes=target_bytes)
+    return (plan.groupby("bin_id")
+            .aggregate(Count(alias_name="n_files"),
+                       Sum("bytes", alias_name="total_bytes"))
+            .sort("bin_id"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15920,6 +16104,9 @@ def queries():
         "emb_dim_stats": emb_dim_stats,
         "part_name_resolution": part_name_resolution,
         "events_trimmed_mean": events_trimmed_mean,
+        "cust_supp_balance_band": cust_supp_balance_band,
+        "orders_revenue_drawdown": orders_revenue_drawdown,
+        "docs_compaction_plan": docs_compaction_plan,
     }
 
 
@@ -16174,6 +16361,8 @@ def oracle_sql():
         "emb_dim_stats": _EMB_DIM_STATS_SQL,
         "part_name_resolution": _PART_NAME_RESOLUTION_SQL,
         "events_trimmed_mean": _EVENTS_TRIMMED_MEAN_SQL,
+        "cust_supp_balance_band": _CUST_SUPP_BAND_SQL,
+        "orders_revenue_drawdown": _ORDERS_DRAWDOWN_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -815,3 +815,54 @@ def test_zorder_audit_beats_single_key_layouts(ray_session):
     assert got.loc["zorder", "total_zone_span"] == span((okey, z))
     assert got.loc["custkey", "total_zone_span"] == span((okey, x))
     assert got.loc["insertion", "total_zone_span"] == span((okey,))
+
+
+def test_compaction_plan_ffd_parity(ray_session):
+    """compaction_plan == a pure-Python first-fit-decreasing reference
+    (bin-for-bin), plus the packing invariants: bytes preserved, no bin
+    over target unless it holds a single oversized file, deterministic
+    under any input layout."""
+    import random
+
+    from information_extraction_system_ray.functions.partitions import \
+        compaction_plan
+
+    def ffd_ref(items, target):
+        order = sorted(items, key=lambda x: (-x[1], x[0]))
+        bins, rem = {}, []
+        for fid, s in order:
+            for b, cap in enumerate(rem):
+                if s <= cap:
+                    rem[b] -= s
+                    bins[fid] = b
+                    break
+            else:
+                bins[fid] = len(rem)
+                rem.append(max(target - s, 0))
+        return bins
+
+    rng = random.Random(11)
+    items = [(i, rng.randrange(1, 400)) for i in range(300)]
+    items += [(1000, 900), (1001, 2500)]      # oversized file
+    target = 1000
+
+    def run(nparts):
+        df = pd.DataFrame({"file_id": [f for f, _ in items],
+                           "bytes": [s for _, s in items]})
+        ds = _rd(df.sample(frac=1, random_state=nparts))  # shuffled layout
+        out = compaction_plan(ds.repartition(nparts),
+                              target_bytes=target).to_pandas()
+        return dict(zip(out["file_id"], out["bin_id"])), out
+
+    want = ffd_ref(items, target)
+    got, out = run(4)
+    assert got == want
+    got1, _ = run(1)
+    assert got1 == want
+
+    sizes = dict(items)
+    per_bin = out.groupby("bin_id").agg(n=("file_id", "size"),
+                                        total=("bytes", "sum"))
+    assert int(out["bytes"].sum()) == sum(sizes.values())
+    over = per_bin[per_bin["total"] > target]
+    assert (over["n"] == 1).all()             # only oversized singletons
