@@ -612,6 +612,112 @@ def dag_longest_paths(edges: ray.data.Dataset, *, u: str = "u",
                      batch_format="pyarrow")
 
 
+def scc_labels(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
+               num_partitions: "int | None" = None,
+               max_outer: int = 50) -> ray.data.Dataset:
+    """STRONGLY connected components of a directed edge list —
+    Dataset(node, scc) where scc = the component's minimum node id.
+    Trim-and-intersect (the label-intersection variant of FW–BW /
+    Orzan coloring): each outer round runs TWO directed min-label
+    propagations on the Pregel shard ring (stages/pregel.py
+    mode="minlabel_directed") — forward (min id that reaches the node)
+    and backward (min id the node reaches). Nodes whose labels AGREE
+    (=w) satisfy w→v and v→w, so v ∈ SCC(w); SCC members share
+    ancestor and descendant sets, so agreement settles COMPLETE SCCs
+    with their true min label, and the SCC of the globally minimal
+    remaining id always settles ⇒ guaranteed progress. Settled nodes'
+    edges drop via two distributed anti-joins; unsettled nodes whose
+    edges all vanished are singleton SCCs (an SCC between unsettled
+    nodes never loses its internal edges). Rounds ≤ #SCCs worst case
+    (adversarial id order); small in practice. Raises after
+    ``max_outer`` rounds."""
+    from ..stages.pregel import run_propagation
+    from .joins import anti_join
+    from .lineage import snapshot
+
+    nparts = num_partitions or default_parts()
+    ktype = edges.schema().base_schema.field(u).type
+    out_schema = pa.schema([("node", ktype), ("scc", ktype)])
+
+    def all_nodes(ds: ray.data.Dataset) -> ray.data.Dataset:
+        def endpoints(t: pa.Table) -> pa.Table:
+            if u not in t.column_names:
+                return pa.schema([("node", ktype)]).empty_table()
+            return pa.concat_tables([pa.table({"node": t[u]}),
+                                     pa.table({"node": t[v]})])
+        return (ds.map_batches(endpoints, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_c"))
+                .map_batches(lambda t: (t.select(["node"])
+                                        if "node" in t.column_names else
+                                        pa.schema([("node", ktype)])
+                                        .empty_table()),
+                             batch_format="pyarrow"))
+
+    nodes0 = all_nodes(edges).materialize()
+
+    mem = pa.schema([("node", ktype), ("lbl", ktype), ("part", pa.int64()),
+                     ("side", pa.int8())])
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "node": t["node"], "lbl": t["label"],
+                "part": _hash_part_col(t, "node", nparts),
+                "side": pa.array(np.full(n, side, np.int8), pa.int8())}
+            ).cast(mem)
+        return fn
+
+    def agree(part: pa.Table) -> pa.Table:
+        f = part.filter(pc.equal(part["side"], 0))
+        b = part.filter(pc.equal(part["side"], 1))
+        if f.num_rows == 0 or b.num_rows == 0:
+            return out_schema.empty_table()
+        bmap = dict(zip(b["node"].to_pylist(), b["lbl"].to_pylist()))
+        nm = f["node"].to_pylist()
+        fl = f["lbl"].to_pylist()
+        keep = [i for i, (x, l) in enumerate(zip(nm, fl))
+                if bmap.get(x) == l]
+        return pa.table({"node": [nm[i] for i in keep],
+                         "scc": [fl[i] for i in keep]}).cast(out_schema)
+
+    settled_parts: "list[ray.data.Dataset]" = []
+    cur = snapshot(edges, num_blocks=nparts)
+    for _ in range(max_outer):
+        if cur.count() == 0:
+            break
+        lf = run_propagation(cur, mode="minlabel_directed",
+                             src_col=u, dst_col=v, num_partitions=nparts)
+        lb = run_propagation(cur, mode="minlabel_directed",
+                             src_col=v, dst_col=u, num_partitions=nparts)
+        settled = snapshot(
+            lf.map_batches(tag(0), batch_format="pyarrow")
+            .union(lb.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("part").map_groups(agree, batch_format="pyarrow"))
+        settled_parts.append(settled)
+        cur = anti_join(cur, settled, left_key=u, right_key="node",
+                        num_partitions=nparts)
+        cur = snapshot(anti_join(cur, settled, left_key=v,
+                                 right_key="node",
+                                 num_partitions=nparts),
+                       num_blocks=nparts)
+    else:
+        raise RuntimeError(f"scc_labels: not settled in {max_outer} "
+                           f"outer rounds")
+
+    done = settled_parts[0]
+    for s in settled_parts[1:]:
+        done = done.union(s)
+    # unsettled nodes that lost every edge: singleton SCCs
+    singles = anti_join(nodes0, done, left_key="node", right_key="node",
+                        num_partitions=nparts) \
+        .map_batches(lambda t: pa.table({"node": t["node"],
+                                         "scc": t["node"]}
+                                        ).cast(out_schema),
+                     batch_format="pyarrow")
+    return done.union(singles)
+
+
 def label_propagation(edges: ray.data.Dataset, *, rounds: int = 5,
                       num_partitions: "int | None" = None
                       ) -> ray.data.Dataset:

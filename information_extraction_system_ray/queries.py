@@ -15795,6 +15795,132 @@ def docs_compaction_plan(sf_dir: str, target_bytes: int = 1 << 14):
             .sort("bin_id"))
 
 
+def events_user_scc(sf_dir: str):
+    """Strongly-connected-component size histogram of the DIRECTED
+    user-influence graph — edge u→v when some user u fired an event
+    type in hour h and v fired the SAME type in hour h+1 (the
+    "possibly-influenced" lattice): scc_size → n_sccs. SCC via
+    functions/graphops.py ``scc_labels`` (FW–BW label intersection on
+    the directed Pregel ring; Tarjan-parity-tested). Edge construction
+    is one self-join of the distinct (type, hour, user) table on
+    (type, hour+1), co-partitioned by (type, hour) — only distinct
+    triples shuffle, never raw events. SQL oracle: recursive
+    transitive closure + mutual-reachability min-label (exact — the
+    user universe is corpus-bounded, fine at oracle scales)."""
+    from .functions.graphops import scc_labels
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_type"])
+
+    def thu(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                       pa.timestamp("us"))
+        return pa.table({"t": t["event_type"], "h": hour,
+                         "user": t["user_id"]}) \
+            .group_by(["t", "h", "user"]).aggregate([]) \
+            .rename_columns(["t", "h", "user"])
+
+    thu_ds = (ev.map_batches(thu, batch_format="pyarrow")
+              .groupby(["t", "h", "user"]).aggregate(
+                  Count(alias_name="_c")))
+
+    mem = pa.schema([("t", pa.string()), ("h", pa.timestamp("us")),
+                     ("user", pa.int64()), ("side", pa.int8()),
+                     ("part", pa.int64())])
+
+    def _th_part(t: pa.Table) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["t"].to_pandas(),
+                          "b": t["h"].to_pandas()}), index=False) % 16
+        return pa.array(h.to_numpy(), pa.int64())
+
+    def tag_cur(t: pa.Table) -> pa.Table:
+        # pin µs BEFORE hashing: the upstream aggregate narrows h to
+        # timestamp[s], and pd.util.hash_pandas_object hashes the raw
+        # int64 repr — a [s] row and its [us] successor twin would
+        # land in different partitions (seen: 16 of 161 edges built)
+        n = len(t)
+        out = pa.table({"t": t["t"],
+                        "h": pc.cast(t["h"], pa.timestamp("us")),
+                        "user": t["user"],
+                        "side": pa.array(np.zeros(n, np.int8), pa.int8())})
+        return out.append_column("part", _th_part(out)).cast(mem)
+
+    def tag_next(t: pa.Table) -> pa.Table:
+        # shift h back one hour: a (t, h+1, v) row must land in the
+        # (t, h) partition to meet its predecessors
+        n = len(t)
+        h_prev = pc.subtract(
+            t["h"], pa.scalar(np.timedelta64(3600, "s")))
+        out = pa.table({"t": t["t"],
+                        "h": pc.cast(h_prev, pa.timestamp("us")),
+                        "user": t["user"],
+                        "side": pa.array(np.ones(n, np.int8), pa.int8())})
+        return out.append_column("part", _th_part(out)).cast(mem)
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def make_edges(g: pd.DataFrame) -> pa.Table:
+        us, vs = [], []
+        for _, grp in g.groupby(["t", "h"], sort=False):
+            a = np.unique(grp.loc[grp["side"] == 0, "user"].to_numpy())
+            b = np.unique(grp.loc[grp["side"] == 1, "user"].to_numpy())
+            if len(a) == 0 or len(b) == 0:
+                continue
+            ia, ib = np.meshgrid(a, b, indexing="ij")
+            us.append(ia.ravel())
+            vs.append(ib.ravel())
+        if not us:
+            return edge_schema.empty_table()
+        uu = np.concatenate(us)
+        vv = np.concatenate(vs)
+        keep = uu != vv
+        return pa.table({"u": pa.array(uu[keep], pa.int64()),
+                         "v": pa.array(vv[keep], pa.int64())}
+                        ).cast(edge_schema)
+
+    edges = (thu_ds.map_batches(tag_cur, batch_format="pyarrow")
+             .union(thu_ds.map_batches(tag_next, batch_format="pyarrow"))
+             .groupby("part").map_groups(make_edges,
+                                         batch_format="pandas")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+             .map_batches(lambda t: (t.select(["u", "v"])
+                                     if "u" in t.column_names
+                                     else edge_schema.empty_table()),
+                          batch_format="pyarrow"))
+
+    labels = scc_labels(edges, num_partitions=16)
+    sizes = labels.groupby("scc").aggregate(Count(alias_name="scc_size"))
+    return (sizes.groupby("scc_size")
+            .aggregate(Count(alias_name="n_sccs")).sort("scc_size"))
+
+
+_EVENTS_USER_SCC_SQL = """
+WITH RECURSIVE thu AS (SELECT DISTINCT event_type t,
+                                       date_trunc('hour', ts) h,
+                                       user_id u
+                       FROM events),
+e AS (SELECT DISTINCT a.u AS u, b.u AS v
+      FROM thu a JOIN thu b
+        ON a.t = b.t AND b.h = a.h + INTERVAL 1 HOUR AND a.u <> b.u),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+reach(s, d) AS (
+    SELECT u, v FROM e
+    UNION
+    SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.d
+),
+mutual AS (SELECT r1.s AS node, r1.d AS partner
+           FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s),
+lab AS (SELECT node, MIN(p) AS scc FROM (
+            SELECT n AS node, n AS p FROM nodes
+            UNION ALL SELECT node, partner FROM mutual)
+        GROUP BY node),
+sizes AS (SELECT scc, COUNT(*) AS sz FROM lab GROUP BY scc)
+SELECT CAST(sz AS BIGINT) AS scc_size, CAST(COUNT(*) AS BIGINT) AS n_sccs
+FROM sizes GROUP BY sz ORDER BY scc_size
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16107,6 +16233,7 @@ def queries():
         "cust_supp_balance_band": cust_supp_balance_band,
         "orders_revenue_drawdown": orders_revenue_drawdown,
         "docs_compaction_plan": docs_compaction_plan,
+        "events_user_scc": events_user_scc,
     }
 
 
@@ -16363,6 +16490,7 @@ def oracle_sql():
         "events_trimmed_mean": _EVENTS_TRIMMED_MEAN_SQL,
         "cust_supp_balance_band": _CUST_SUPP_BAND_SQL,
         "orders_revenue_drawdown": _ORDERS_DRAWDOWN_SQL,
+        "events_user_scc": _EVENTS_USER_SCC_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -49,7 +49,8 @@ class PropagationShard:
     def __init__(self, pid: int, num_parts: int, mode: str = "minlabel",
                  source=None, node_type: "pa.DataType | None" = None
                  ) -> None:
-        if mode not in ("minlabel", "bfs", "sssp", "longest"):
+        if mode not in ("minlabel", "bfs", "sssp", "longest",
+                        "minlabel_directed"):
             raise ValueError(f"unknown mode {mode!r}")
         self.pid = pid
         self.P = num_parts
@@ -78,7 +79,7 @@ class PropagationShard:
     def build(self) -> int:
         import pandas as pd
         weighted = self.mode == "sssp"
-        directed = self.mode == "longest"
+        directed = self.mode in ("longest", "minlabel_directed")
         if self._pend_nodes:
             df = pd.DataFrame({
                 "node": np.concatenate(self._pend_nodes),
@@ -116,7 +117,7 @@ class PropagationShard:
             df["other"], index=False) % self.P).to_numpy() \
             .astype(np.int64)[keep]
         n = len(self.nodes)
-        if self.mode == "minlabel":
+        if self.mode in ("minlabel", "minlabel_directed"):
             self.values = self.nodes.copy()
             self.changed = np.ones(n, dtype=bool)
         elif self.mode == "longest":          # every node is a source
@@ -194,6 +195,10 @@ class PropagationShard:
             return pa.table({
                 "node": pa.array(self.nodes.tolist(), pa.string()),
                 "label": pa.array(self.values.tolist(), pa.string())})
+        if self.mode == "minlabel_directed":
+            return pa.table({
+                "node": pa.array(self.nodes.tolist(), self.node_type),
+                "label": pa.array(self.values.tolist(), self.node_type)})
         keep = self.values >= 0
         return pa.table({
             "node": pa.array(self.nodes[keep].tolist(), self.node_type),
@@ -210,7 +215,11 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
     (reachable nodes only) for "bfs" and "sssp" (the weighted min-plus
     semiring over ``weight_col`` int64 costs, undirected), and
     Dataset(node, dist) = longest-path level of EVERY node for
-    "longest" (directed max-plus over a DAG; raises on cycles)."""
+    "longest" (directed max-plus over a DAG; raises on cycles), and
+    Dataset(node, label) = min id with a DIRECTED PATH to the node
+    (self included) for "minlabel_directed" — the forward/backward
+    reachability half of SCC trim-and-intersect
+    (graphops.scc_labels)."""
     import pandas as pd
 
     if mode == "sssp" and weight_col is None:
@@ -232,7 +241,7 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
             w1 = t[weight_col].combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             warr = np.concatenate([w1, w1])   # both directions, same cost
-        if mode == "longest":                 # directed: flag the fwd half
+        if mode in ("longest", "minlabel_directed"):  # flag the fwd half
             half = t.num_rows
             farr = np.zeros(2 * half, dtype=bool)
             farr[:half] = True
@@ -274,7 +283,8 @@ def run_propagation(edges: ray.data.Dataset, *, mode: str,
             # longest left unconverged would be silently WRONG
             # labels/distances (and for "longest" a non-converging run
             # means the input graph has a CYCLE), so all three raise
-            if mode in ("minlabel", "sssp", "longest"):
+            if mode in ("minlabel", "sssp", "longest",
+                        "minlabel_directed"):
                 raise RuntimeError(
                     f"{mode} propagation did not converge "
                     f"in {max_rounds} rounds")

@@ -388,6 +388,99 @@ def test_dag_longest_paths_matches_brute_force(ray_session):
         run([(0, 1), (1, 2), (2, 0)])         # 3-cycle never converges
 
 
+def test_scc_labels_matches_tarjan(ray_session):
+    """scc_labels (FW-BW label intersection on the directed Pregel
+    ring) equals pure-Python Tarjan on: a 3-cycle + tail, two cycles
+    joined by a one-way bridge (must NOT merge), a DAG (all
+    singletons), adversarial id order (min ids placed to force multi
+    outer rounds), and random digraphs; layout-invariant."""
+    import random
+    import sys
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        scc_labels
+
+    def tarjan(edges):
+        adj = {}
+        nodes = set()
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            nodes.update((a, b))
+        sys.setrecursionlimit(10000)
+        idx, low, onstk, stk = {}, {}, set(), []
+        out, cnt = {}, [0]
+
+        def strong(x):
+            idx[x] = low[x] = cnt[0]
+            cnt[0] += 1
+            stk.append(x)
+            onstk.add(x)
+            for y in adj.get(x, []):
+                if y not in idx:
+                    strong(y)
+                    low[x] = min(low[x], low[y])
+                elif y in onstk:
+                    low[x] = min(low[x], idx[y])
+            if low[x] == idx[x]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == x:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+
+        for n in sorted(nodes):
+            if n not in idx:
+                strong(n)
+        return out
+
+    def run(edges, nparts=3):
+        t = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        out = scc_labels(rd.from_arrow(t).repartition(nparts),
+                         num_partitions=3)
+        return {r["node"]: r["scc"] for r in out.take_all()}
+
+    cyc_tail = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    assert run(cyc_tail) == tarjan(cyc_tail)
+
+    # two 2-cycles, one-way bridge: {10,11} and {20,21} must NOT merge
+    bridge = [(10, 11), (11, 10), (20, 21), (21, 20), (11, 20)]
+    got = run(bridge)
+    assert got == tarjan(bridge)
+    assert got[10] != got[20]
+
+    dag = [(i, i + 1) for i in range(8)]
+    assert run(dag) == tarjan(dag)
+
+    # adversarial: chain of 2-cycles with ids ordered so only ONE
+    # component can settle per outer round (the backward min always
+    # bleeds from the settled side)
+    adv = []
+    for i in range(5):
+        a, b = 2 * i, 2 * i + 1
+        adv += [(a, b), (b, a)]
+        if i:
+            adv.append((2 * (i - 1), a))
+    assert run(adv) == tarjan(adv)
+
+    rng = random.Random(3)
+    for trial in range(3):
+        nodes = list(range(30))
+        rand = sorted({(rng.choice(nodes), rng.choice(nodes))
+                       for _ in range(70)})
+        rand = [(a, b) for a, b in rand if a != b]
+        want = tarjan(rand)
+        assert run(rand) == want
+        if trial == 0:
+            assert run(rand, nparts=1) == want
+
+
 def test_part_graph_sssp_query_matches_duckdb_dijkstra(ray_session):
     """End-to-end oracle for the registry query: derive the weighted
     co-occurrence edges INDEPENDENTLY in DuckDB (same basket semantics
