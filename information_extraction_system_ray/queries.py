@@ -15921,6 +15921,184 @@ FROM sizes GROUP BY sz ORDER BY scc_size
 """
 
 
+def events_user_ewma(sf_dir: str, alpha: float = 0.3):
+    """Exponentially weighted moving average per user (α = 0.3,
+    adjust=False: y_t = α·x_t + (1−α)·y_{t−1}, y_0 = x_0) — the
+    streaming-smoother window no cumsum shortcut exists for; reported
+    as the LAST smoothed value per user, 6 dp. Float contract: both
+    engines run the identical recurrence in float64 in (ts, event_id)
+    order — Ray via pandas ewm (C loop) inside hash-partitioned
+    per-user groups, the oracle via a DuckDB recursive CTE walking
+    rn → rn+1 — so the doubles agree bit-for-bit before rounding."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_id", "value"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("ewma_last", pa.float64())])
+
+    def smooth(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        last = g.groupby("user_id", sort=True)["value"] \
+            .apply(lambda s: s.ewm(alpha=alpha, adjust=False)
+                   .mean().iloc[-1])
+        n = g.groupby("user_id", sort=True)["value"].size()
+        return pa.table({"user_id": pa.array(last.index.to_numpy(),
+                                             pa.int64()),
+                         "n_events": pa.array(n.to_numpy(), pa.int64()),
+                         "ewma_last": pa.array(np.round(last.to_numpy(),
+                                                        6))}
+                        ).cast(out_schema)
+
+    return (ev.groupby("user_id")
+            .map_groups(smooth, batch_format="pandas")
+            .sort("user_id"))
+
+
+_EVENTS_EWMA_SQL = """
+WITH RECURSIVE r AS (SELECT user_id, value,
+                            ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn,
+                            COUNT(*) OVER (PARTITION BY user_id) AS n
+                     FROM events),
+walk(user_id, rn, n, y) AS (
+    SELECT user_id, rn, n, value FROM r WHERE rn = 1
+    UNION ALL
+    SELECT r.user_id, r.rn, r.n, 0.3 * r.value + 0.7 * w.y
+    FROM walk w JOIN r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(y, 6) AS ewma_last
+FROM walk WHERE rn = n ORDER BY user_id
+"""
+
+
+def docs_trigram_search(sf_dir: str, pattern: str = "batch stream"):
+    """Trigram-INDEX-accelerated substring search (the pg_trgm /
+    code-search-engine plan for %LIKE% over a corpus): build character
+    -trigram postings once, keep only docs whose trigram set contains
+    ALL pattern trigrams (a necessary condition ⇒ lossless filter),
+    verify survivors with one vectorized substring count. Output
+    (doc_id, n_hits) for matching docs. Scale shape: postings are
+    built per batch and pre-filtered against the ≤len(pattern) pattern
+    trigrams BEFORE any shuffle (the full index never materializes for
+    a single probe — only candidate (doc, trigram) rows move), the
+    ALL-trigrams check is one count groupby, and verification touches
+    candidates only."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = pattern.lower()
+    pat_tris = sorted({pat[i:i + 3] for i in range(len(pat) - 2)})
+    n_tris = len(pat_tris)
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        ids, tris = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            s = (txt or "").lower()
+            seen = {s[i:i + 3] for i in range(len(s) - 2)}
+            for tri in pat_tris:              # pre-filter: probe trigrams only
+                if tri in seen:
+                    ids.append(did)
+                    tris.append(tri)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tri": pa.array(tris, pa.string())})
+
+    cands = (docs.map_batches(cand_rows, batch_format="pyarrow")
+             .groupby("doc_id").aggregate(Count(alias_name="n_tri"))
+             .map_batches(lambda t: (t.filter(pc.equal(
+                 t["n_tri"], pa.scalar(n_tris, pa.int64())))
+                 .select(["doc_id"]) if "doc_id" in t.column_names
+                 else pa.schema([("doc_id", pa.int64())]).empty_table()),
+                 batch_format="pyarrow"))
+
+    from .functions.joins import semi_join
+    hits = semi_join(docs, cands, left_key="doc_id", right_key="doc_id")
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_hits", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n = [(txt or "").lower().count(pat) for txt in texts]
+        keep = [i for i, c in enumerate(n) if c > 0]
+        return pa.table({"doc_id": pa.array([ids[i] for i in keep],
+                                            pa.int64()),
+                         "n_hits": pa.array([n[i] for i in keep],
+                                            pa.int64())}).cast(out_schema)
+
+    seed = ray.data.from_arrow(out_schema.empty_table())
+    return (hits.map_batches(verify, batch_format="pyarrow")
+            .union(seed).sort("doc_id"))
+
+
+_DOCS_TRIGRAM_SQL = """
+SELECT doc_id,
+       CAST((length(lower(text))
+             - length(replace(lower(text), 'batch stream', '')))
+            // length('batch stream') AS BIGINT) AS n_hits
+FROM documents
+WHERE contains(lower(text), 'batch stream')
+ORDER BY doc_id
+"""
+
+
+def orders_avro_roundtrip(sf_dir: str):
+    """Avro Object Container File source/sink
+    (sources/avrofile.py — pure-stdlib spec-1.11 codec, zigzag-varint
+    longs, deterministic sync marker): orders → one .avro file per
+    block under /tmp → ``read_binary_files`` + per-file decode →
+    per-status count + exact cents sum. The oracle runs on the
+    original parquet view, so equality proves the round-trip lossless
+    — the same contract the ORC/IPC/gzip-NDJSON roundtrips carry."""
+    import os
+    import shutil
+    import uuid
+
+    from .sources.avrofile import read_avro, write_avro
+
+    out_dir = f"/tmp/ies_avro_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+        write_avro(t, path)
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    read_table(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(write_block, batch_format="pyarrow").sum("n")
+
+    def read_block(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([read_avro(raw)
+                                 for raw in t["bytes"].to_pylist()])
+
+    back = (ray.data.read_binary_files(out_dir)
+            .map_batches(read_block, batch_format="pyarrow"))
+
+    def agg_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "key": t["o_orderkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    return (back.map_batches(agg_rows, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n"),
+                       Sum("key", alias_name="sum_key"),
+                       Sum("cents", alias_name="sum_cents"))
+            .sort("o_orderstatus"))
+
+
+_ORDERS_AVRO_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16234,6 +16412,9 @@ def queries():
         "orders_revenue_drawdown": orders_revenue_drawdown,
         "docs_compaction_plan": docs_compaction_plan,
         "events_user_scc": events_user_scc,
+        "events_user_ewma": events_user_ewma,
+        "docs_trigram_search": docs_trigram_search,
+        "orders_avro_roundtrip": orders_avro_roundtrip,
     }
 
 
@@ -16491,6 +16672,9 @@ def oracle_sql():
         "cust_supp_balance_band": _CUST_SUPP_BAND_SQL,
         "orders_revenue_drawdown": _ORDERS_DRAWDOWN_SQL,
         "events_user_scc": _EVENTS_USER_SCC_SQL,
+        "events_user_ewma": _EVENTS_EWMA_SQL,
+        "docs_trigram_search": _DOCS_TRIGRAM_SQL,
+        "orders_avro_roundtrip": _ORDERS_AVRO_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -130,3 +130,37 @@ def test_pages_link_stats_matches_refimpl(ray_session):
         assert int(got.loc[d, "n_links"]) == n_links[d]
         assert int(got.loc[d, "n_external"]) == n_ext[d]
         assert int(got.loc[d, "n_unique_targets"]) == len(targets[d])
+
+
+def test_avro_codec_roundtrip():
+    """sources/avrofile.py: lossless OCF roundtrip over int64 extremes,
+    signed zigzag, unicode/long strings, booleans; byte-deterministic;
+    non-null codec and bad magic reject."""
+    import pyarrow as pa
+    import pytest
+
+    from information_extraction_system_ray.sources.avrofile import (
+        read_avro, write_avro)
+
+    t = pa.table({
+        "a": pa.array([0, 1, -1, 2**62, -2**62, 63, -64], pa.int64()),
+        "b": pa.array([0.0, -0.0, 1e300, -1e-300, 2.5, -2.5, 3.0],
+                      pa.float64()),
+        "s": pa.array(["", "héllo", "x" * 5000, "a\nb", "séno", "t", "u"],
+                      pa.string()),
+        "f": pa.array([True, False, True, False, True, False, True],
+                      pa.bool_())})
+    write_avro(t, "/tmp/ies_avro_test.avro", rows_per_block=3)
+    assert read_avro("/tmp/ies_avro_test.avro").equals(t)
+
+    write_avro(t, "/tmp/ies_avro_test2.avro", rows_per_block=3)
+    assert open("/tmp/ies_avro_test.avro", "rb").read() == \
+        open("/tmp/ies_avro_test2.avro", "rb").read()
+
+    with pytest.raises(ValueError):
+        read_avro(b"NOPE" + b"\x00" * 32)
+    raw = bytearray(open("/tmp/ies_avro_test.avro", "rb").read())
+    idx = raw.find(b"null", raw.find(b"avro.codec"))
+    raw[idx:idx + 4] = b"defl"           # pretend deflate
+    with pytest.raises(ValueError):
+        read_avro(bytes(raw))
