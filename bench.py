@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     # round-4 continuation (new operator families at their heaviest)
     "docs_winnow_pairs", "lineitem_star_flatten",
     "events_user_trailing_distinct", "media_phash_pairs",
+    # round-4 final session (directed-graph / linkage / format families)
+    "part_dag_levels", "events_user_scc", "part_name_resolution",
+    "cust_supp_balance_band", "docs_trigram_search",
+    "orders_avro_roundtrip",
 ]
 
 

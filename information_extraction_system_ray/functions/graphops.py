@@ -653,8 +653,6 @@ def scc_labels(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
                                         .empty_table()),
                              batch_format="pyarrow"))
 
-    nodes0 = all_nodes(edges).materialize()
-
     mem = pa.schema([("node", ktype), ("lbl", ktype), ("part", pa.int64()),
                      ("side", pa.int8())])
 
@@ -683,6 +681,9 @@ def scc_labels(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
 
     settled_parts: "list[ray.data.Dataset]" = []
     cur = snapshot(edges, num_blocks=nparts)
+    # node universe from the SNAPSHOT — reading the lazy input twice
+    # would re-execute the caller's whole edge-construction pipeline
+    nodes0 = all_nodes(cur).materialize()
     for _ in range(max_outer):
         if cur.count() == 0:
             break

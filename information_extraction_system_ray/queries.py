@@ -15820,9 +15820,11 @@ def events_user_scc(sf_dir: str):
             .group_by(["t", "h", "user"]).aggregate([]) \
             .rename_columns(["t", "h", "user"])
 
+    # materialized: consumed by BOTH the cur and next tag branches —
+    # lazily the union would re-execute the distinct aggregate twice
     thu_ds = (ev.map_batches(thu, batch_format="pyarrow")
               .groupby(["t", "h", "user"]).aggregate(
-                  Count(alias_name="_c")))
+                  Count(alias_name="_c"))).materialize()
 
     mem = pa.schema([("t", pa.string()), ("h", pa.timestamp("us")),
                      ("user", pa.int64()), ("side", pa.int8()),
@@ -15879,17 +15881,15 @@ def events_user_scc(sf_dir: str):
                          "v": pa.array(vv[keep], pa.int64())}
                         ).cast(edge_schema)
 
+    # no (u,v) dedup shuffle: the propagation shards drop_duplicates at
+    # build, and edge multiplicity cannot change an SCC
     edges = (thu_ds.map_batches(tag_cur, batch_format="pyarrow")
              .union(thu_ds.map_batches(tag_next, batch_format="pyarrow"))
              .groupby("part").map_groups(make_edges,
-                                         batch_format="pandas")
-             .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
-             .map_batches(lambda t: (t.select(["u", "v"])
-                                     if "u" in t.column_names
-                                     else edge_schema.empty_table()),
-                          batch_format="pyarrow"))
+                                         batch_format="pandas"))
 
-    labels = scc_labels(edges, num_partitions=16)
+    labels = scc_labels(edges, num_partitions=_join_parts(sf_dir,
+                                                          "events"))
     sizes = labels.groupby("scc").aggregate(Count(alias_name="scc_size"))
     return (sizes.groupby("scc_size")
             .aggregate(Count(alias_name="n_sccs")).sort("scc_size"))

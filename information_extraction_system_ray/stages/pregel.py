@@ -117,6 +117,34 @@ class PropagationShard:
             df["other"], index=False) % self.P).to_numpy() \
             .astype(np.int64)[keep]
         n = len(self.nodes)
+        # Local-fixpoint split (round 4): for the FIXPOINT modes
+        # (convergence-defined results — not BFS, whose hop count IS
+        # the semantics via the truncation contract), edges whose dst
+        # lives in THIS shard relax in-memory to a local fixpoint
+        # inside apply(); only cross-shard edges pay ring rounds. The
+        # global round count drops from the graph's path depth to its
+        # CROSS-SHARD depth — the win that made part_dag_levels and
+        # scc practical (a 100-deep chain inside one shard was 100
+        # rings before, 0 after). A dst with dst_part == pid is always
+        # present in self.nodes (route ships both directions, ghosts
+        # included), so the searchsorted index is total.
+        self.local_fix = self.mode in ("minlabel", "minlabel_directed",
+                                       "longest", "sssp")
+        if self.local_fix:
+            is_local = self.dst_part == self.pid
+            self.l_src = self.edge_src[is_local]
+            self.l_dst_idx = np.searchsorted(
+                self.nodes, self.edge_dst[is_local]).astype(np.int64)
+            self.l_w = self.edge_w[is_local] if weighted else None
+            self.r_src = self.edge_src[~is_local]
+            self.r_dst = self.edge_dst[~is_local]
+            self.r_w = self.edge_w[~is_local] if weighted else None
+            self.r_part = self.dst_part[~is_local]
+            self.edge_src = self.edge_dst = None
+            self.edge_w = self.dst_part = None
+        else:
+            self.r_src, self.r_dst = self.edge_src, self.edge_dst
+            self.r_w, self.r_part = self.edge_w, self.dst_part
         if self.mode in ("minlabel", "minlabel_directed"):
             self.values = self.nodes.copy()
             self.changed = np.ones(n, dtype=bool)
@@ -130,23 +158,72 @@ class PropagationShard:
             if n and i < n and self.nodes[i] == self.source:
                 self.values[i] = 0
                 self.changed[i] = True
+        self._relax_local()       # settle shard-internal paths pre-round-1
         return n
+
+    def _relax_local(self) -> None:
+        """In-shard relaxation to fixpoint over local-destination edges
+        (fixpoint modes only). Improvements accumulate into
+        ``self.changed`` so the next push() forwards them across
+        shards; the sweep frontier is separate so settled-but-unpushed
+        nodes stay marked. Bellman-Ford bounds sweeps at |nodes| for
+        min-plus/min-label; exceeding it in max-plus means an in-shard
+        CYCLE — raise (the distributed counterpart raises via
+        max_rounds)."""
+        import pandas as pd
+        if not getattr(self, "local_fix", False) or len(self.l_src) == 0:
+            return
+        frontier = self.changed.copy()
+        sweeps = 0
+        while frontier.any():
+            m = frontier[self.l_src]
+            if not m.any():
+                return
+            cand = self.values[self.l_src[m]]
+            if self.mode == "longest":
+                cand = cand + 1
+            elif self.mode == "sssp":
+                cand = cand + self.l_w[m]
+            g = pd.DataFrame({"i": self.l_dst_idx[m], "c": cand}) \
+                .groupby("i", sort=False)["c"] \
+                .agg("max" if self.mode == "longest" else "min")
+            idx = g.index.to_numpy()
+            best = g.to_numpy()
+            cur = self.values[idx]
+            if self.mode == "sssp":
+                better = (cur == -1) | (best < cur)
+            elif self.mode == "longest":
+                better = best > cur
+            else:
+                better = best < cur
+            frontier = np.zeros(len(self.nodes), dtype=bool)
+            if better.any():
+                self.values[idx[better]] = best[better]
+                frontier[idx[better]] = True
+                self.changed[idx[better]] = True
+            sweeps += 1
+            if sweeps > len(self.nodes) + 1:
+                raise RuntimeError(
+                    f"{self.mode}: local relaxation did not settle in "
+                    f"|nodes| sweeps"
+                    + (" — in-shard cycle" if self.mode == "longest"
+                       else ""))
 
     def push(self) -> None:
         import pandas as pd
         self.outbox = {}
-        if len(self.edge_src) == 0:
+        if len(self.r_src) == 0:
             return
-        m = self.changed[self.edge_src]
+        m = self.changed[self.r_src]
         if not m.any():
             return
-        cand = self.values[self.edge_src[m]]
+        cand = self.values[self.r_src[m]]
         if self.mode in ("bfs", "longest"):
             cand = cand + 1
         elif self.mode == "sssp":             # min-plus semiring
-            cand = cand + self.edge_w[m]
-        df = pd.DataFrame({"dst": self.edge_dst[m], "cand": cand,
-                           "p": self.dst_part[m]})
+            cand = cand + self.r_w[m]
+        df = pd.DataFrame({"dst": self.r_dst[m], "cand": cand,
+                           "p": self.r_part[m]})
         # per-destination min/max BEFORE the exchange (combiner)
         agg = "max" if self.mode == "longest" else "min"
         g = df.groupby(["p", "dst"], sort=False)["cand"] \
@@ -188,7 +265,8 @@ class PropagationShard:
         if better.any():
             self.values[idx[better]] = best[better]
             self.changed[idx[better]] = True
-        return int(better.sum())
+            self._relax_local()   # spread arrivals to the local fixpoint
+        return int(self.changed.sum())
 
     def result_table(self) -> pa.Table:
         if self.mode == "minlabel":
