@@ -719,6 +719,123 @@ def scc_labels(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
     return done.union(singles)
 
 
+def random_walks(edges: ray.data.Dataset, *, walk_len: int = 4,
+                 u: str = "u", v: str = "v", seed: int = 7,
+                 num_partitions: "int | None" = None) -> ray.data.Dataset:
+    """DETERMINISTIC random walks (the DeepWalk/node2vec corpus-prep
+    step, Perozzi 2014): one ``walk_len``-step walk from EVERY node of
+    the undirected graph; the step-s choice at node x is
+    sorted_neighbors[h(seed, start, s, x) mod deg] with h =
+    pd.util.hash_pandas_object — fully deterministic, layout-free, so
+    walks are reproducible without any shared RNG state (the property
+    a distributed walk engine actually needs). Returns
+    Dataset(start, path) with '>'-joined node ids.
+
+    Per step: ONE co-partitioned union+merge of the walk-state table
+    (|V| rows) against the adjacency partition — a vectorized
+    merge + per-(start) rank select, no Python loop over rows; the
+    adjacency materializes once and never reshuffles."""
+    nparts = num_partitions or default_parts()
+    ktype = edges.schema().base_schema.field(u).type
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t[u].combine_chunks(),
+                                      t[v].combine_chunks()]),
+            "nbr": pa.concat_arrays([t[v].combine_chunks(),
+                                     t[u].combine_chunks()])})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    state_schema = pa.schema([("start", ktype), ("cur", ktype),
+                              ("path", pa.string())])
+
+    def init_state(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return state_schema.empty_table()
+        s = pc.cast(t["node"], pa.string())
+        return pa.table({"start": t["node"], "cur": t["node"],
+                         "path": s}).cast(state_schema)
+
+    from ray.data.aggregate import Count as _Count
+    state = (adj.map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow")
+        .groupby("node").aggregate(_Count(alias_name="_c"))
+        .map_batches(init_state, batch_format="pyarrow")).materialize()
+
+    mem = pa.schema([("start", ktype), ("cur", ktype),
+                     ("path", pa.string()), ("nbr", ktype),
+                     ("part", pa.int64()), ("side", pa.int8())])
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"start": t["start"], "cur": t["cur"],
+                         "path": t["path"], "nbr": pa.nulls(n, ktype),
+                         "part": _hash_part_col(t, "cur", nparts),
+                         "side": pa.array(np.zeros(n, np.int8), pa.int8())}
+                        ).cast(mem)
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"start": pa.nulls(n, ktype), "cur": t["node"],
+                         "path": pa.nulls(n, pa.string()),
+                         "nbr": t["nbr"],
+                         "part": _hash_part_col(t, "node", nparts),
+                         "side": pa.array(np.ones(n, np.int8), pa.int8())}
+                        ).cast(mem)
+
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow") \
+        .materialize()
+
+    from .lineage import snapshot
+
+    for step in range(walk_len):
+        def step_merge(g: pd.DataFrame, _step=step) -> pa.Table:
+            # the union-tag nulls coerce int64 id columns to float64 in
+            # pandas — restore exact ints BEFORE hashing/formatting (a
+            # float "1.0" would silently change every hash key)
+            for col in ("start", "cur", "nbr"):
+                if pd.api.types.is_float_dtype(g[col]):
+                    g[col] = g[col].astype("Int64")
+            st = g[g["side"] == 0].copy()
+            ad = g[g["side"] == 1][["cur", "nbr"]] \
+                .drop_duplicates().sort_values(["cur", "nbr"])
+            if len(st) == 0:
+                return state_schema.empty_table()
+            for sub, cols in ((st, ("start", "cur")), (ad, ("cur", "nbr"))):
+                for col in cols:
+                    if str(sub[col].dtype) == "Int64":
+                        sub[col] = sub[col].astype(np.int64)
+            m = st[["start", "cur", "path"]].merge(ad, on="cur")
+            m["rank"] = m.groupby("start").cumcount()
+            deg = m.groupby("start")["rank"].transform("size")
+            hkey = pd.util.hash_pandas_object(
+                pd.Series([f"{seed}:{s}:{_step}:{c}" for s, c in
+                           zip(m["start"], m["cur"])]), index=False) \
+                .to_numpy()
+            # uint64 % int64 silently promotes to float64 in numpy and
+            # mangles the low bits — keep the modulo in uint64
+            sel = (hkey % deg.to_numpy().astype(np.uint64)) \
+                .astype(np.int64)
+            pick = m[m["rank"].to_numpy() == sel]
+            return pa.table({
+                "start": pa.array(pick["start"].to_numpy()).cast(ktype),
+                "cur": pa.array(pick["nbr"].to_numpy()).cast(ktype),
+                "path": pa.array([f"{p}>{n}" for p, n in
+                                  zip(pick["path"], pick["nbr"])],
+                                 pa.string())}).cast(state_schema)
+
+        state = snapshot(
+            state.map_batches(tag_state, batch_format="pyarrow")
+            .union(adj_tagged)
+            .groupby("part").map_groups(step_merge,
+                                        batch_format="pandas"),
+            num_blocks=nparts)
+
+    return state.map_batches(lambda t: t.select(["start", "path"]),
+                             batch_format="pyarrow")
+
+
 def label_propagation(edges: ray.data.Dataset, *, rounds: int = 5,
                       num_partitions: "int | None" = None
                       ) -> ray.data.Dataset:

@@ -16099,6 +16099,138 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def customer_l_diversity(sf_dir: str, l_req: int = 3):
+    """l-diversity audit (Machanavajjhala et al. 2007 — the
+    k-anonymity follow-up: an equivalence class is safe only if its
+    SENSITIVE attribute takes ≥ l distinct values): under
+    quasi-identifier (c_nationkey, c_mktsegment) with sensitive
+    attribute = account-balance sign+magnitude bucket, report per
+    distinct-diversity level how many classes and rows sit there,
+    flagging the < l=3 ones. Two bounded groupbys behind per-batch
+    distinct combiners — only (class, sensitive-bucket) distinct pairs
+    ever shuffle."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"]).to_numpy()
+        bucket = np.where(cents < 0, -1, cents // 250_000)  # $2 500 bands
+        out = pa.table({"nk": t["c_nationkey"], "seg": t["c_mktsegment"],
+                        "sens": pa.array(bucket, pa.int64())})
+        return out.group_by(["nk", "seg", "sens"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["nk", "seg", "sens", "pn"])
+
+    per_pair = (cust.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["nk", "seg", "sens"])
+                .aggregate(Sum("pn", alias_name="n")))
+
+    def to_class(t: pa.Table) -> pa.Table:
+        return pa.table({"nk": t["nk"], "seg": t["seg"],
+                         "one": pa.array(np.ones(len(t), np.int64)),
+                         "n": t["n"]})
+
+    per_class = (per_pair.map_batches(to_class, batch_format="pyarrow")
+                 .groupby(["nk", "seg"])
+                 .aggregate(Sum("one", alias_name="diversity"),
+                            Sum("n", alias_name="rows")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        d = t["diversity"].to_numpy(zero_copy_only=False)
+        r = t["rows"].to_numpy(zero_copy_only=False)
+        return pa.table({"diversity": pa.array(d, pa.int64()),
+                         "one": pa.array(np.ones(len(d), np.int64)),
+                         "rows": pa.array(r, pa.int64()),
+                         "below_l": pa.array(
+                             (d < l_req).astype(np.int64))})
+
+    return (per_class.map_batches(hist, batch_format="pyarrow")
+            .groupby("diversity")
+            .aggregate(Sum("one", alias_name="n_classes"),
+                       Sum("rows", alias_name="n_rows"),
+                       Max("below_l", alias_name="below_l"))
+            .sort("diversity"))
+
+
+_CUSTOMER_LDIV_SQL = """
+WITH s AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                  CASE WHEN round(c_acctbal * 100) < 0 THEN -1
+                       ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+                            // 250000 END AS sens
+           FROM customer),
+pair AS (SELECT nk, seg, sens, COUNT(*) AS n FROM s GROUP BY 1, 2, 3),
+cls AS (SELECT nk, seg, COUNT(*) AS diversity, SUM(n) AS rows_
+        FROM pair GROUP BY 1, 2)
+SELECT CAST(diversity AS BIGINT) AS diversity,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(rows_) AS BIGINT) AS n_rows,
+       CAST(MAX(CASE WHEN diversity < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS below_l
+FROM cls GROUP BY diversity ORDER BY diversity
+"""
+
+
+def events_cdc_apply(sf_dir: str):
+    """Changelog COMPACTION with DELETE tombstones (the log-compaction
+    / CDC-apply primitive behind every table-format MERGE; the
+    tombstone-aware upgrade of events_latest_per_user): the event
+    stream is a per-user upsert log where an 'error' event is a DELETE
+    tombstone — apply in (ts, event_id) order and emit the final state
+    of LIVE keys only (users whose last op is a tombstone vanish, the
+    log-compaction semantics plain latest-per-key cannot express).
+    Per-key resolution inside hash-partitioned map_groups; output is
+    bounded by live keys, not log length."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id",
+                             "value"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("last_type", pa.string()),
+                            ("last_cents", pa.int64())])
+
+    def apply_log(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        last = g.groupby("user_id", sort=True).tail(1)
+        live = last[last["event_type"] != "error"]   # tombstoned keys die
+        cents = np.round(live["value"].to_numpy() * 100)
+        return pa.table({
+            "user_id": pa.array(live["user_id"].to_numpy(np.int64)),
+            "last_type": pa.array(live["event_type"].astype(str)),
+            "last_cents": pa.array(cents.astype(np.int64))}
+        ).cast(out_schema)
+
+    seed = ray.data.from_arrow(out_schema.empty_table())
+    return (ev.groupby("user_id")
+            .map_groups(apply_log, batch_format="pandas")
+            .union(seed).sort("user_id"))
+
+
+_EVENTS_CDC_APPLY_SQL = """
+WITH r AS (SELECT user_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, event_type AS last_type,
+       CAST(round(value * 100) AS BIGINT) AS last_cents
+FROM r WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+def part_graph_walks(sf_dir: str, walk_len: int = 4):
+    """Deterministic random-walk corpus over the part co-occurrence
+    graph (functions/graphops.py ``random_walks`` — the DeepWalk /
+    node2vec sequence-generation step): one 4-step hash-driven walk
+    per node, reproducible under any layout without shared RNG state.
+    Rows-only registry entry; its real oracle is the pure-pandas walk
+    replay parity in tests/test_graph_properties.py."""
+    from .functions.graphops import random_walks
+
+    edges = _part_strong_edges(sf_dir)
+    return random_walks(edges, walk_len=walk_len,
+                        num_partitions=_join_parts(sf_dir)).sort("start")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16415,6 +16547,9 @@ def queries():
         "events_user_ewma": events_user_ewma,
         "docs_trigram_search": docs_trigram_search,
         "orders_avro_roundtrip": orders_avro_roundtrip,
+        "customer_l_diversity": customer_l_diversity,
+        "events_cdc_apply": events_cdc_apply,
+        "part_graph_walks": part_graph_walks,
     }
 
 
@@ -16675,6 +16810,8 @@ def oracle_sql():
         "events_user_ewma": _EVENTS_EWMA_SQL,
         "docs_trigram_search": _DOCS_TRIGRAM_SQL,
         "orders_avro_roundtrip": _ORDERS_AVRO_SQL,
+        "customer_l_diversity": _CUSTOMER_LDIV_SQL,
+        "events_cdc_apply": _EVENTS_CDC_APPLY_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

@@ -388,6 +388,64 @@ def test_dag_longest_paths_matches_brute_force(ray_session):
         run([(0, 1), (1, 2), (2, 0)])         # 3-cycle never converges
 
 
+def test_random_walks_matches_replay(ray_session):
+    """random_walks == a pure-pandas sequential replay of the same
+    hash rule (sorted_neighbors[h(seed,start,step,cur) % deg]) on a
+    path, a star, and a random graph; layout-invariant; every walk has
+    exactly walk_len steps and every hop is a real edge."""
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        random_walks
+
+    def replay(edges, walk_len, seed=7):
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        nbrs = {k: sorted(vs) for k, vs in nbrs.items()}
+        out = {}
+        for start in nbrs:
+            cur, path = start, str(start)
+            for step in range(walk_len):
+                ns = nbrs[cur]
+                h = int(pd.util.hash_pandas_object(
+                    pd.Series([f"{seed}:{start}:{step}:{cur}"]),
+                    index=False).iloc[0])
+                cur = ns[h % len(ns)]
+                path += f">{cur}"
+            out[start] = path
+        return out
+
+    def run(edges, walk_len=4, nparts=3):
+        t = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        out = random_walks(rd.from_arrow(t).repartition(nparts),
+                           walk_len=walk_len, num_partitions=3)
+        return {r["start"]: r["path"] for r in out.take_all()}
+
+    path = [(i, i + 1) for i in range(6)]
+    assert run(path) == replay(path, 4)
+
+    star = [(0, i) for i in range(1, 7)]
+    assert run(star) == replay(star, 4)
+
+    rng = random.Random(9)
+    nodes = list(range(20))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(40)})
+    want = replay(rand, 4)
+    got = run(rand, 4)
+    assert got == want
+    assert run(rand, 4, nparts=1) == want
+    edge_set = {e for a, b in rand for e in ((a, b), (b, a))}
+    for start, p in got.items():
+        hops = [int(x) for x in p.split(">")]
+        assert len(hops) == 5 and hops[0] == start
+        assert all((a, b) in edge_set for a, b in zip(hops, hops[1:]))
+
+
 def test_scc_labels_matches_tarjan(ray_session):
     """scc_labels (FW-BW label intersection on the directed Pregel
     ring) equals pure-Python Tarjan on: a 3-cycle + tail, two cycles
