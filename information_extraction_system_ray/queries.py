@@ -16231,6 +16231,32 @@ def part_graph_walks(sf_dir: str, walk_len: int = 4):
                         num_partitions=_join_parts(sf_dir)).sort("start")
 
 
+def kg_scc(sf_dir: str):
+    """Strongly-connected-component size histogram of the DIRECTED
+    knowledge graph (subj_id → obj_id entity edges): the ontology-cycle
+    census — reciprocal predicates (see kg_reciprocity) create real
+    2-cycles, so the KG is NOT a DAG and SCC is the right notion of
+    mutually-entailed entity clusters. Runs functions/graphops.py
+    ``scc_labels`` (FW–BW label intersection; string-keyed here —
+    min label = lexicographic min entity id). Rows-only (KG tables
+    aren't DuckDB views); golden = pure-Python Tarjan over the same
+    edge table in tests/test_flagship.py."""
+    from .functions.graphops import scc_labels
+
+    edges = _kg_run(sf_dir)["edges"]
+    pairs = (edges.map_batches(
+        lambda t: pa.table({"u": t["subj_id"], "v": t["obj_id"]})
+                    .group_by(["u", "v"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["u", "v"]),
+                     batch_format="pyarrow"))
+    labels = scc_labels(pairs, num_partitions=4)
+    sizes = labels.groupby("scc").aggregate(Count(alias_name="scc_size"))
+    return (sizes.groupby("scc_size")
+            .aggregate(Count(alias_name="n_sccs")).sort("scc_size"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16550,6 +16576,7 @@ def queries():
         "customer_l_diversity": customer_l_diversity,
         "events_cdc_apply": events_cdc_apply,
         "part_graph_walks": part_graph_walks,
+        "kg_scc": kg_scc,
     }
 
 

@@ -238,3 +238,53 @@ def test_kg_complete_entities_matches_pandas(ray_session):
     assert got["required_preds"].iloc[0] == ",".join(req)
     assert got["first_entities"].iloc[0] == \
         ",".join(map(str, full[:10]))
+
+
+def test_kg_scc_matches_tarjan(ray_session):
+    """kg_scc equals a pure-Python Tarjan SCC size histogram over the
+    same directed (subj_id, obj_id) edge table."""
+    import collections
+    import sys
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_scc"](sf).to_pandas()
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    pairs = edges[["subj_id", "obj_id"]].drop_duplicates()
+    adj, nodes = {}, set()
+    for s, d in zip(pairs["subj_id"], pairs["obj_id"]):
+        adj.setdefault(s, []).append(d)
+        nodes.update((s, d))
+    sys.setrecursionlimit(100000)
+    idx, low, onstk, stk = {}, {}, set(), []
+    sizes, cnt = [], [0]
+
+    def strong(x):
+        idx[x] = low[x] = cnt[0]
+        cnt[0] += 1
+        stk.append(x)
+        onstk.add(x)
+        for y in adj.get(x, []):
+            if y not in idx:
+                strong(y)
+                low[x] = min(low[x], low[y])
+            elif y in onstk:
+                low[x] = min(low[x], idx[y])
+        if low[x] == idx[x]:
+            n = 0
+            while True:
+                w = stk.pop()
+                onstk.discard(w)
+                n += 1
+                if w == x:
+                    break
+            sizes.append(n)
+
+    for n in sorted(nodes):
+        if n not in idx:
+            strong(n)
+    want = collections.Counter(sizes)
+    assert {r["scc_size"]: r["n_sccs"]
+            for _, r in got.iterrows()} == dict(want)
