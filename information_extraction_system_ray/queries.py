@@ -3370,10 +3370,31 @@ def _part_cooccur_counts(sf_dir: str):
         return t.append_column("_p",
                                pa.array(part.to_numpy(), pa.int64()))
 
+    def tag_pair(t: pa.Table) -> pa.Table:
+        part = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["pa"].to_pandas(),
+                          "b": t["pb"].to_pandas()}), index=False) % nparts
+        return t.append_column("_pp",
+                               pa.array(part.to_numpy(), pa.int64()))
+
+    def count_pairs(g: pd.DataFrame) -> pa.Table:
+        # vectorized per-bucket count: nearly every basket pair is
+        # unique (sf0.1: 1.196M distinct of 1.199M instances), and
+        # Ray's sort-groupby aggregate walks those 1.2M one-row groups
+        # in Python — 78 s where this hash-bucketed pandas size() takes
+        # ~3 s. Buckets hash on the full (pa, pb) key, so bucket-local
+        # counts ARE global counts.
+        cnt = g.groupby(["pa", "pb"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({"pa": pa.array(cnt["pa"].to_numpy(np.int64)),
+                         "pb": pa.array(cnt["pb"].to_numpy(np.int64)),
+                         "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
     _COOCCUR_MEMO[sf_dir] = (
         li.map_batches(tag, batch_format="pyarrow")
         .groupby("_p").map_groups(pairs, batch_format="pandas")
-        .groupby(["pa", "pb"]).aggregate(Count(alias_name="n"))
+        .map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("_pp").map_groups(count_pairs, batch_format="pandas")
     ).materialize()
     return _COOCCUR_MEMO[sf_dir]
 
@@ -15821,10 +15842,29 @@ def events_user_scc(sf_dir: str):
             .rename_columns(["t", "h", "user"])
 
     # materialized: consumed by BOTH the cur and next tag branches —
-    # lazily the union would re-execute the distinct aggregate twice
+    # lazily the union would re-execute the distinct pipeline twice.
+    # Distinct via hash-bucketed drop_duplicates, NOT groupby(...).
+    # aggregate(Count): the triple key is near-unique, and Ray's
+    # sort-groupby walks each one-row group in Python (the
+    # _part_cooccur_counts pathology — 8× there)
+    def _thu_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["t"].to_pandas(),
+                          "b": t["h"].to_pandas(),
+                          "c": t["user"].to_pandas()}), index=False) % 16
+        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+
+    def _thu_distinct(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["t", "h", "user"])
+        return pa.table({"t": pa.array(d["t"].astype(str)),
+                         "h": pa.array(d["h"]),
+                         "user": pa.array(d["user"].to_numpy(np.int64))})
+
     thu_ds = (ev.map_batches(thu, batch_format="pyarrow")
-              .groupby(["t", "h", "user"]).aggregate(
-                  Count(alias_name="_c"))).materialize()
+              .map_batches(_thu_bucket, batch_format="pyarrow")
+              .groupby("_p").map_groups(_thu_distinct,
+                                        batch_format="pandas")
+              ).materialize()
 
     mem = pa.schema([("t", pa.string()), ("h", pa.timestamp("us")),
                      ("user", pa.int64()), ("side", pa.int8()),
@@ -15877,16 +15917,36 @@ def events_user_scc(sf_dir: str):
         uu = np.concatenate(us)
         vv = np.concatenate(vs)
         keep = uu != vv
-        return pa.table({"u": pa.array(uu[keep], pa.int64()),
-                         "v": pa.array(vv[keep], pa.int64())}
+        # partition-local dedup cuts the distinct shuffle's volume
+        pairs_arr = np.unique(np.stack([uu[keep], vv[keep]], axis=1),
+                              axis=0)
+        return pa.table({"u": pa.array(pairs_arr[:, 0], pa.int64()),
+                         "v": pa.array(pairs_arr[:, 1], pa.int64())}
                         ).cast(edge_schema)
 
-    # no (u,v) dedup shuffle: the propagation shards drop_duplicates at
-    # build, and edge multiplicity cannot change an SCC
+    # (u,v) distinct via hash-bucketed drop_duplicates (2.7M instances
+    # collapse ~10× at sf0.1 — worth one skinny shuffle before the
+    # anti-joins and the double edge route inside scc_labels; the slow
+    # path here is NEVER groupby().aggregate(Count) over near-unique
+    # keys — see _part_cooccur_counts)
+    def _uv_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["u"].to_pandas(),
+                          "b": t["v"].to_pandas()}), index=False) % 16
+        return t.append_column("_pp", pa.array(h.to_numpy(), pa.int64()))
+
+    def _uv_distinct(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["u", "v"])
+        return pa.table({"u": pa.array(d["u"].to_numpy(np.int64)),
+                         "v": pa.array(d["v"].to_numpy(np.int64))})
+
     edges = (thu_ds.map_batches(tag_cur, batch_format="pyarrow")
              .union(thu_ds.map_batches(tag_next, batch_format="pyarrow"))
              .groupby("part").map_groups(make_edges,
-                                         batch_format="pandas"))
+                                         batch_format="pandas")
+             .map_batches(_uv_bucket, batch_format="pyarrow")
+             .groupby("_pp").map_groups(_uv_distinct,
+                                        batch_format="pandas"))
 
     labels = scc_labels(edges, num_partitions=_join_parts(sf_dir,
                                                           "events"))
@@ -16257,6 +16317,66 @@ def kg_scc(sf_dir: str):
             .aggregate(Count(alias_name="n_sccs")).sort("scc_size"))
 
 
+def docs_feature_hashing(sf_dir: str, n_buckets: int = 64):
+    """Hashing-trick featurization (Weinberger et al. 2009 — the
+    fixed-dimension bag-of-words every large-scale text classifier
+    uses so the feature space never needs a vocabulary broadcast):
+    every term maps to bucket = md5(term)[:8] mod 64; output per
+    bucket the total term occurrences and exact distinct-term count.
+    Per-batch (bucket, term) combiners collapse before the two-level
+    distinct shuffle — only (bucket, term) distinct pairs move, never
+    term instances."""
+    import hashlib
+
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt = Counter()
+        for txt in t["text"].to_pylist():
+            for term in _TERM_RE.findall((txt or "").lower()):
+                cnt[term] += 1
+        buckets, terms, counts = [], [], []
+        for term, c in cnt.items():
+            h = int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
+            buckets.append(h % n_buckets)
+            terms.append(term)
+            counts.append(c)
+        return pa.table({"bucket": pa.array(buckets, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    per_term = (docs.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["bucket", "term"])
+                .aggregate(Sum("n", alias_name="occ")))
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({"bucket": t["bucket"],
+                         "one": pa.array(np.ones(len(t), np.int64)),
+                         "occ": t["occ"]})
+
+    return (per_term.map_batches(to_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("one", alias_name="n_terms"),
+                       Sum("occ", alias_name="n_occurrences"))
+            .sort("bucket"))
+
+
+_DOCS_FEATURE_HASH_SQL = """
+WITH terms AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+               FROM documents),
+b AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket,
+             term
+      FROM terms)
+SELECT bucket, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16577,6 +16697,7 @@ def queries():
         "events_cdc_apply": events_cdc_apply,
         "part_graph_walks": part_graph_walks,
         "kg_scc": kg_scc,
+        "docs_feature_hashing": docs_feature_hashing,
     }
 
 
@@ -16839,6 +16960,7 @@ def oracle_sql():
         "orders_avro_roundtrip": _ORDERS_AVRO_SQL,
         "customer_l_diversity": _CUSTOMER_LDIV_SQL,
         "events_cdc_apply": _EVENTS_CDC_APPLY_SQL,
+        "docs_feature_hashing": _DOCS_FEATURE_HASH_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.
