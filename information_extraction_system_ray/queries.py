@@ -12538,19 +12538,60 @@ def docs_winnow_pairs(sf_dir: str):
             "fp": pa.array(np.concatenate(hs) if hs
                            else np.empty(0, np.int64))})
 
-    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("pn", pa.int64())])
+
+    def bucket_fp(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["fp"].to_pandas()), index=False) % 32
+        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
 
     def doc_pairs(g: pd.DataFrame) -> pa.Table:
-        if len(g) > 50 or len(g) < 2:   # boilerplate / singleton fp
+        # ONE vectorized pass per fp-hash BUCKET (millions of per-fp
+        # map_groups calls was the P5 pathology — 94 s at sf0.1):
+        # boilerplate/singleton fps drop via value_counts, then
+        # _pairs_within_groups enumerates every surviving fp's pairs in
+        # one kernel, with a local (a, b) count combine before the
+        # shuffle
+        vc = g["fp"].value_counts()
+        keep = vc[(vc >= 2) & (vc <= 50)].index
+        g = g[g["fp"].isin(keep)].sort_values(["fp", "doc_id"])
+        if len(g) == 0:
             return pairs_schema.empty_table()
         _, a, b = _pairs_within_groups(
             g["fp"].to_numpy(np.int64), g["doc_id"].to_numpy(np.int64))
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64())}).cast(pairs_schema)
+        cnt = pd.DataFrame({"a": a, "b": b}) \
+            .groupby(["a", "b"], sort=False).size().reset_index(name="pn")
+        return pa.table({"a": pa.array(cnt["a"].to_numpy(np.int64)),
+                         "b": pa.array(cnt["b"].to_numpy(np.int64)),
+                         "pn": pa.array(cnt["pn"].to_numpy(np.int64))}
+                        ).cast(pairs_schema)
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["a"].to_pandas(),
+                          "b": t["b"].to_pandas()}), index=False) % 32
+        return t.append_column("_pp", pa.array(h.to_numpy(), pa.int64()))
+
+    def sum_pairs(g: pd.DataFrame) -> pa.Table:
+        # global per-(a, b) sums via hash-bucketed pandas — the (a, b)
+        # key is near-unique (sf0.1: 683k distinct of 759k instances)
+        # and Ray's sort-groupby aggregate walks those one-row groups
+        # in Python (the _part_cooccur_counts pathology: 100 s where
+        # this takes ~1 s). Buckets hash on the FULL key, so
+        # bucket-local sums ARE global sums.
+        cnt = g.groupby(["a", "b"], sort=False)["pn"].sum() \
+            .reset_index(name="n_shared")
+        return pa.table({"a": pa.array(cnt["a"].to_numpy(np.int64)),
+                         "b": pa.array(cnt["b"].to_numpy(np.int64)),
+                         "n_shared": pa.array(
+                             cnt["n_shared"].to_numpy(np.int64))})
 
     return (docs.map_batches(fps, batch_format="pyarrow")
-            .groupby("fp").map_groups(doc_pairs, batch_format="pandas")
-            .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
+            .map_batches(bucket_fp, batch_format="pyarrow")
+            .groupby("_p").map_groups(doc_pairs, batch_format="pandas")
+            .map_batches(tag_pair, batch_format="pyarrow")
+            .groupby("_pp").map_groups(sum_pairs, batch_format="pandas")
             .sort(["n_shared", "a", "b"], descending=[True, False, False])
             .limit(20))
 
