@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from .partitions import default_parts
 
@@ -924,3 +924,177 @@ def label_propagation(edges: ray.data.Dataset, *, rounds: int = 5,
                   .map_batches(clean, batch_format="pyarrow")
                   .materialize())
     return labels
+
+
+def boruvka_msf(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
+                w: str = "w", driver_threshold: int = 2_000_000,
+                num_partitions: int = 16) -> dict:
+    """Minimum spanning FOREST via distributed Borůvka (Borůvka 1926,
+    public classic; the round structure is the textbook parallel-MST
+    algorithm): each round every component selects its minimum crossing
+    edge under the STRICT total order (w, u, v) — strictness makes the
+    per-round selected edge set provably acyclic even with tied weights
+    (a cycle would need two edges each "smaller" than the other at the
+    cycle's max) — the selected edges contract via connected components,
+    and the component count at least halves, so rounds ≤ ceil(log2 n).
+    All minimum spanning forests share one total weight (matroid
+    exchange argument), so (total_weight, n_msf_edges, n_components) is
+    well-defined under tied weights no matter which MSF a tie-break
+    picks.
+
+    Scale shape: edges relabel through two ``auto_join`` passes per
+    round (size-chosen broadcast vs hash shuffle — never an unconditional
+    node-table broadcast); per-component minima ride a per-batch Arrow
+    combiner before the component groupby; already-settled (intra-
+    component) edges are DROPPED from the working set each round, so the
+    edge table shrinks monotonically; the contracted winner graph
+    (≤ #components edges, halving every round) runs union-find on the
+    driver below ``driver_threshold`` rows and the Pregel min-label
+    shards above it (the canonicalize G2b contract).
+
+    Weights and node ids must be non-negative int64 (they travel through
+    zero-padded decimal strings for the lexicographic argmin; weights up
+    to 10^20 would need a wider pad). Parallel edges and duplicate rows
+    are absorbed by the min order; self loops are dropped.
+
+    Returns ``{"n_nodes", "n_components", "n_msf_edges",
+    "total_weight"}`` as Python ints (exact)."""
+    import ray as _ray
+
+    from ..stages.canonicalize import (connected_components_distributed,
+                                       connected_components_driver)
+    from .joins import auto_join
+
+    def _pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 20, padding="0")
+
+    def canon(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t[u], t[v])
+        hi = pc.max_element_wise(t[u], t[v])
+        return pa.table({"eu": pc.cast(lo, pa.int64()),
+                         "ev": pc.cast(hi, pa.int64()),
+                         "ew": pc.cast(t[w], pa.int64())})
+
+    canoned = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    # self loops leave the WORKING set (never MSF edges) but their
+    # endpoints stay in the node census — an isolated self-loop node is
+    # still a component
+    work = canoned.map_batches(
+        lambda t: t.filter(pc.not_equal(t["eu"], t["ev"])),
+        batch_format="pyarrow").materialize()
+
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        both = pa.table({"node": pa.concat_arrays(
+            [t["eu"].combine_chunks(), t["ev"].combine_chunks()])})
+        return both.group_by("node").aggregate([])
+
+    nodes = (canoned.map_batches(emit_nodes, batch_format="pyarrow")
+             .groupby("node")
+             .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow").materialize()
+
+    total_weight = 0
+    n_msf_edges = 0
+    for _ in range(64):                      # ≥ log2(any int64 node count)
+        lab_u = labels.map_batches(
+            lambda t: pa.table({"nu": t["node"], "lu": t["label"]}),
+            batch_format="pyarrow")
+        lab_v = labels.map_batches(
+            lambda t: pa.table({"nv": t["node"], "lv": t["label"]}),
+            batch_format="pyarrow")
+        crossing = auto_join(work, lab_u, left_key="eu", right_key="nu",
+                             right_cols=["lu"])
+        crossing = auto_join(crossing, lab_v, left_key="ev",
+                             right_key="nv", right_cols=["lv"])
+        crossing = crossing.map_batches(
+            lambda t: t.filter(pc.not_equal(t["lu"], t["lv"])),
+            batch_format="pyarrow").materialize()
+        if crossing.count() == 0:
+            break
+        # working set shrinks: settled edges never cross again. Explicit
+        # map_batches projection, NOT select_columns: the filter above
+        # leaves EMPTY 5-col blocks that Project passes through with
+        # their stale schema, poisoning schema() for the next round's
+        # auto_join (same empty-block hazard the label-propagation loop
+        # hardens against).
+        work = crossing.map_batches(
+            lambda t: pa.table({"eu": t["eu"], "ev": t["ev"],
+                                "ew": t["ew"]}),
+            batch_format="pyarrow").materialize()
+
+        def keyed(t: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                _pad(t["ew"]), _pad(t["eu"]), _pad(t["ev"]),
+                _pad(t["lu"]), _pad(t["lv"]), "|")
+            both = pa.concat_tables([
+                pa.table({"comp": t["lu"], "key": key}),
+                pa.table({"comp": t["lv"], "key": key})])
+            g = both.group_by("comp").aggregate([("key", "min")])
+            return g.rename_columns(["comp", "key"])
+
+        winners = (crossing.map_batches(keyed, batch_format="pyarrow")
+                   .groupby("comp").aggregate(Min("key",
+                                                  alias_name="key")))
+        sel = (winners.map_batches(
+            lambda t: pa.table({"key": t["key"]}), batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow"))
+
+        def parse(t: pa.Table) -> pa.Table:
+            parts = pc.split_pattern(t["key"], "|")
+            cols = [pc.cast(pc.list_element(parts, i), pa.int64())
+                    for i in range(5)]
+            return pa.table({"ew": cols[0], "eu": cols[1], "ev": cols[2],
+                             "lu": cols[3], "lv": cols[4]})
+
+        sel = sel.map_batches(parse, batch_format="pyarrow").materialize()
+        agg = sel.aggregate(Sum("ew"), Count())
+        total_weight += int(agg["sum(ew)"])
+        n_msf_edges += int(agg["count()"])
+
+        str_edges = sel.map_batches(
+            lambda t: pa.table({"src": pc.cast(t["lu"], pa.string()),
+                                "dst": pc.cast(t["lv"], pa.string())}),
+            batch_format="pyarrow").materialize()
+        if str_edges.count() <= driver_threshold:
+            mapping = {int(k): int(val) for k, val in
+                       connected_components_driver(str_edges).items()}
+            ref = _ray.put(mapping)
+
+            def relab(t: pa.Table, ref=ref) -> pa.Table:
+                d = _ray.get(ref)
+                s = pd.Series(t["label"].to_pandas())
+                out = s.map(d).fillna(s).astype(np.int64)
+                return pa.table({"node": t["node"],
+                                 "label": pa.array(out.to_numpy())})
+
+            labels = labels.map_batches(
+                relab, batch_format="pyarrow").materialize()
+        else:
+            lab2 = connected_components_distributed(
+                str_edges, num_partitions=num_partitions)
+            mapping_ds = lab2.map_batches(
+                lambda t: pa.table(
+                    {"olab": pc.cast(t["node"], pa.int64()),
+                     "nlab": pc.cast(t["label"], pa.int64())}),
+                batch_format="pyarrow")
+            joined = labels.join(mapping_ds, join_type="left_outer",
+                                 num_partitions=num_partitions,
+                                 on=("label",), right_on=("olab",))
+
+            def coalesce(t: pa.Table) -> pa.Table:
+                lbl = pc.coalesce(t["nlab"], t["label"])
+                return pa.table({"node": t["node"],
+                                 "label": pc.cast(lbl, pa.int64())})
+
+            labels = joined.map_batches(
+                coalesce, batch_format="pyarrow").materialize()
+
+    return {"n_nodes": int(n_nodes),
+            "n_components": int(n_nodes - n_msf_edges),
+            "n_msf_edges": int(n_msf_edges),
+            "total_weight": int(total_weight)}

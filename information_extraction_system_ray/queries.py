@@ -6986,6 +6986,22 @@ def part_graph_sssp(sf_dir: str):
     recursive SQL enumerate every path length and blow up on cycles."""
     from .stages.pregel import run_propagation
 
+    edges = _part_weighted_edges(sf_dir)
+    src = edges.min("u")  # u < v per edge ⇒ global min node appears as u
+    return (run_propagation(edges, mode="sssp", src_col="u", dst_col="v",
+                            weight_col="w", source=src,
+                            num_partitions=_join_parts(sf_dir),
+                            max_rounds=500)
+            .sort(["dist", "node"]))
+
+
+_SSSP_EDGE_MEMO: "dict[str, ray.data.Dataset]" = {}
+
+
+def _part_weighted_edges(sf_dir: str):
+    """Dataset(u, v, w) with u < v: the weighted part co-occurrence
+    graph shared by sssp / msf — cost max(1, 8 − support), support ≥ 2.
+    Memoized materialized per sf_dir."""
     if sf_dir not in _SSSP_EDGE_MEMO:
         counted = _part_cooccur_counts(sf_dir)
 
@@ -7000,16 +7016,39 @@ def part_graph_sssp(sf_dir: str):
 
         _SSSP_EDGE_MEMO[sf_dir] = counted.map_batches(
             weighted, batch_format="pyarrow").materialize()
-    edges = _SSSP_EDGE_MEMO[sf_dir]
-    src = edges.min("u")  # u < v per edge ⇒ global min node appears as u
-    return (run_propagation(edges, mode="sssp", src_col="u", dst_col="v",
-                            weight_col="w", source=src,
-                            num_partitions=_join_parts(sf_dir),
-                            max_rounds=500)
-            .sort(["dist", "node"]))
+    return _SSSP_EDGE_MEMO[sf_dir]
 
 
-_SSSP_EDGE_MEMO: "dict[str, ray.data.Dataset]" = {}
+def part_graph_msf(sf_dir: str):
+    """Minimum spanning FOREST census of the weighted part co-occurrence
+    graph (same cost model as part_graph_sssp: w = max(1, 8 − support))
+    via distributed Borůvka (functions/graphops.py boruvka_msf): per
+    round, every component picks its min crossing edge under the strict
+    (w, u, v) order, winners contract through connected components, and
+    the component count at least halves. Returns one summary row
+    (n_nodes, n_components, n_msf_edges, total_weight) — all four are
+    tie-invariant (every MSF of a graph has the same total weight, the
+    matroid exchange argument), so the row is deterministic even though
+    tied weights admit many spanning forests. Rows-only: Kruskal needs
+    an inherently sequential union-find over globally sorted edges, so
+    the oracle is a pure-Python Kruskal parity test on known + random
+    graphs (tests/test_graph_properties.py), not SQL.
+
+    Scale shape: per-round relabels ride auto_join (size-chosen
+    broadcast vs shuffle); settled intra-component edges are dropped so
+    the working set shrinks monotonically; the contracted winner graph
+    (≤ #components edges) runs union-find on the driver below the G2b
+    threshold and Pregel min-label shards above it."""
+    from .functions.graphops import boruvka_msf
+
+    edges = _part_weighted_edges(sf_dir)
+    res = boruvka_msf(edges, u="u", v="v", w="w",
+                      num_partitions=_join_parts(sf_dir))
+    return pa.table({
+        "n_nodes": pa.array([res["n_nodes"]], pa.int64()),
+        "n_components": pa.array([res["n_components"]], pa.int64()),
+        "n_msf_edges": pa.array([res["n_msf_edges"]], pa.int64()),
+        "total_weight": pa.array([res["total_weight"]], pa.int64())})
 
 
 def kg_predicate_stats(sf_dir: str):
@@ -16592,6 +16631,7 @@ def queries():
         "events_weekly_active_users": events_weekly_active_users,
         "orders_profile": orders_profile,
         "part_graph_sssp": part_graph_sssp,
+        "part_graph_msf": part_graph_msf,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,

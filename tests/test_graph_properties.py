@@ -627,3 +627,75 @@ def test_label_propagation_parity_planted_cliques(ray_session):
             for r in label_propagation(ds.repartition(7),
                                        rounds=5).take_all()}
     assert got7 == got
+
+
+def test_boruvka_msf_matches_kruskal(ray_session):
+    """boruvka_msf (functions/graphops.py — per-round strict-order
+    component minima, CC contraction) matches a pure-Python Kruskal
+    union-find on: a weighted path, a cycle where the heaviest edge must
+    be dropped, a two-component forest, parallel/duplicate edges with
+    ties (MSF total weight is tie-invariant), and random weighted graphs
+    incl. an all-equal-weights one; layout-invariant."""
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        boruvka_msf
+
+    def kruskal(edges):
+        nodes = sorted({n for e in edges for n in e[:2]})
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        total = picked = 0
+        for w, a, b in sorted((w, a, b) for a, b, w in edges if a != b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                total += w
+                picked += 1
+        comps = len({find(n) for n in nodes})
+        return {"n_nodes": len(nodes), "n_components": comps,
+                "n_msf_edges": picked, "total_weight": total}
+
+    def run(edges, nparts=4):
+        t = pa.table({"u": pa.array([a for a, _, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b, _ in edges], pa.int64()),
+                      "w": pa.array([w for _, _, w in edges], pa.int64())})
+        return boruvka_msf(rd.from_arrow(t).repartition(nparts),
+                           num_partitions=3)
+
+    path = [(i, i + 1, 2 + (i % 3)) for i in range(8)]
+    assert run(path) == kruskal(path)
+
+    # cycle: exactly the heaviest rim edge is dropped
+    cyc = [(i, (i + 1) % 6, 1 + i) for i in range(6)]
+    got = run(cyc)
+    assert got == kruskal(cyc)
+    assert got["total_weight"] == sum(range(1, 6))  # drops weight 6
+
+    # two components + self loop + duplicate parallel edges with ties
+    forest = [(0, 1, 5), (1, 2, 5), (0, 2, 5), (3, 3, 1),
+              (10, 11, 2), (10, 11, 2), (11, 12, 7)]
+    got = run(forest)
+    assert got == kruskal(forest)
+    assert got["n_components"] == 3  # {0,1,2}, {3}, {10,11,12}
+
+    rng = random.Random(41)
+    nodes = list(range(40))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(90)})
+    rand = [(a, b, 1 + rng.randrange(9)) for a, b in rand]
+    rand += [(500, 501, 4)]  # far island
+    want = kruskal(rand)
+    assert run(rand) == want
+    assert run(rand, nparts=1) == want
+
+    # all-equal weights: any spanning forest works, census is invariant
+    eq = [(a, b, 3) for a, b, _ in rand]
+    assert run(eq) == kruskal(eq)
