@@ -1098,3 +1098,4 @@ def boruvka_msf(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
             "n_components": int(n_nodes - n_msf_edges),
             "n_msf_edges": int(n_msf_edges),
             "total_weight": int(total_weight)}
+

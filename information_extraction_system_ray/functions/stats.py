@@ -153,3 +153,40 @@ def grouped_mode(ds: ray.data.Dataset, value_col: str, *,
         return to_arrow(top, out_schema)
 
     return counts.groupby(keys).map_groups(pick, batch_format="pandas")
+
+
+def pava_isotonic(sums: "np.ndarray", counts: "np.ndarray"
+                  ) -> "tuple[np.ndarray, np.ndarray]":
+    """Pool-Adjacent-Violators (Ayer et al. 1955; Barlow et al. 1972):
+    the L2 isotonic (non-decreasing) fit of a weighted sequence given as
+    per-position (sum, count). EXACT integer arithmetic — block means
+    are kept as (Σy, n) rationals and compared by cross-multiplication,
+    so there is no float boundary anywhere; the caller renders means at
+    whatever fixed precision it wants. Returns per-position
+    (block_sum, block_count) of the pooled block covering that position.
+
+    Sequential by nature, but the ONLY place it runs in this repo is on
+    calendar-bounded driver-side series (n = #days); the distributed
+    part is the combiner reduce that produces (sums, counts)."""
+    sums = [int(x) for x in sums]
+    counts = [int(x) for x in counts]
+    # stack of blocks: (sum, count, n_positions)
+    st: "list[list[int]]" = []
+    for s, c in zip(sums, counts):
+        st.append([s, c, 1])
+        # pool while mean(prev) > mean(top): s1/c1 > s2/c2 ⇔ s1·c2 > s2·c1
+        while len(st) >= 2 and st[-2][0] * st[-1][1] > \
+                st[-1][0] * st[-2][1]:
+            s2, c2, k2 = st.pop()
+            st[-1][0] += s2
+            st[-1][1] += c2
+            st[-1][2] += k2
+    out_s = np.empty(len(sums), dtype=object)
+    out_c = np.empty(len(sums), dtype=object)
+    i = 0
+    for s, c, k in st:
+        for _ in range(k):
+            out_s[i] = s
+            out_c[i] = c
+            i += 1
+    return out_s, out_c

@@ -16457,6 +16457,227 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def events_daily_autocorr(sf_dir: str):
+    """TS11 — sample autocorrelation of the daily event-count series at
+    lags 1–3 (the seasonality screen before picking a forecast model),
+    over the DENSIFIED calendar (missing days count 0 — an absent day is
+    a real zero, not a gap). The ratio is exact-integer algebra cleared
+    of the rational mean: with n days, S = Σx, numerator
+    A_k = n²·Σ x_t·x_{t+k} − n·S·(P_k + Q_k) + (n−k)·S² and denominator
+    D = n²·Σx² − n·S², acf_k = A_k/D — both engines round the SAME two
+    exact ints' quotient to 6 dp, so float summation order can't flip a
+    boundary.
+
+    Scale shape: the fact table collapses through a (day → count)
+    combiner; the calendar-bounded series (n days) computes on the
+    driver — same contract as every daily-series op here."""
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                    pa.timestamp("us"))
+        return (pa.table({"d": d}).group_by("d")
+                .aggregate([([], "count_all")])
+                .rename_columns(["d", "n"]))
+
+    rows = (ev.map_batches(daily, batch_format="pyarrow")
+            .groupby("d").aggregate(Sum("n", alias_name="n")).take_all())
+    counts = {r["d"]: int(r["n"]) for r in rows}
+    lo, hi = min(counts), max(counts)
+    n_days = (hi - lo).days + 1
+    x = np.zeros(n_days, dtype=np.int64)
+    for d, n in counts.items():
+        x[(d - lo).days] = n
+    n = int(n_days)
+    s = int(x.sum())
+    ss = int((x.astype(object) * x).sum())       # bigint-safe
+    d_den = n * n * ss - n * s * s
+    out_lag, out_acf = [], []
+    for k in (1, 2, 3):
+        sxy = int((x[:-k].astype(object) * x[k:]).sum())
+        pk, qk = int(x[:-k].sum()), int(x[k:].sum())
+        a_num = n * n * sxy - n * s * (pk + qk) + (n - k) * s * s
+        out_lag.append(k)
+        out_acf.append(round(float(a_num) / float(d_den), 6))
+    return pa.table({"lag": pa.array(out_lag, pa.int64()),
+                     "acf": pa.array(out_acf, pa.float64())})
+
+
+_EVENTS_AUTOCORR_SQL = """
+WITH c AS (SELECT date_trunc('day', ts) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+b AS (SELECT MIN(d) mn, MAX(d) mx FROM c),
+cal AS (SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS d
+        FROM b),
+x AS (SELECT ROW_NUMBER() OVER (ORDER BY cal.d) AS t,
+             CAST(COALESCE(c.n, 0) AS HUGEINT) AS v
+      FROM cal LEFT JOIN c USING (d)),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS s,
+               SUM(v * v) AS ss
+        FROM x),
+lags AS (SELECT CAST(k AS HUGEINT) AS k
+         FROM (VALUES (1), (2), (3)) t(k)),
+pairs AS (SELECT lags.k, SUM(a.v * bb.v) AS sxy,
+                 SUM(a.v) AS pk, SUM(bb.v) AS qk
+          FROM lags JOIN x a ON TRUE
+                    JOIN x bb ON bb.t = a.t + lags.k
+          GROUP BY 1)
+SELECT CAST(k AS BIGINT) AS lag,
+       ROUND(CAST(n * n * sxy - n * s * (pk + qk) + (n - k) * s * s
+                  AS DOUBLE)
+             / CAST(n * n * ss - n * s * s AS DOUBLE), 6) AS acf
+FROM pairs, tot ORDER BY lag
+"""
+
+
+def basket_lift_rules(sf_dir: str):
+    """G64 — association-rule mining over order baskets (Agrawal
+    et al. 1993 support/confidence/lift, the classic co-occurrence
+    recommender readout): for part pairs co-ordered in ≥ 2 baskets,
+    lift = N·n_uv/(n_u·n_v) and confidence u→v = n_uv/n_u, both as
+    EXACT floor-ppm integers (no float boundary crosses engines);
+    top 20 by (lift_ppm desc, pa, pb).
+
+    Scale shape: pair counts come from the memoized co-occurrence
+    combiner ([[_part_cooccur_counts]] — the quadratic step is bounded
+    per basket and partition-local); per-part basket counts are one
+    narrow groupby; the two attaches ride auto_join's chooser; only the
+    k winners reach the driver."""
+    from .functions.joins import auto_join
+
+    counted = _part_cooccur_counts(sf_dir)
+    pairs = counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+
+    # distinct (part, basket) via hash-bucketed drop_duplicates — the
+    # (pk, ok) key is near-unique, and a sort-groupby would walk every
+    # 1-row group in Python (the _part_cooccur_counts pathology)
+    def dist(t: pa.Table) -> pa.Table:
+        d = (pa.table({"pk": t["l_partkey"], "ok": t["l_orderkey"]})
+             .group_by(["pk", "ok"]).aggregate([])
+             .rename_columns(["pk", "ok"]))
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": d["pk"].to_pandas(),
+                          "b": d["ok"].to_pandas()}), index=False) % 16
+        return d.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+
+    def drop_dup(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["pk", "ok"])
+        return pa.table({"pk": pa.array(d["pk"].to_numpy(np.int64)),
+                         "ok": pa.array(d["ok"].to_numpy(np.int64))})
+
+    po = (li.map_batches(dist, batch_format="pyarrow")
+          .groupby("_p").map_groups(drop_dup, batch_format="pandas")
+          ).materialize()
+    part_n = po.groupby("pk").aggregate(Count(alias_name="nb"))
+
+    def ok_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["ok"].to_pandas()), index=False) % 16
+        return pa.table({"ok": t["ok"],
+                         "_p": pa.array(h.to_numpy(), pa.int64())})
+
+    n_baskets = int(po.map_batches(ok_bucket, batch_format="pyarrow")
+                    .groupby("_p")
+                    .map_groups(lambda g: pa.table(
+                        {"ok": pa.array(g["ok"].unique())}),
+                        batch_format="pandas").count())
+
+    na = part_n.map_batches(
+        lambda t: pa.table({"ka": t["pk"], "n_a": t["nb"]}),
+        batch_format="pyarrow")
+    nb = part_n.map_batches(
+        lambda t: pa.table({"kb": t["pk"], "n_b": t["nb"]}),
+        batch_format="pyarrow")
+    j = auto_join(pairs, na, left_key="pa", right_key="ka",
+                  right_cols=["n_a"])
+    j = auto_join(j, nb, left_key="pb", right_key="kb",
+                  right_cols=["n_b"])
+
+    def score(t: pa.Table) -> pa.Table:
+        nuv = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = (n_baskets * nuv * 1_000_000) // (nu * nv)
+        conf = (nuv * 1_000_000) // nu
+        return pa.table({"pa": t["pa"], "pb": t["pb"],
+                         "n_uv": pa.array(nuv, pa.int64()),
+                         "lift_ppm": pa.array(lift, pa.int64()),
+                         "conf_ppm": pa.array(conf, pa.int64())})
+
+    return (j.map_batches(score, batch_format="pyarrow")
+            .sort(["lift_ppm", "pa", "pb"],
+                  descending=[True, False, False])
+            .limit(20))
+
+
+_BASKET_LIFT_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS HUGEINT) AS nbsk FROM d),
+pn AS (SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS np
+       FROM d GROUP BY 1),
+e AS (SELECT a.l_partkey u, b.l_partkey v,
+             CAST(COUNT(*) AS HUGEINT) AS nuv
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT u AS pa, v AS pb, CAST(nuv AS BIGINT) AS n_uv,
+       CAST(nb.nbsk * nuv * 1000000 // (pu.np * pv.np) AS BIGINT)
+           AS lift_ppm,
+       CAST(nuv * 1000000 // pu.np AS BIGINT) AS conf_ppm
+FROM e JOIN pn pu ON pu.l_partkey = e.u
+       JOIN pn pv ON pv.l_partkey = e.v, nb
+ORDER BY lift_ppm DESC, pa, pb LIMIT 20
+"""
+
+
+def orders_isotonic_daily(sf_dir: str):
+    """TS12 — isotonic (non-decreasing) regression of daily order
+    revenue by calendar day via Pool-Adjacent-Violators
+    (functions/stats.py ``pava_isotonic``): the monotone-trend
+    projection used for calibration curves and trend tests. EXACT
+    integer end-to-end — daily cents from a combiner groupby, PAVA
+    pools compared by bigint cross-multiplication, fitted block means
+    rendered as round-half-up micro-cents. Rows-only: PAVA's pooling
+    recursion has no SQL form; oracles are a brute-force O(n²)
+    reference parity + monotonicity/sum-preservation/projection
+    properties (tests/test_new_ops.py).
+
+    Scale shape: the fact table collapses through a (day → Σcents)
+    combiner; the calendar-bounded series fits on the driver — the
+    distributed work IS the reduce."""
+    from .functions.stats import pava_isotonic
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        return (pa.table({"d": t["o_orderdate"],
+                          "cents": _cents(t["o_totalprice"])})
+                .group_by("d").aggregate([("cents", "sum")])
+                .rename_columns(["d", "cents"]))
+
+    rows = (orders.map_batches(daily, batch_format="pyarrow")
+            .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+            .take_all())
+    rows.sort(key=lambda r: r["d"])
+    days = [r["d"] for r in rows]
+    sums = np.array([int(r["cents"]) for r in rows], dtype=object)
+    ones = np.ones(len(rows), dtype=object)
+    bs, bc = pava_isotonic(sums, ones)
+    fitted = [(2 * 1_000_000 * s + c) // (2 * c)
+              for s, c in zip(bs, bc)]
+    return pa.table({
+        "d": pa.array(days),
+        "fitted_micro": pa.array([int(f) for f in fitted], pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16632,6 +16853,9 @@ def queries():
         "orders_profile": orders_profile,
         "part_graph_sssp": part_graph_sssp,
         "part_graph_msf": part_graph_msf,
+        "events_daily_autocorr": events_daily_autocorr,
+        "basket_lift_rules": basket_lift_rules,
+        "orders_isotonic_daily": orders_isotonic_daily,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -16924,7 +17148,6 @@ def oracle_sql():
         "orders_profile": _ORDERS_PROFILE_SQL,
         "docs_gopher_rules": _DOCS_GOPHER_SQL,
         "orders_overlap_pairs": _ORDERS_OVERLAP_SQL,
-        "part_graph_assortativity": _PART_ASSORT_SQL,
         "nation_top3_customers": _NATION_TOP3_SQL,
         "docs_source_mix_weights": _DOCS_MIX_SQL,
         "docs_ppl_buckets": _DOCS_PPL_BUCKETS_SQL,
@@ -16938,7 +17161,6 @@ def oracle_sql():
         "orders_price_theil": _ORDERS_THEIL_SQL,
         "events_value_mad": _EVENTS_MAD_SQL,
         "docs_hapax_stats": _DOCS_HAPAX_SQL,
-        "docs_zipf_slope": _DOCS_ZIPF_SQL,
         "events_dow_chi2": _EVENTS_CHI2_SQL,
         "orders_benford": _ORDERS_BENFORD_SQL,
         "events_type_value_trend": _EVENTS_TREND_SQL,
@@ -17042,6 +17264,10 @@ def oracle_sql():
         "customer_l_diversity": _CUSTOMER_LDIV_SQL,
         "events_cdc_apply": _EVENTS_CDC_APPLY_SQL,
         "docs_feature_hashing": _DOCS_FEATURE_HASH_SQL,
+        "part_graph_assortativity": _PART_ASSORT_SQL,
+        "events_daily_autocorr": _EVENTS_AUTOCORR_SQL,
+        "basket_lift_rules": _BASKET_LIFT_SQL,
+        "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
         # oracles are refimpl goldens / recall tests under tests/.

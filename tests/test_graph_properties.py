@@ -699,3 +699,4 @@ def test_boruvka_msf_matches_kruskal(ray_session):
     # all-equal weights: any spanning forest works, census is invariant
     eq = [(a, b, 3) for a, b, _ in rand]
     assert run(eq) == kruskal(eq)
+

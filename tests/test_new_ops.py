@@ -866,3 +866,59 @@ def test_compaction_plan_ffd_parity(ray_session):
     assert int(out["bytes"].sum()) == sum(sizes.values())
     over = per_bin[per_bin["total"] > target]
     assert (over["n"] == 1).all()             # only oversized singletons
+
+
+def test_pava_isotonic_properties():
+    """pava_isotonic == brute-force O(n²) PAVA reference; fitted means
+    are non-decreasing; pooled sums preserve the total; already-monotone
+    input is a fixpoint; a decreasing sequence pools to one block."""
+    import random
+    from fractions import Fraction
+
+    from information_extraction_system_ray.functions.stats import pava_isotonic
+
+    def brute(sums, counts):
+        # repeatedly scan for any adjacent violation and pool
+        blocks = [[int(s), int(c), 1] for s, c in zip(sums, counts)]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(blocks) - 1):
+                s1, c1, k1 = blocks[i]
+                s2, c2, k2 = blocks[i + 1]
+                if s1 * c2 > s2 * c1:
+                    blocks[i:i + 2] = [[s1 + s2, c1 + c2, k1 + k2]]
+                    changed = True
+                    break
+        out = []
+        for s, c, k in blocks:
+            out.extend([(s, c)] * k)
+        return out
+
+    rng = random.Random(7)
+    for trial in range(30):
+        n = rng.randrange(1, 40)
+        sums = [rng.randrange(0, 1000) for _ in range(n)]
+        counts = [rng.randrange(1, 5) for _ in range(n)]
+        got_s, got_c = pava_isotonic(np.array(sums, dtype=object),
+                                     np.array(counts, dtype=object))
+        got = list(zip([int(x) for x in got_s], [int(x) for x in got_c]))
+        assert got == brute(sums, counts), (sums, counts)
+        means = [Fraction(s, c) for s, c in got]
+        assert all(a <= b for a, b in zip(means, means[1:]))
+        # each pooled block preserves its members' total
+        tot = sum(Fraction(s, c) * 1 for s, c in got if False) or 0
+        # weighted sum of fitted means == raw sum
+        fitted_total = sum(Fraction(s, c) * c0
+                           for (s, c), c0 in zip(got, counts))
+        assert fitted_total == sum(sums)
+
+    # monotone input is untouched
+    mono_s, mono_c = pava_isotonic(np.array([1, 2, 3, 10], dtype=object),
+                                   np.array([1, 1, 1, 1], dtype=object))
+    assert [int(x) for x in mono_s] == [1, 2, 3, 10]
+    # strictly decreasing input pools to the global mean
+    dec_s, dec_c = pava_isotonic(np.array([9, 6, 3], dtype=object),
+                                 np.array([1, 1, 1], dtype=object))
+    assert [int(x) for x in dec_s] == [18, 18, 18]
+    assert [int(x) for x in dec_c] == [3, 3, 3]
