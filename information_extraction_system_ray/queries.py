@@ -16678,6 +16678,280 @@ def orders_isotonic_daily(sf_dir: str):
         "fitted_micro": pa.array([int(f) for f in fitted], pa.int64())})
 
 
+def events_value_ks(sf_dir: str):
+    """G67 — two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of the two most frequent event types (the
+    distribution-shift test that needs no binning choice): D =
+    max_v |F_a(v) − F_b(v)| over the pooled support. EXACT integer
+    end-to-end — D's numerator is max |cum_a·n_b − cum_b·n_a| over
+    per-cents cumulative counts from the two-pass distributed prefix
+    sum ([[orders_global_rank]]'s plan), reported as floor-ppm.
+
+    Scale shape: events collapse through a (cents, type) count
+    combiner to the distinct-value table; two skinny prefix-sum passes;
+    one Max aggregate. Nothing value-domain-sized reaches the driver."""
+    from .functions.rank import global_running_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    top2 = sorted(ev.groupby("event_type")
+                  .aggregate(Count(alias_name="n")).take_all(),
+                  key=lambda r: (-int(r["n"]), r["event_type"]))[:2]
+    ta, tb = top2[0]["event_type"], top2[1]["event_type"]
+    na, nb = int(top2[0]["n"]), int(top2[1]["n"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array([ta, tb], pa.string()))
+        t = t.filter(m)
+        isa = pc.cast(pc.equal(t["event_type"], pa.scalar(ta)),
+                      pa.int64())
+        return (pa.table({"cents": _cents(t["value"]), "ca": isa,
+                          "cb": pc.subtract(pa.scalar(1, pa.int64()),
+                                            isa)})
+                .group_by("cents")
+                .aggregate([("ca", "sum"), ("cb", "sum")])
+                .rename_columns(["cents", "ca", "cb"]))
+
+    counts = (ev.map_batches(cells, batch_format="pyarrow")
+              .groupby("cents")
+              .aggregate(Sum("ca", alias_name="ca"),
+                         Sum("cb", alias_name="cb")).materialize())
+    cum = global_running_sum(counts, "ca", order_by=["cents"],
+                             out_col="cum_a")
+    cum = global_running_sum(cum, "cb", order_by=["cents"],
+                             out_col="cum_b")
+
+    def diff(t: pa.Table) -> pa.Table:
+        a = t["cum_a"].to_numpy(zero_copy_only=False)
+        b = t["cum_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"num": pa.array(np.abs(a * nb - b * na),
+                                         pa.int64())})
+
+    ks_num = int(cum.map_batches(diff, batch_format="pyarrow")
+                 .max("num") or 0)
+    return pa.table({
+        "type_a": pa.array([ta], pa.string()),
+        "type_b": pa.array([tb], pa.string()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "ks_ppm": pa.array([ks_num * 1_000_000 // (na * nb)],
+                           pa.int64())})
+
+
+_EVENTS_KS_SQL = """
+WITH ranked AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                          event_type) AS rk
+                FROM events GROUP BY 1),
+ab AS (SELECT MAX(CASE WHEN rk = 1 THEN event_type END) AS ta,
+              MAX(CASE WHEN rk = 2 THEN event_type END) AS tb,
+              CAST(MAX(CASE WHEN rk = 1 THEN n END) AS HUGEINT) AS na,
+              CAST(MAX(CASE WHEN rk = 2 THEN n END) AS HUGEINT) AS nb
+       FROM ranked WHERE rk <= 2),
+c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type = ab.ta THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = ab.tb THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS cb
+      FROM events, ab WHERE event_type IN (ab.ta, ab.tb)
+      GROUP BY 1),
+cum AS (SELECT SUM(ca) OVER (ORDER BY cents) AS cum_a,
+               SUM(cb) OVER (ORDER BY cents) AS cum_b
+        FROM c)
+SELECT ab.ta AS type_a, ab.tb AS type_b,
+       CAST(ab.na AS BIGINT) AS n_a, CAST(ab.nb AS BIGINT) AS n_b,
+       CAST(MAX(ABS(cum_a * ab.nb - cum_b * ab.na)) * 1000000
+            // (ab.na * ab.nb) AS BIGINT) AS ks_ppm
+FROM cum, ab GROUP BY ab.ta, ab.tb, ab.na, ab.nb
+"""
+
+
+def orders_theilsen_trend(sf_dir: str):
+    """TS13 — Theil–Sen robust trend of daily order revenue: the median
+    of all pairwise slopes (y_j−y_i)/(d_j−d_i), the breakdown-resistant
+    alternative to OLS (Theil 1950, Sen 1968). Slopes are IEEE-identical
+    doubles in both engines (same integer cents / integer day deltas),
+    so the sorted multiset matches element-for-element and the median is
+    picked by the SAME fixed index (m−1)//2 — no float-summation-order
+    hazard anywhere; 6 dp.
+
+    Scale shape: the fact table collapses through a (day → Σcents)
+    combiner; the O(n²)-pairs step runs on the calendar-bounded series
+    driver-side (n days → n(n−1)/2 slopes, ~600k at a 3-year span) —
+    the same contract as every daily-series op here."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        return (pa.table({"d": t["o_orderdate"],
+                          "cents": _cents(t["o_totalprice"])})
+                .group_by("d").aggregate([("cents", "sum")])
+                .rename_columns(["d", "cents"]))
+
+    rows = (orders.map_batches(daily, batch_format="pyarrow")
+            .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+            .take_all())
+    rows.sort(key=lambda r: r["d"])
+    d = np.array([r["d"].toordinal() for r in rows], dtype=np.int64)
+    y = np.array([int(r["cents"]) for r in rows], dtype=np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+    slopes = (y[j] - y[i]).astype(np.float64) \
+        / (d[j] - d[i]).astype(np.float64)
+    slopes.sort()
+    med = float(slopes[(len(slopes) - 1) // 2])
+    return pa.table({
+        "n_days": pa.array([len(d)], pa.int64()),
+        "n_pairs": pa.array([len(slopes)], pa.int64()),
+        "ts_slope": pa.array([round(med, 6)], pa.float64())})
+
+
+_ORDERS_THEILSEN_SQL = """
+WITH s AS (SELECT o_orderdate AS d,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+p AS (SELECT CAST(b.y - a.y AS DOUBLE)
+             / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS sl
+      FROM s a JOIN s b ON b.d > a.d),
+q AS (SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS rn,
+             COUNT(*) OVER () AS m
+      FROM p)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_days,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       ROUND(MAX(CASE WHEN rn = (m - 1) // 2 + 1 THEN sl END), 6)
+           AS ts_slope
+FROM q
+"""
+
+
+def customer_t_closeness(sf_dir: str):
+    """P3 — t-closeness privacy audit (Li et al. 2007, the successor to
+    [[customer_k_anonymity]]/[[customer_l_diversity]]): per
+    quasi-identifier group (mktsegment), the total-variation distance
+    between the group's sensitive-attribute distribution (account
+    balance in $1000 bands) and the global distribution — a group
+    whose balances skew far from the corpus leaks membership signal.
+    EXACT integers: TV_g = Σ_band |c_gb·N − C_b·n_g| / (2·n_g·N)
+    reported as floor-ppm; bands from offset integer division (no
+    float boundary, and the offset keeps `//` == floor on negative
+    balances in both engines).
+
+    Scale shape: one (segment, band) count combiner; the band×segment
+    contingency (≤ bands·segments rows) computes driver-side."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_mktsegment", "c_acctbal"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        band = pc.divide(pc.add(cents, pa.scalar(100_000, pa.int64())),
+                         pa.scalar(100_000, pa.int64()))
+        return (pa.table({"seg": t["c_mktsegment"], "band": band})
+                .group_by(["seg", "band"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["seg", "band", "n"]))
+
+    rows = (cust.map_batches(cells, batch_format="pyarrow")
+            .groupby(["seg", "band"])
+            .aggregate(Sum("n", alias_name="n")).take_all())
+    seg_tot: dict = {}
+    band_tot: dict = {}
+    cell: dict = {}
+    for r in rows:
+        s, b, n = r["seg"], int(r["band"]), int(r["n"])
+        cell[(s, b)] = n
+        seg_tot[s] = seg_tot.get(s, 0) + n
+        band_tot[b] = band_tot.get(b, 0) + n
+    n_tot = sum(seg_tot.values())
+    segs, tvs, sizes = [], [], []
+    for s in sorted(seg_tot):
+        ng = seg_tot[s]
+        num = sum(abs(cell.get((s, b), 0) * n_tot - band_tot[b] * ng)
+                  for b in sorted(band_tot))
+        segs.append(s)
+        sizes.append(ng)
+        tvs.append(num * 1_000_000 // (2 * ng * n_tot))
+    return pa.table({"c_mktsegment": pa.array(segs, pa.string()),
+                     "n_customers": pa.array(sizes, pa.int64()),
+                     "tv_ppm": pa.array(tvs, pa.int64())})
+
+
+_CUSTOMER_TCLOSE_SQL = """
+WITH c AS (SELECT c_mktsegment AS seg,
+                  (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
+                  // 100000 AS band,
+                  CAST(COUNT(*) AS HUGEINT) AS n
+           FROM customer GROUP BY 1, 2),
+st AS (SELECT seg, SUM(n) AS ng FROM c GROUP BY 1),
+bt AS (SELECT band, SUM(n) AS cb FROM c GROUP BY 1),
+tot AS (SELECT SUM(n) AS nn FROM c),
+grid AS (SELECT st.seg, st.ng, bt.band, bt.cb,
+                COALESCE(c.n, 0) AS n
+         FROM st CROSS JOIN bt
+         LEFT JOIN c ON c.seg = st.seg AND c.band = bt.band)
+SELECT seg AS c_mktsegment, CAST(MAX(ng) AS BIGINT) AS n_customers,
+       CAST(SUM(ABS(n * tot.nn - cb * ng)) * 1000000
+            // (2 * MAX(ng) * MAX(tot.nn)) AS BIGINT) AS tv_ppm
+FROM grid, tot GROUP BY seg ORDER BY seg
+"""
+
+
+def orders_xml_roundtrip(sf_dir: str):
+    """S9 — XML source/sink roundtrip (sources/xmlio.py — pure-stdlib
+    row-oriented table codec with an embedded typed schema element):
+    orders → one .xml file per block under /tmp → ``read_binary_files``
+    + per-file parse → per-status count + exact cents sum. The oracle
+    runs on the original parquet view, so equality proves the roundtrip
+    lossless — the contract the Avro/ORC/IPC/gzip-NDJSON roundtrips
+    carry, extended to the one interchange format legacy enterprise
+    feeds still speak."""
+    import os
+    import shutil
+    import uuid
+
+    from .sources.xmlio import read_xml, write_xml
+
+    out_dir = f"/tmp/ies_xml_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.xml")
+        write_xml(t, path)
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    read_table(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(write_block, batch_format="pyarrow").sum("n")
+
+    def read_block(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([read_xml(raw)
+                                 for raw in t["bytes"].to_pylist()])
+
+    back = (ray.data.read_binary_files(out_dir)
+            .map_batches(read_block, batch_format="pyarrow"))
+
+    def agg_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "key": t["o_orderkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    return (back.map_batches(agg_rows, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("key", alias_name="key_sum"),
+                       Sum("cents", alias_name="sum_cents"))
+            .sort("o_orderstatus"))
+
+
+_ORDERS_XML_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16856,6 +17130,10 @@ def queries():
         "events_daily_autocorr": events_daily_autocorr,
         "basket_lift_rules": basket_lift_rules,
         "orders_isotonic_daily": orders_isotonic_daily,
+        "events_value_ks": events_value_ks,
+        "orders_theilsen_trend": orders_theilsen_trend,
+        "customer_t_closeness": customer_t_closeness,
+        "orders_xml_roundtrip": orders_xml_roundtrip,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -17267,6 +17545,10 @@ def oracle_sql():
         "part_graph_assortativity": _PART_ASSORT_SQL,
         "events_daily_autocorr": _EVENTS_AUTOCORR_SQL,
         "basket_lift_rules": _BASKET_LIFT_SQL,
+        "events_value_ks": _EVENTS_KS_SQL,
+        "orders_theilsen_trend": _ORDERS_THEILSEN_SQL,
+        "customer_t_closeness": _CUSTOMER_TCLOSE_SQL,
+        "orders_xml_roundtrip": _ORDERS_XML_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -922,3 +922,43 @@ def test_pava_isotonic_properties():
                                  np.array([1, 1, 1], dtype=object))
     assert [int(x) for x in dec_s] == [18, 18, 18]
     assert [int(x) for x in dec_c] == [3, 3, 3]
+
+
+def test_xmlio_roundtrip_types_and_nulls():
+    """write_xml/read_xml roundtrip exactness: int64/float64/string/
+    date32/timestamp/bool columns, NULLs in every column, empty table,
+    markup-hostile strings, and the unsupported-type rejection."""
+    import datetime
+
+    import pytest as _pytest
+
+    from information_extraction_system_ray.sources.xmlio import read_xml, write_xml
+
+    t = pa.table({
+        "i": pa.array([1, None, -7], pa.int64()),
+        "f": pa.array([1.5, float("inf"), None], pa.float64()),
+        "s": pa.array(["<a&b>", None, "x\"y'z"], pa.string()),
+        "d": pa.array([datetime.date(1996, 2, 29), None,
+                       datetime.date(2000, 1, 1)], pa.date32()),
+        "ts": pa.array([datetime.datetime(1997, 6, 1, 12, 30, 45, 123456),
+                        None, datetime.datetime(1970, 1, 1)],
+                       pa.timestamp("us")),
+        "b": pa.array([True, False, None], pa.bool_()),
+    })
+    import io
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".xml", delete=False) as fh:
+        path = fh.name
+    write_xml(t, path)
+    back = read_xml(path)
+    assert back.equals(t), (back, t)
+    # bytes input path too
+    assert read_xml(open(path, "rb").read()).equals(t)
+
+    empty = t.slice(0, 0)
+    write_xml(empty, path)
+    assert read_xml(path).equals(empty)
+
+    bad = pa.table({"x": pa.array([[1]], pa.list_(pa.int64()))})
+    with _pytest.raises(ValueError):
+        write_xml(bad, path)
