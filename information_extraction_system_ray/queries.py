@@ -16952,6 +16952,147 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def docs_nb_source_model(sf_dir: str):
+    """LLM15 — multinomial Naive Bayes source classifier trained and
+    self-evaluated over the corpus (the counts-based sibling of the
+    logreg quality filter — the classifier family the fastText curation
+    recipes start from): classes = ``source``, features = top-K
+    bag-of-words (K = 500, the bounded-vocab contract from
+    [[docs_unigram_nll]]), Laplace-1 smoothing. EVERYTHING integer at
+    the boundaries: log-probs are pre-quantized to micro-nats with
+    floor(1e6·ln(r) + 0.5) on IEEE-identical ratios in both engines, so
+    per-doc scores are exact int64 sums (no float summation order) and
+    argmax (score desc, class asc) is deterministic. Returns the
+    self-prediction confusion matrix (source, predicted, n_docs).
+
+    Scale shape: pass A = the distributed vocab combiner (top-K only);
+    pass B = (term, class) tf sums over vocab terms (K×C rows to the
+    driver — bounded); pass C = ONE streaming score-and-predict pass
+    (each doc's tf lives inside its batch; the K×C log-prob matrix is
+    a ray.put broadcast); only the C×C confusion shuffles."""
+    import math as _math
+
+    from .functions.terms import _TERM_RE, top_terms
+
+    K = 500
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"],
+                      rows_per_block=500)
+    vocab_rows = top_terms(docs, K).take_all()
+    vocab = [r["term"] for r in vocab_rows]
+    vidx = {t: i for i, t in enumerate(vocab)}
+
+    cls_rows = sorted(docs.groupby("source")
+                      .aggregate(Count(alias_name="nd")).take_all(),
+                      key=lambda r: r["source"])
+    classes = [r["source"] for r in cls_rows]
+    ndocs_c = np.array([int(r["nd"]) for r in cls_rows], np.int64)
+    n_total = int(ndocs_c.sum())
+    cidx = {c: j for j, c in enumerate(classes)}
+
+    vref = ray.put(vidx)
+
+    def tf_cells(t: pa.Table) -> pa.Table:
+        vd = ray.get(vref)
+        terms, srcs, tfs = [], [], []
+        for txt, src in zip(t["text"].to_pylist(),
+                            t["source"].to_pylist()):
+            cnt: dict = {}
+            for w in _TERM_RE.findall((txt or "").lower()):
+                if w in vd:
+                    cnt[w] = cnt.get(w, 0) + 1
+            for w, n in cnt.items():
+                terms.append(w)
+                srcs.append(src)
+                tfs.append(n)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "source": pa.array(srcs, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    nwc_rows = (docs.map_batches(tf_cells, batch_format="pyarrow")
+                .groupby(["term", "source"])
+                .aggregate(Sum("tf", alias_name="n")).take_all())
+    nwc = np.zeros((K, len(classes)), dtype=np.int64)
+    for r in nwc_rows:
+        nwc[vidx[r["term"]], cidx[r["source"]]] = int(r["n"])
+    nct = nwc.sum(axis=0)
+    lp = np.empty((K, len(classes)), dtype=np.int64)
+    for j in range(len(classes)):
+        for i in range(K):
+            r = (int(nwc[i, j]) + 1) / float(int(nct[j]) + K)
+            lp[i, j] = _math.floor(1_000_000 * _math.log(r) + 0.5)
+    prior = np.array([_math.floor(1_000_000 * _math.log(
+        int(ndocs_c[j]) / float(n_total)) + 0.5)
+        for j in range(len(classes))], np.int64)
+
+    lref = ray.put((lp, prior, classes))
+
+    def predict(t: pa.Table) -> pa.Table:
+        vd = ray.get(vref)
+        lpm, pri, cls = ray.get(lref)
+        srcs, preds = [], []
+        for txt, src in zip(t["text"].to_pylist(),
+                            t["source"].to_pylist()):
+            score = pri.copy()
+            for w in _TERM_RE.findall((txt or "").lower()):
+                i = vd.get(w)
+                if i is not None:
+                    score = score + lpm[i]
+            best = int(np.argmax(score))   # ties → first == class asc
+            srcs.append(src)
+            preds.append(cls[best])
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "predicted": pa.array(preds, pa.string())})
+
+    return (docs.map_batches(predict, batch_format="pyarrow")
+            .groupby(["source", "predicted"])
+            .aggregate(Count(alias_name="n_docs"))
+            .sort(["source", "predicted"]))
+
+
+_DOCS_NB_SQL = """
+WITH tok AS (SELECT doc_id, source,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS term
+             FROM documents),
+vocab AS (SELECT term FROM tok GROUP BY term
+          ORDER BY COUNT(*) DESC, term LIMIT 500),
+tf AS (SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok JOIN vocab USING (term) GROUP BY 1, 2, 3),
+cls AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ndocs
+        FROM documents GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nwc AS (SELECT c.source AS cls, v.term,
+               CAST(COALESCE(SUM(t.tf), 0) AS BIGINT) AS n
+        FROM cls c CROSS JOIN vocab v
+        LEFT JOIN tf t ON t.source = c.source AND t.term = v.term
+        GROUP BY 1, 2),
+nc AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS nct FROM nwc GROUP BY 1),
+lp AS (SELECT nwc.cls, nwc.term,
+              CAST(FLOOR(1000000 * ln(CAST(nwc.n + 1 AS DOUBLE)
+                                      / (nc.nct + 500)) + 0.5)
+                   AS BIGINT) AS lp
+       FROM nwc JOIN nc USING (cls)),
+pri AS (SELECT c.source AS cls,
+               CAST(FLOOR(1000000 * ln(CAST(c.ndocs AS DOUBLE) / tot.n)
+                          + 0.5) AS BIGINT) AS pr
+        FROM cls c, tot),
+ds AS (SELECT d.doc_id, d.source, pri.cls,
+              pri.pr + CAST(COALESCE(SUM(t.tf * lp.lp), 0) AS BIGINT)
+                  AS score
+       FROM documents d CROSS JOIN pri
+       LEFT JOIN tf t ON t.doc_id = d.doc_id
+       LEFT JOIN lp ON lp.cls = pri.cls AND lp.term = t.term
+       GROUP BY 1, 2, 3, pri.pr),
+pick AS (SELECT source, cls,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cls) AS rk
+         FROM ds)
+SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17134,6 +17275,7 @@ def queries():
         "orders_theilsen_trend": orders_theilsen_trend,
         "customer_t_closeness": customer_t_closeness,
         "orders_xml_roundtrip": orders_xml_roundtrip,
+        "docs_nb_source_model": docs_nb_source_model,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -17549,6 +17691,7 @@ def oracle_sql():
         "orders_theilsen_trend": _ORDERS_THEILSEN_SQL,
         "customer_t_closeness": _CUSTOMER_TCLOSE_SQL,
         "orders_xml_roundtrip": _ORDERS_XML_SQL,
+        "docs_nb_source_model": _DOCS_NB_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
