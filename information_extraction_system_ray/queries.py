@@ -10424,11 +10424,29 @@ def docs_jaccard_prefix_join(sf_dir: str):
         return pa.table({"id_a": pa.array(packed[:, 0], pa.int64()),
                          "id_b": pa.array(packed[:, 1], pa.int64())})
 
+    # global pair-dedup via hash-bucketed drop_duplicates: the (id_a,
+    # id_b) key is near-unique, and a sort-groupby would walk every
+    # 1-row group in Python (the _part_cooccur_counts pathology — this
+    # single groupby was 90% of the query's wall)
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["id_a"].to_pandas(),
+                          "b": t["id_b"].to_pandas()}),
+            index=False) % nparts
+        return t.append_column("part",
+                               pa.array(h.to_numpy(), pa.int64()))
+
+    def pair_dedup(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["id_a", "id_b"])
+        return pa.table({"id_a": pa.array(d["id_a"].to_numpy(np.int64)),
+                         "id_b": pa.array(d["id_b"].to_numpy(np.int64))})
+
     cands = (prefix.map_batches(lambda t: bucket(t, "tk"),
                                 batch_format="pyarrow")
              .groupby("part").map_groups(cand_pairs, batch_format="pandas")
-             .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_m"))
-             .drop_columns(["_m"]))
+             .map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("part").map_groups(pair_dedup,
+                                         batch_format="pandas"))
 
     with_a = auto_join(
         cands,
