@@ -17111,6 +17111,115 @@ FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def docs_dsir_weights(sf_dir: str):
+    """LLM16 — DSIR importance weights (Xie et al. 2023, Data Selection
+    with Importance Resampling): score every document by how much more
+    likely its hashed-n-gram profile is under the TARGET domain (lang
+    == 'en') than under the raw corpus — log w(d) = Σ_b f_db·(ln p̂_b −
+    ln q̂_b) with Laplace-smoothed 64-bucket hashed-unigram models (the
+    [[docs_feature_hashing]] bucket map, so no vocabulary broadcast
+    ever). Log-ratios are pre-quantized to micro-nats with
+    floor(1e6·ln(r)+0.5) on IEEE-identical ratios, so per-doc weights
+    are EXACT int64 sums in both engines. Top 20 by (weight desc,
+    doc_id).
+
+    Scale shape: two streaming passes — pass 1 folds per-batch bucket
+    counts to the ≤64-row two-model table; pass 2 scores each doc
+    inside its own batch against the 64-int log-ratio vector (driver
+    closure) and only (doc_id, weight) enters the top-k sort."""
+    import hashlib
+    import math as _math
+
+    from .functions.terms import _TERM_RE
+
+    B = 64
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      rows_per_block=500)
+
+    def _buckets(txt: str) -> "dict[int, int]":
+        cnt: dict = {}
+        for w in _TERM_RE.findall((txt or "").lower()):
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+            cnt[b] = cnt.get(b, 0) + 1
+        return cnt
+
+    def totals(t: pa.Table) -> pa.Table:
+        nt = np.zeros(B, np.int64)
+        nr = np.zeros(B, np.int64)
+        for txt, lang in zip(t["text"].to_pylist(),
+                             t["lang"].to_pylist()):
+            for b, c in _buckets(txt).items():
+                nr[b] += c
+                if lang == "en":
+                    nt[b] += c
+        return pa.table({"bucket": pa.array(np.arange(B), pa.int64()),
+                         "nt": pa.array(nt, pa.int64()),
+                         "nr": pa.array(nr, pa.int64())})
+
+    rows = (docs.map_batches(totals, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("nt", alias_name="nt"),
+                       Sum("nr", alias_name="nr")).take_all())
+    nt = np.zeros(B, np.int64)
+    nr = np.zeros(B, np.int64)
+    for r in rows:
+        nt[int(r["bucket"])] = int(r["nt"])
+        nr[int(r["bucket"])] = int(r["nr"])
+    st, sr = int(nt.sum()), int(nr.sum())
+    lw = np.array([_math.floor(1_000_000 * _math.log(
+        ((int(nt[b]) + 1) / float(st + B))
+        / ((int(nr[b]) + 1) / float(sr + B))) + 0.5)
+        for b in range(B)], np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            w = 0
+            for b, c in _buckets(txt).items():
+                w += c * int(lw[b])
+            ids.append(did)
+            ws.append(w)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dsir_weight": pa.array(ws, pa.int64())})
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort(["dsir_weight", "doc_id"], descending=[True, False])
+            .limit(20))
+
+
+_DOCS_DSIR_SQL = """
+WITH tok AS (SELECT doc_id, lang,
+                    ('0x' || substr(md5(term), 1, 8))::BIGINT % 64
+                        AS bucket
+             FROM (SELECT doc_id, lang,
+                          unnest(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+')) AS term
+                   FROM documents)),
+tt AS (SELECT bucket,
+              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nt,
+              CAST(COUNT(*) AS BIGINT) AS nr
+       FROM tok GROUP BY 1),
+tots AS (SELECT CAST(SUM(nt) AS BIGINT) AS st,
+                CAST(SUM(nr) AS BIGINT) AS sr
+         FROM tt),
+lw AS (SELECT bucket,
+              CAST(FLOOR(1000000 * ln((CAST(nt + 1 AS DOUBLE)
+                                       / (st + 64))
+                                      / (CAST(nr + 1 AS DOUBLE)
+                                         / (sr + 64))) + 0.5)
+                   AS BIGINT) AS lw
+       FROM tt, tots),
+f AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY 1, 2)
+SELECT f.doc_id, CAST(SUM(f.f * lw.lw) AS BIGINT) AS dsir_weight
+FROM f JOIN lw USING (bucket)
+GROUP BY 1 ORDER BY dsir_weight DESC, doc_id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17294,6 +17403,7 @@ def queries():
         "customer_t_closeness": customer_t_closeness,
         "orders_xml_roundtrip": orders_xml_roundtrip,
         "docs_nb_source_model": docs_nb_source_model,
+        "docs_dsir_weights": docs_dsir_weights,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -17710,6 +17820,7 @@ def oracle_sql():
         "customer_t_closeness": _CUSTOMER_TCLOSE_SQL,
         "orders_xml_roundtrip": _ORDERS_XML_SQL,
         "docs_nb_source_model": _DOCS_NB_SQL,
+        "docs_dsir_weights": _DOCS_DSIR_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
