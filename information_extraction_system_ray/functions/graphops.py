@@ -1099,3 +1099,34 @@ def boruvka_msf(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
             "n_msf_edges": int(n_msf_edges),
             "total_weight": int(total_weight)}
 
+
+
+def double_sweep_diameter(edges: ray.data.Dataset, *, u: str = "u",
+                          v: str = "v",
+                          num_partitions: "int | None" = None) -> dict:
+    """Double-sweep BFS diameter lower bound (Magnien/Latapy/Habib
+    2009): BFS from the min node, re-BFS from the farthest node found
+    (ties → min id). The second eccentricity is ≤ the true diameter D
+    and ≥ ⌈D/2⌉ (any eccentricity is), and is EXACT on trees. Two
+    Pregel BFS runs; two (dist, node) argmax reductions on the driver.
+
+    Returns {"start", "far_node", "ecc_start", "diameter_lb",
+    "n_reached"} — n_reached counts the far node's component."""
+    src0 = int(edges.min(u))
+
+    def far_of(ds) -> "tuple[int, int]":
+        m = int(ds.max("dist") or 0)
+        node = int(ds.map_batches(
+            lambda t, m=m: t.filter(pc.equal(t["dist"],
+                                             pa.scalar(m, pa.int64()))),
+            batch_format="pyarrow").min("node"))
+        return node, m
+
+    d1 = bfs_distances(edges, source=src0, u=u, v=v,
+                       num_partitions=num_partitions)
+    far1, ecc1 = far_of(d1)
+    d2 = bfs_distances(edges, source=far1, u=u, v=v,
+                       num_partitions=num_partitions)
+    _far2, ecc2 = far_of(d2)
+    return {"start": src0, "far_node": far1, "ecc_start": ecc1,
+            "diameter_lb": ecc2, "n_reached": int(d2.count())}

@@ -17220,6 +17220,90 @@ GROUP BY 1 ORDER BY dsir_weight DESC, doc_id LIMIT 20
 """
 
 
+def part_graph_diameter(sf_dir: str):
+    """G68 — double-sweep BFS diameter bound (Magnien/Latapy/Habib
+    2009, the iFUB building block): BFS from the min node, re-BFS from
+    the farthest node found (ties → min id); the second eccentricity is
+    a LOWER bound on the graph diameter that is exact on trees and
+    empirically tight on web-ish graphs — the O(2·BFS) answer to a
+    question whose exact form is all-pairs. Returns (start, far_node,
+    ecc1, diameter_lb, n_reached). Rows-only: the two-BFS recursion has
+    no SQL form; the oracle is a brute all-pairs-BFS property test
+    (exact on trees; lower bound ≤ true diameter, ≥ max eccentricity
+    seen) in tests/test_graph_properties.py.
+
+    Scale shape: two Pregel BFS runs (edges shard once per run, rounds
+    == eccentricity); the only driver data is two (dist, node) argmax
+    reductions."""
+    from .functions.graphops import double_sweep_diameter
+
+    res = double_sweep_diameter(_part_strong_edges(sf_dir),
+                                num_partitions=_join_parts(sf_dir))
+    return pa.table({k: pa.array([res[k]], pa.int64())
+                     for k in ("start", "far_node", "ecc_start",
+                               "diameter_lb", "n_reached")})
+
+
+def part_graph_modularity(sf_dir: str):
+    """G69 — Newman modularity of the [[part_graph_label_prop]]
+    communities: Q = Σ_c (m_c/m − (d_c/2m)²), the standard "did the
+    community detector find structure?" readout. EXACT integer algebra
+    — Q·(4m²) = 4m·Σm_c − Σd_c² over int64 partials (intra-community
+    edge counts m_c via a two-label attach, community degree sums d_c
+    from one endpoint groupby), one driver division, reported as
+    round-half-up ppm. Rows-only: the fixed-round LPA labels are
+    iterative; correctness is pinned by the LPA parity tests plus an
+    exact-Q recomputation golden in tests/test_graph_properties.py.
+
+    Scale shape: two auto_join label attaches on the edge list; the
+    per-community reductions are narrow; |C| rows reach the driver."""
+    from .functions.graphops import label_propagation
+    from .functions.joins import auto_join
+
+    edges = _part_strong_edges(sf_dir).materialize()
+    labels = label_propagation(edges, rounds=5,
+                               num_partitions=_join_parts(sf_dir))
+    lab_u = labels.map_batches(
+        lambda t: pa.table({"nu": t["lnode"], "cu": t["label"]}),
+        batch_format="pyarrow")
+    lab_v = labels.map_batches(
+        lambda t: pa.table({"nv": t["lnode"], "cv": t["label"]}),
+        batch_format="pyarrow")
+    tagged = auto_join(edges, lab_u, left_key="u", right_key="nu",
+                       right_cols=["cu"])
+    tagged = auto_join(tagged, lab_v, left_key="v", right_key="nv",
+                       right_cols=["cv"])
+
+    m = int(edges.count())
+
+    def intra(t: pa.Table) -> pa.Table:
+        eq = pc.cast(pc.equal(t["cu"], t["cv"]), pa.int64())
+        return pa.table({"mc_part": pa.array([int(pc.sum(eq).as_py()
+                                                  or 0)], pa.int64())})
+
+    m_intra = int(tagged.map_batches(intra, batch_format="pyarrow")
+                  .sum("mc_part") or 0)
+
+    def degs(t: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.concat_arrays(
+            [t["cu"].combine_chunks(), t["cv"].combine_chunks()])})
+
+    dc = (tagged.map_batches(degs, batch_format="pyarrow")
+          .groupby("c").aggregate(Count(alias_name="dc")))
+    sum_dc2 = int(dc.map_batches(
+        lambda t: pa.table({"sq": pc.multiply(t["dc"], t["dc"])}),
+        batch_format="pyarrow").sum("sq") or 0)
+    n_comm = int(dc.count())
+    num = 4 * m * m_intra - sum_dc2          # Q·4m²  (exact)
+    den = 4 * m * m
+    q_ppm = (2 * 1_000_000 * num + den) // (2 * den)
+    return pa.table({
+        "n_edges": pa.array([m], pa.int64()),
+        "n_communities": pa.array([n_comm], pa.int64()),
+        "intra_edges": pa.array([m_intra], pa.int64()),
+        "modularity_ppm": pa.array([q_ppm], pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17404,6 +17488,8 @@ def queries():
         "orders_xml_roundtrip": orders_xml_roundtrip,
         "docs_nb_source_model": docs_nb_source_model,
         "docs_dsir_weights": docs_dsir_weights,
+        "part_graph_diameter": part_graph_diameter,
+        "part_graph_modularity": part_graph_modularity,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,

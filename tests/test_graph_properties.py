@@ -700,3 +700,94 @@ def test_boruvka_msf_matches_kruskal(ray_session):
     eq = [(a, b, 3) for a, b, _ in rand]
     assert run(eq) == kruskal(eq)
 
+
+
+def test_double_sweep_diameter_bounds(ray_session):
+    """double_sweep_diameter is EXACT on trees (path, star, random
+    tree) and on general graphs returns ceil(D/2) <= lb <= D vs a
+    brute all-pairs BFS; layout-invariant."""
+    import collections
+    import random
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        double_sweep_diameter
+
+    def brute_diameter(edges):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        best = 0
+        for s in adj:
+            dist = {s: 0}
+            q = collections.deque([s])
+            while q:
+                n = q.popleft()
+                for m in adj[n]:
+                    if m not in dist:
+                        dist[m] = dist[n] + 1
+                        q.append(m)
+            best = max(best, max(dist.values()))
+        return best
+
+    def run(edges, nparts=4):
+        t = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                      "v": pa.array([b for _, b in edges], pa.int64())})
+        return double_sweep_diameter(rd.from_arrow(t).repartition(nparts),
+                                     num_partitions=3)
+
+    path = [(i, i + 1) for i in range(9)]
+    got = run(path)
+    assert got["diameter_lb"] == 9 and got["n_reached"] == 10
+
+    star = [(0, i) for i in range(1, 7)]
+    assert run(star)["diameter_lb"] == 2
+
+    rng = random.Random(23)
+    # random tree: exactness guarantee
+    tree = [(rng.randrange(i), i) for i in range(1, 25)]
+    assert run(tree)["diameter_lb"] == brute_diameter(tree)
+
+    # general random graph: ceil(D/2) <= lb <= D, layout-invariant
+    nodes = list(range(30))
+    rand = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                   for _ in range(45)})
+    d_true = brute_diameter(rand)
+    got = run(rand)
+    assert (d_true + 1) // 2 <= got["diameter_lb"] <= d_true
+    assert run(rand, nparts=1) == got
+
+
+def test_modularity_recompute_golden(ray_session):
+    """part_graph_modularity's exact-integer Q equals a pure-pandas
+    recomputation from the same LPA labels on the sf0.001 graph."""
+    import pandas as pd
+
+    from information_extraction_system_ray.functions.graphops import \
+        label_propagation
+    from information_extraction_system_ray.queries import (_join_parts,
+                                              _part_strong_edges,
+                                              part_graph_modularity)
+
+    sf = "/root/testdata/sf0.001"
+    got = part_graph_modularity(sf).to_pandas().iloc[0]
+
+    edges = _part_strong_edges(sf).to_pandas()
+    labels = label_propagation(
+        _part_strong_edges(sf).materialize(), rounds=5,
+        num_partitions=_join_parts(sf)).to_pandas()
+    lab = dict(zip(labels["lnode"], labels["label"]))
+    cu = edges["u"].map(lab)
+    cv = edges["v"].map(lab)
+    m = len(edges)
+    m_intra = int((cu == cv).sum())
+    dc = pd.concat([cu, cv]).value_counts()
+    sum_dc2 = int((dc.astype("int64") ** 2).sum())
+    num = 4 * m * m_intra - sum_dc2
+    den = 4 * m * m
+    q_ppm = (2 * 1_000_000 * num + den) // (2 * den)
+    assert int(got["n_edges"]) == m
+    assert int(got["intra_edges"]) == m_intra
+    assert int(got["modularity_ppm"]) == q_ppm
+    assert int(got["n_communities"]) == int(dc.size)
