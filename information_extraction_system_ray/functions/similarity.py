@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max
 
 
 def _as_matrix(col, dtype=np.float32) -> np.ndarray:
@@ -269,3 +271,64 @@ def knn_lsh(emb: ray.data.Dataset, queries: np.ndarray, k: int, *,
 
     cands = emb.map_batches(keep_candidates, batch_format="pyarrow")
     return knn_bruteforce(cands, qn, k, id_col=id_col, vec_col=vec_col)
+
+
+def mutual_top1(emb: ray.data.Dataset, *, num_centroids: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                num_partitions: int = 8) -> ray.data.Dataset:
+    """Mutual nearest-neighbor pairs (the alignment/anchor-pair primitive
+    of bitext mining and cross-corpus entity matching): each vector's
+    cosine top-1 neighbor is found WITHIN its IVF coarse bucket (the
+    SemDeDup-style k-means blocking — exact inside a bucket, candidate
+    loss only across bucket borders, documented), and a pair survives
+    iff each endpoint is the other's top-1. Ties break on smaller id,
+    so the result is deterministic; cosine is reported as round-half-up
+    micro units computed in float64 on both the distributed and test
+    reference paths.
+
+    Scale shape: one centroid broadcast + bucket assignment; per-bucket
+    exact top-1 inside hash-partitioned map_groups (bucket sizes ~n/C —
+    size C to the data); the mutual check is one (min,max)-key count
+    groupby. Nothing all-pairs ever materializes."""
+    cents = ivf_build_centroids(emb, num_centroids, vec_col=vec_col)
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col) \
+        .materialize()
+
+    def top1(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy(np.int64)
+        v = _normalize(_as_matrix(
+            pa.table({vec_col: pa.array(g[vec_col])})[vec_col],
+            np.float64))
+        if len(ids) < 2:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64()),
+                             "cos_micro": pa.array([], pa.int64())})
+        # deterministic evaluation order: sort rows by id first
+        order = np.argsort(ids, kind="mergesort")
+        ids, v = ids[order], v[order]
+        sims = v @ v.T
+        np.fill_diagonal(sims, -2.0)
+        best = sims.argmax(axis=1)        # first max == smaller id
+        cos = sims[np.arange(len(ids)), best]
+        micro = np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({"src": pa.array(ids, pa.int64()),
+                         "nbr": pa.array(ids[best], pa.int64()),
+                         "cos_micro": pa.array(micro, pa.int64())})
+
+    nn = assigned.groupby("ivf_bucket").map_groups(
+        top1, batch_format="pandas")
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["src"], t["nbr"])
+        hi = pc.max_element_wise(t["src"], t["nbr"])
+        return pa.table({"id_a": lo, "id_b": hi,
+                         "cos_micro": t["cos_micro"]})
+
+    return (nn.map_batches(pair_key, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="n_dir"),
+                       Max("cos_micro", alias_name="cos_micro"))
+            .map_batches(lambda t: t.filter(
+                pc.equal(t["n_dir"], pa.scalar(2, pa.int64())))
+                .drop_columns(["n_dir"]),
+                batch_format="pyarrow"))

@@ -17304,6 +17304,24 @@ def part_graph_modularity(sf_dir: str):
         "modularity_ppm": pa.array([q_ppm], pa.int64())})
 
 
+def emb_mutual_nn(sf_dir: str):
+    """V6 — mutual nearest-neighbor pairs over the embedding table
+    (functions/similarity.py ``mutual_top1``): the anchor-pair primitive
+    of bitext mining / cross-corpus alignment — a pair survives iff each
+    vector is the other's cosine top-1 inside its IVF coarse bucket
+    (SemDeDup-style k-means blocking; exact within buckets). Ties break
+    on smaller id; cosine reported as round-half-up micro units.
+    Rows-only: argmax-per-row has no tractable SQL form at scale; the
+    oracle is a single-bucket numpy brute-force parity + planted-pair
+    recall test (tests/test_similarity.py)."""
+    from .functions.similarity import mutual_top1
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"],
+                     rows_per_block=2_000)
+    return mutual_top1(emb, num_centroids=8).sort(["id_a", "id_b"])
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17490,6 +17508,7 @@ def queries():
         "docs_dsir_weights": docs_dsir_weights,
         "part_graph_diameter": part_graph_diameter,
         "part_graph_modularity": part_graph_modularity,
+        "emb_mutual_nn": emb_mutual_nn,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,

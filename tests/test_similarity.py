@@ -188,3 +188,53 @@ def test_pq_rerank_recall_and_selfhit(ray_session):
 
     again = emb_knn_pq_rerank(sf)
     assert got.equals(again)
+
+
+def test_mutual_top1_matches_bruteforce(ray_session):
+    """mutual_top1 with ONE coarse bucket == numpy brute-force mutual
+    top-1 (exact, ties to smaller id); planted mutual pairs are found;
+    layout-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_system_ray.functions.similarity import mutual_top1
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 16
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    # plant two tight mutual pairs
+    v[11] = v[10] + 1e-3
+    v[31] = v[30] - 1e-3
+    ids = np.arange(n, dtype=np.int64)
+
+    def brute():
+        vn = (v.astype(np.float64)
+              / np.linalg.norm(v.astype(np.float64), axis=1,
+                               keepdims=True))
+        sims = vn @ vn.T
+        np.fill_diagonal(sims, -2.0)
+        best = sims.argmax(axis=1)
+        pairs = {}
+        for i in range(n):
+            a, b = int(ids[i]), int(ids[best[i]])
+            if best[b] == i:
+                key = (min(a, b), max(a, b))
+                cos = np.floor(sims[i, best[i]] * 1_000_000
+                               + 0.5).astype(np.int64)
+                pairs[key] = int(cos)
+        return pairs
+
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(v.astype(np.float32)))})
+
+    def run(nparts):
+        out = mutual_top1(rd.from_arrow(t).repartition(nparts),
+                          num_centroids=1).take_all()
+        return {(r["id_a"], r["id_b"]): r["cos_micro"] for r in out}
+
+    want = brute()
+    got = run(4)
+    assert got == want
+    assert (10, 11) in got and (30, 31) in got
+    assert run(1) == want
