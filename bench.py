@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "part_dag_levels", "events_user_scc", "part_name_resolution",
     "cust_supp_balance_band", "docs_trigram_search",
     "orders_avro_roundtrip",
+    # round-4 closing batch (MSF / rules / curation-model / set-sim)
+    "part_graph_msf", "basket_lift_rules", "docs_nb_source_model",
+    "docs_dsir_weights", "docs_jaccard_prefix_join", "emb_mutual_nn",
 ]
 
 
