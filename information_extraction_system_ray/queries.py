@@ -17322,6 +17322,182 @@ def emb_mutual_nn(sf_dir: str):
     return mutual_top1(emb, num_centroids=8).sort(["id_a", "id_b"])
 
 
+def events_daily_interp(sf_dir: str):
+    """TS14 — linear gap interpolation of the per-type daily spend
+    series (the fill step between [[events_value_locf]]'s
+    step-function fill and a model-based imputation): for every
+    calendar day between a type's first and last active day, missing
+    days get pv + (nv−pv)·(d−pd)/(nd−pd) between the nearest present
+    neighbors. Present-day sums are exact int cents; the interpolated
+    value is the SAME double expression from the same ints in both
+    engines (IEEE-identical), 4 dp; `interp` flags fills.
+
+    Scale shape: the fact table collapses through a (type, day) sum
+    combiner; the types×days calendar-bounded grid computes on the
+    driver — the standing daily-series contract."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts",
+                                               "value"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                    pa.timestamp("us"))
+        return (pa.table({"et": t["event_type"], "d": d,
+                          "cents": _cents(t["value"])})
+                .group_by(["et", "d"]).aggregate([("cents", "sum")])
+                .rename_columns(["et", "d", "cents"]))
+
+    rows = (ev.map_batches(daily, batch_format="pyarrow")
+            .groupby(["et", "d"])
+            .aggregate(Sum("cents", alias_name="cents")).take_all())
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["et"], {})[r["d"]] = int(r["cents"])
+    import datetime as _dt
+
+    out_et, out_d, out_v, out_f = [], [], [], []
+    for et in sorted(series):
+        s = series[et]
+        days = sorted(s)
+        lo, hi = days[0], days[-1]
+        present = np.array([(d - lo).days for d in days], np.int64)
+        vals = np.array([s[d] for d in days], np.int64)
+        n = (hi - lo).days + 1
+        for off in range(n):
+            d = lo + _dt.timedelta(days=off)
+            if d in s:
+                out_v.append(round(float(s[d]), 4))
+                out_f.append(False)
+            else:
+                j = int(np.searchsorted(present, off))
+                pd_, nd_ = int(present[j - 1]), int(present[j])
+                pv, nv = float(vals[j - 1]), float(vals[j])
+                v = pv + (nv - pv) * float(off - pd_) / float(nd_ - pd_)
+                out_v.append(round(v, 4))
+                out_f.append(True)
+            out_et.append(et)
+            out_d.append(d)
+    return pa.table({"event_type": pa.array(out_et, pa.string()),
+                     "d": pa.array(out_d, pa.timestamp("us")),
+                     "cents_filled": pa.array(out_v, pa.float64()),
+                     "interp": pa.array(out_f, pa.bool_())})
+
+
+_EVENTS_INTERP_SQL = """
+WITH c AS (SELECT event_type AS et, date_trunc('day', ts) AS d,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+b AS (SELECT et, MIN(d) mn, MAX(d) mx FROM c GROUP BY 1),
+cal AS (SELECT b.et, unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY))
+                   AS d
+        FROM b),
+g AS (SELECT cal.et, cal.d, c.cents,
+             MAX(CASE WHEN c.cents IS NOT NULL THEN cal.d END)
+                 OVER (PARTITION BY cal.et ORDER BY cal.d) AS pd,
+             last_value(c.cents IGNORE NULLS)
+                 OVER (PARTITION BY cal.et ORDER BY cal.d) AS pv,
+             MIN(CASE WHEN c.cents IS NOT NULL THEN cal.d END)
+                 OVER (PARTITION BY cal.et ORDER BY cal.d
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS nd,
+             first_value(c.cents IGNORE NULLS)
+                 OVER (PARTITION BY cal.et ORDER BY cal.d
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS nv
+      FROM cal LEFT JOIN c ON c.et = cal.et AND c.d = cal.d)
+SELECT et AS event_type, d,
+       ROUND(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             ELSE CAST(pv AS DOUBLE)
+                  + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                  * CAST(date_diff('day', pd, d) AS DOUBLE)
+                  / CAST(date_diff('day', pd, nd) AS DOUBLE)
+             END, 4) AS cents_filled,
+       cents IS NULL AS interp
+FROM g ORDER BY event_type, d
+"""
+
+
+def orders_seasonal_decomp(sf_dir: str):
+    """TS15 — classical additive seasonal decomposition of daily order
+    revenue into day-of-week indices (trend = centered 7-day moving
+    average, seasonal index = mean of detrended values per weekday):
+    the pre-model seasonality readout. EVERYTHING integer: the 7-day MA
+    is rendered as round-half-up micro-cents of an exact 7-int sum,
+    detrended values are exact micro ints, and each weekday index is
+    one HUGEINT floor division mirrored in both engines. Weekday =
+    epoch-day mod 7 (no locale).
+
+    Scale shape: one (day → Σcents) combiner; the calendar-bounded MA /
+    seasonal folds run on the driver."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        return (pa.table({"d": t["o_orderdate"],
+                          "cents": _cents(t["o_totalprice"])})
+                .group_by("d").aggregate([("cents", "sum")])
+                .rename_columns(["d", "cents"]))
+
+    rows = (orders.map_batches(daily, batch_format="pyarrow")
+            .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+            .take_all())
+    rows.sort(key=lambda r: r["d"])
+    days = [r["d"] for r in rows]
+    y = [int(r["cents"]) for r in rows]
+    epoch = [d.toordinal() - 719163 for d in days]   # 1970-01-01
+    # centered 7-day MA over CONSECUTIVE series positions (the series is
+    # near-dense; SQL mirrors positions, not calendar, so both agree)
+    agg: dict = {}
+    for i in range(3, len(y) - 3):
+        s7 = sum(y[i - 3:i + 4])
+        trend_micro = (2 * 1_000_000 * s7 + 7) // 14
+        det = 1_000_000 * y[i] - trend_micro
+        dow = epoch[i] % 7
+        s, c = agg.get(dow, (0, 0))
+        agg[dow] = (s + det, c + 1)
+    dows, seas, ns = [], [], []
+    for dow in sorted(agg):
+        s, c = agg[dow]
+        dows.append(dow)
+        # OFF keeps the numerator positive: Python // floors while
+        # DuckDB // truncates, and detrended sums CAN be negative
+        off = 2 * 10 ** 15
+        seas.append((2 * s + c + 2 * c * off) // (2 * c) - off)
+        ns.append(c)
+    return pa.table({"dow": pa.array(dows, pa.int64()),
+                     "seasonal_micro": pa.array(seas, pa.int64()),
+                     "n_days": pa.array(ns, pa.int64())})
+
+
+_ORDERS_SEASONAL_SQL = """
+WITH s AS (SELECT o_orderdate AS d,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+x AS (SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS t,
+             COUNT(*) OVER () AS n,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(d AS DATE)) AS BIGINT) AS ep
+      FROM s),
+ma AS (SELECT t, ep, y,
+              CAST(SUM(y) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS HUGEINT) AS s7,
+              n
+       FROM x),
+det AS (SELECT ep % 7 AS dow,
+               CAST(1000000 AS HUGEINT) * y
+               - (2 * 1000000 * s7 + 7) // 14 AS det
+        FROM ma WHERE t > 3 AND t <= n - 3)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST((2 * SUM(det) + COUNT(*)
+             + 2 * COUNT(*) * CAST(2000000000000000 AS HUGEINT))
+            // (2 * COUNT(*)) - 2000000000000000 AS BIGINT)
+           AS seasonal_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM det GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17509,6 +17685,8 @@ def queries():
         "part_graph_diameter": part_graph_diameter,
         "part_graph_modularity": part_graph_modularity,
         "emb_mutual_nn": emb_mutual_nn,
+        "events_daily_interp": events_daily_interp,
+        "orders_seasonal_decomp": orders_seasonal_decomp,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -17926,6 +18104,8 @@ def oracle_sql():
         "orders_xml_roundtrip": _ORDERS_XML_SQL,
         "docs_nb_source_model": _DOCS_NB_SQL,
         "docs_dsir_weights": _DOCS_DSIR_SQL,
+        "events_daily_interp": _EVENTS_INTERP_SQL,
+        "orders_seasonal_decomp": _ORDERS_SEASONAL_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
