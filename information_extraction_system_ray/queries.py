@@ -17498,6 +17498,153 @@ FROM det GROUP BY 1 ORDER BY 1
 """
 
 
+def customer_revenue_lorenz(sf_dir: str):
+    """G70 — Lorenz curve of per-customer revenue in deciles (the curve
+    behind [[orders_gini]]-style scalars — what a marketplace actually
+    plots): customers ranked ascending by revenue, decile =
+    (rank−1)·10 // n, each decile's customer count and cumulative
+    revenue share as EXACT floor-ppm. Ranks from the range-partitioned
+    global row number (tie-invariant: equal revenues commute inside the
+    cumulative sum).
+
+    Scale shape: orders → per-customer combiner groupby → the two-pass
+    prefix-sum rank; 10 decile partials reach the driver."""
+    from .functions.rank import global_row_number
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    rev = (orders.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents"))
+        .materialize())
+    n = int(rev.count())
+    ranked = global_row_number(rev, order_by=["cents", "o_custkey"],
+                               out_col="rn",
+                               num_partitions=_join_parts(sf_dir,
+                                                          "orders"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        dec = (rn - 1) * 10 // n
+        return (pa.table({"decile": pa.array(dec, pa.int64()),
+                          "cents": t["cents"]})
+                .group_by("decile")
+                .aggregate([("cents", "sum"), ([], "count_all")])
+                .rename_columns(["decile", "cents", "nc"]))
+
+    rows = (ranked.map_batches(tag, batch_format="pyarrow")
+            .groupby("decile")
+            .aggregate(Sum("cents", alias_name="cents"),
+                       Sum("nc", alias_name="n_customers")).take_all())
+    rows.sort(key=lambda r: int(r["decile"]))
+    total = sum(int(r["cents"]) for r in rows)
+    cum = 0
+    decs, ncs, shares = [], [], []
+    for r in rows:
+        cum += int(r["cents"])
+        decs.append(int(r["decile"]))
+        ncs.append(int(r["n_customers"]))
+        shares.append(cum * 1_000_000 // total)
+    return pa.table({"decile": pa.array(decs, pa.int64()),
+                     "n_customers": pa.array(ncs, pa.int64()),
+                     "cum_share_ppm": pa.array(shares, pa.int64())})
+
+
+_CUSTOMER_LORENZ_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+w AS (SELECT cents,
+             (ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) * 10
+             // (SELECT COUNT(*) FROM r) AS decile
+      FROM r),
+d AS (SELECT decile, CAST(SUM(cents) AS HUGEINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM w GROUP BY 1)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+       CAST(SUM(cents) OVER (ORDER BY decile) * 1000000
+            // (SELECT SUM(CAST(cents AS HUGEINT)) FROM d) AS BIGINT)
+           AS cum_share_ppm
+FROM d ORDER BY decile
+"""
+
+
+def media_video_neardup(sf_dir: str):
+    """MM8 — cross-video near-duplicate detection (the multimodal leg
+    of the dedup suite one level up from [[media_phash_pairs]]'s still
+    images): each demuxed video collapses to a 64-bit signature — the
+    DCT pHash of its exact-integer temporal MEAN frame — and pairs come
+    from the factored-out banded-Hamming scheme (exact recall ≤ hamming
+    3 by the Manku pigeonhole). The corpus plants near-copies (same
+    frames, ±1 jitter): planted pairs MUST surface, disjoint-palette
+    videos must not. Rows-only: pixel demux has no SQL; the oracle is
+    the planted-recall + brute-Hamming parity test
+    (tests/test_multimodal.py).
+
+    Scale shape: one streaming decode→signature pass (payload dropped
+    immediately — only (id, int64) survives); num_tables skinny rows
+    per video enter the banded shuffle."""
+    from .functions.dedup import hamming_pairs_banded
+    from .sources.mediacodec import encode_ppm_stream, iter_ppm_stream
+    from .stages.multimodal import phash64
+
+    n = max(16, _n_media(sf_dir) // 4)
+
+    def make_frames(mid: int, jitter_seed: int) -> "list[np.ndarray]":
+        # spatially STRUCTURED content (random low-freq cosine mix), so
+        # the pHash sign bits are content-dominated and survive the ±1
+        # jitter — a flat frame's DCT is all-noise and hashes randomly
+        rng = np.random.default_rng(4000 + mid)
+        jrng = np.random.default_rng(9000 + jitter_seed)
+        yy = np.arange(12)[:, None] / 12.0
+        xx = np.arange(16)[None, :] / 16.0
+        img = np.zeros((12, 16))
+        for _ in range(4):
+            fy, fx = rng.integers(1, 4, size=2)
+            img += float(rng.integers(1, 5)) * \
+                np.cos(np.pi * fy * yy) * np.cos(np.pi * fx * xx)
+        img = ((img - img.min()) / (img.max() - img.min() + 1e-9)
+               * 180 + 20).astype(np.int64)
+        frames = []
+        for _ in range(6):
+            jitter = jrng.integers(0, 2, size=(12, 16, 3), dtype=np.uint8)
+            frames.append((img[:, :, None] + jitter).astype(np.uint8))
+        return frames
+
+    payloads = []
+    for mid in range(n):
+        if mid % 4 == 3:      # near-copy of mid-1's content, new jitter
+            payloads.append(encode_ppm_stream(
+                make_frames(mid - 1, jitter_seed=mid)))
+        else:
+            payloads.append(encode_ppm_stream(
+                make_frames(mid, jitter_seed=mid)))
+    t = pa.table({"media_id": pa.array(range(n), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            frames = [f.astype(np.int64) for _, f in
+                      iter_ppm_stream(payload)]
+            mean = (np.sum(frames, axis=0) // len(frames)) \
+                .astype(np.uint8)
+            ids.append(mid)
+            hs.append(np.int64(np.uint64(phash64(mean))))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(hs, pa.int64())})
+
+    sigs = (ray.data.from_arrow(t).repartition(4)
+            .map_batches(sig, batch_format="pyarrow"))
+    return hamming_pairs_banded(sigs, id_col="media_id",
+                                hash_col="phash",
+                                max_hamming=3).sort(["id_a", "id_b"])
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17687,6 +17834,8 @@ def queries():
         "emb_mutual_nn": emb_mutual_nn,
         "events_daily_interp": events_daily_interp,
         "orders_seasonal_decomp": orders_seasonal_decomp,
+        "customer_revenue_lorenz": customer_revenue_lorenz,
+        "media_video_neardup": media_video_neardup,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -18106,6 +18255,7 @@ def oracle_sql():
         "docs_dsir_weights": _DOCS_DSIR_SQL,
         "events_daily_interp": _EVENTS_INTERP_SQL,
         "orders_seasonal_decomp": _ORDERS_SEASONAL_SQL,
+        "customer_revenue_lorenz": _CUSTOMER_LORENZ_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -238,3 +238,19 @@ def test_vad_all_silence_emits_nothing(ray_session):
         "duration_ms": pa.array([1000], pa.int32()),
     }).cast(MEDIA_SCHEMA)
     assert vad_segments(ray.data.from_arrow(t)).count() == 0
+
+
+def test_video_neardup_planted_pairs(ray_session):
+    """media_video_neardup finds EXACTLY the planted near-copy pairs
+    (mid % 4 == 3 duplicates mid−1's content under ±1 jitter) and
+    nothing else — the banded-Hamming recall guarantee carried from
+    stills up to demuxed video signatures."""
+    from information_extraction_system_ray.queries import (_n_media,
+                                              media_video_neardup)
+
+    sf = "/root/testdata/sf0.001"
+    n = max(16, _n_media(sf) // 4)
+    got = {(int(r["id_a"]), int(r["id_b"]))
+           for r in media_video_neardup(sf).take_all()}
+    want = {(m - 1, m) for m in range(n) if m % 4 == 3}
+    assert got == want
