@@ -44,9 +44,13 @@ BENCH_QUERIES = [
     "part_dag_levels", "events_user_scc", "part_name_resolution",
     "cust_supp_balance_band", "docs_trigram_search",
     "orders_avro_roundtrip",
-    # round-4 closing batch (MSF / rules / curation-model / set-sim)
+    # round-4 closing batch (MSF / rules / curation-model / set-sim).
+    # docs_jaccard_prefix_join is deliberately NOT here: its prefix
+    # blocking is honest-but-weak on the synthetic 40-word vocabulary
+    # (documented in the query) and goes quadratic at sf0.1 — the
+    # oracle sweep covers its correctness at sf0.001/0.01.
     "part_graph_msf", "basket_lift_rules", "docs_nb_source_model",
-    "docs_dsir_weights", "docs_jaccard_prefix_join", "emb_mutual_nn",
+    "docs_dsir_weights", "emb_mutual_nn",
 ]
 
 
