@@ -17645,6 +17645,172 @@ def media_video_neardup(sf_dir: str):
                                 max_hamming=3).sort(["id_a", "id_b"])
 
 
+# SHACL-lite ontology for the extracted KG: predicate → (domain types,
+# range types) over the entity-id type prefixes (PER/ORG/LOC). NIL:
+# ids are unresolved mentions, audited separately — they are linking
+# failures, not schema violations.
+KG_ONTOLOGY: "dict[str, tuple[frozenset, frozenset]]" = {
+    "acquired": (frozenset({"ORG"}), frozenset({"ORG"})),
+    "born_in": (frozenset({"PER"}), frozenset({"LOC"})),
+    "founded": (frozenset({"PER"}), frozenset({"ORG"})),
+    "headquartered_in": (frozenset({"ORG"}), frozenset({"LOC"})),
+    "invested_in": (frozenset({"ORG", "PER"}), frozenset({"ORG"})),
+    "leads": (frozenset({"PER"}), frozenset({"ORG"})),
+    "located_in": (frozenset({"ORG", "LOC"}), frozenset({"LOC"})),
+    "moved_to": (frozenset({"PER"}), frozenset({"LOC"})),
+    "partnered_with": (frozenset({"ORG"}), frozenset({"ORG"})),
+    "studied_at": (frozenset({"PER"}), frozenset({"ORG"})),
+    "visited": (frozenset({"PER"}), frozenset({"LOC"})),
+    "works_at": (frozenset({"PER"}), frozenset({"ORG"})),
+}
+
+
+def _kg_type_of(col: pa.ChunkedArray) -> pa.Array:
+    """Entity-type column from id prefixes: NIL: → 'NIL', else the
+    substring before '_' (PER/ORG/LOC)."""
+    s = pd.Series(col.to_pandas())
+    out = np.where(s.str.startswith("NIL:"), "NIL",
+                   s.str.split("_").str[0])
+    return pa.array(out, pa.string())
+
+
+def kg_ontology_audit(sf_dir: str):
+    """KG6 — SHACL-lite domain/range validation of the extracted KG
+    (the constraint audit every production KG build gates publication
+    on): per predicate — edge count, conforming edges, domain
+    violations, range violations, and unresolved-endpoint (NIL) edges,
+    against the declared ``KG_ONTOLOGY``. A NIL endpoint is counted
+    once as unresolved and excluded from the violation columns (it is
+    a LINKING failure, not a schema one); an undeclared predicate
+    counts all its edges as domain violations.
+
+    Scale shape: one vectorized type-tagging map over the edge table +
+    one |preds|-row groupby; nothing entity-sized leaves the workers.
+    Rows-only (KG tables aren't DuckDB views); golden = pandas
+    recomputation with the same ontology (tests/test_flagship.py)."""
+    edges = _kg_run(sf_dir)["edges"]
+    dom_items = sorted((p, t) for p, (d, _) in KG_ONTOLOGY.items()
+                       for t in d)
+    rng_items = sorted((p, t) for p, (_, r) in KG_ONTOLOGY.items()
+                       for t in r)
+
+    def audit(t: pa.Table) -> pa.Table:
+        st = pd.Series(_kg_type_of(t["subj_id"]).to_pandas())
+        ot = pd.Series(_kg_type_of(t["obj_id"]).to_pandas())
+        preds = pd.Series(t["pred"].to_pandas())
+        nil = (st == "NIL") | (ot == "NIL")
+        dom_ok = pd.MultiIndex.from_arrays([preds, st]) \
+            .isin(dom_items)
+        rng_ok = pd.MultiIndex.from_arrays([preds, ot]) \
+            .isin(rng_items)
+        frame = pd.DataFrame({
+            "pred": preds,
+            "n_edges": 1,
+            "n_conforming": (~nil & dom_ok & rng_ok).astype(np.int64),
+            "n_domain_viol": (~nil & ~dom_ok).astype(np.int64),
+            "n_range_viol": (~nil & ~rng_ok).astype(np.int64),
+            "n_unresolved": nil.astype(np.int64)})
+        g = frame.groupby("pred", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (edges.map_batches(audit, batch_format="pyarrow")
+            .groupby("pred")
+            .aggregate(Sum("n_edges", alias_name="n_edges"),
+                       Sum("n_conforming", alias_name="n_conforming"),
+                       Sum("n_domain_viol", alias_name="n_domain_viol"),
+                       Sum("n_range_viol", alias_name="n_range_viol"),
+                       Sum("n_unresolved", alias_name="n_unresolved"))
+            .sort("pred"))
+
+
+def kg_nil_clusters(sf_dir: str):
+    """KG7 — NIL-mention clustering (the cross-document coreference
+    step after entity linking: unlinked mentions sharing a normalized
+    surface are one CANDIDATE NEW ENTITY — the standard TAC-KBP NIL
+    clustering task): NIL nodes keyed by lowercase alphanumeric-only
+    surface; every key is a promotion
+    candidate reported with member count, total mentions, and the
+    sorted member list (singletons included — they are the "new entity
+    seen once" case). Top 20 by (n_mentions desc, surface_key).
+
+    Scale shape: NIL nodes are a small filtered slice of the node
+    table; one normalize map + one key groupby. Rows-only; golden =
+    pandas recomputation (tests/test_flagship.py)."""
+    nodes = _kg_run(sf_dir)["nodes"]
+
+    def nils(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["entity_id"].to_pandas())
+        keep = s.str.startswith("NIL:")
+        surf = pd.Series(t["canonical_surface"].to_pandas())[keep]
+        key = surf.str.lower().str.replace(r"[^a-z0-9]", "",
+                                           regex=True)
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "entity_id": pa.array(s[keep], pa.string()),
+            "n_mentions": pa.array(
+                pd.Series(t["n_mentions"].to_pandas())[keep]
+                .to_numpy(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "surface_key": pa.array([g["key"].iloc[0]], pa.string()),
+            "n_members": pa.array([len(g)], pa.int64()),
+            "n_mentions": pa.array([int(g["n_mentions"].sum())],
+                                   pa.int64()),
+            "members": pa.array(
+                ["|".join(sorted(g["entity_id"]))], pa.string())})
+
+    return (nodes.map_batches(nils, batch_format="pyarrow")
+            .groupby("key").map_groups(fold, batch_format="pandas")
+            .sort(["n_mentions", "surface_key"],
+                  descending=[True, False]).limit(20))
+
+
+def kg_functional_conflicts(sf_dir: str):
+    """KG8 — functional-predicate conflict detection (KG consistency:
+    born_in / headquartered_in should be single-valued per subject —
+    multiple objects mean extraction noise or a genuine merge bug):
+    for each declared-functional predicate, subjects with ≥ 2 distinct
+    objects, ranked by how contested they are (distinct objects, then
+    the support split between the top two). Reports
+    (pred, subj_id, n_objects, top_support, second_support) for the
+    top 20 by (n_objects desc, pred, subj).
+
+    Scale shape: one filtered groupby on (pred, subj) — group = that
+    subject's object list, already co-located; only conflicted rows
+    leave. Rows-only; golden = pandas recomputation."""
+    FUNCTIONAL = ["born_in", "headquartered_in"]
+    edges = _kg_run(sf_dir)["edges"]
+
+    filt = edges.map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["pred"], value_set=pa.array(FUNCTIONAL, pa.string()))),
+        batch_format="pyarrow")
+
+    def conflicts(g: pd.DataFrame) -> pa.Table:
+        by_obj = (g.groupby("obj_id")["n_support"].sum()
+                  .sort_values(ascending=False))
+        if len(by_obj) < 2:
+            return pa.table({
+                "pred": pa.array([], pa.string()),
+                "subj_id": pa.array([], pa.string()),
+                "n_objects": pa.array([], pa.int64()),
+                "top_support": pa.array([], pa.int64()),
+                "second_support": pa.array([], pa.int64())})
+        return pa.table({
+            "pred": pa.array([g["pred"].iloc[0]], pa.string()),
+            "subj_id": pa.array([g["subj_id"].iloc[0]], pa.string()),
+            "n_objects": pa.array([len(by_obj)], pa.int64()),
+            "top_support": pa.array([int(by_obj.iloc[0])], pa.int64()),
+            "second_support": pa.array([int(by_obj.iloc[1])],
+                                       pa.int64())})
+
+    return (filt.groupby(["pred", "subj_id"])
+            .map_groups(conflicts, batch_format="pandas")
+            .sort(["n_objects", "pred", "subj_id"],
+                  descending=[True, False, False]).limit(20))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17836,6 +18002,9 @@ def queries():
         "orders_seasonal_decomp": orders_seasonal_decomp,
         "customer_revenue_lorenz": customer_revenue_lorenz,
         "media_video_neardup": media_video_neardup,
+        "kg_ontology_audit": kg_ontology_audit,
+        "kg_nil_clusters": kg_nil_clusters,
+        "kg_functional_conflicts": kg_functional_conflicts,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,

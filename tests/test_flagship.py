@@ -288,3 +288,93 @@ def test_kg_scc_matches_tarjan(ray_session):
     want = collections.Counter(sizes)
     assert {r["scc_size"]: r["n_sccs"]
             for _, r in got.iterrows()} == dict(want)
+
+
+def test_kg_ontology_audit_matches_pandas(ray_session):
+    """kg_ontology_audit equals a pandas recomputation with the same
+    KG_ONTOLOGY over the same edge table."""
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from information_extraction_system_ray.queries import KG_ONTOLOGY
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_ontology_audit"](sf).to_pandas() \
+        .set_index("pred").sort_index()
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+
+    def ty(x):
+        return "NIL" if x.startswith("NIL:") else x.split("_")[0]
+
+    st = edges["subj_id"].map(ty)
+    ot = edges["obj_id"].map(ty)
+    nil = (st == "NIL") | (ot == "NIL")
+    dom_ok = [t in KG_ONTOLOGY.get(p, (frozenset(), frozenset()))[0]
+              for p, t in zip(edges["pred"], st)]
+    rng_ok = [t in KG_ONTOLOGY.get(p, (frozenset(), frozenset()))[1]
+              for p, t in zip(edges["pred"], ot)]
+    df = pd.DataFrame({
+        "pred": edges["pred"],
+        "n_edges": 1,
+        "n_conforming": (~nil & np.array(dom_ok)
+                         & np.array(rng_ok)).astype(int),
+        "n_domain_viol": (~nil & ~np.array(dom_ok)).astype(int),
+        "n_range_viol": (~nil & ~np.array(rng_ok)).astype(int),
+        "n_unresolved": nil.astype(int)})
+    want = df.groupby("pred").sum().sort_index()
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_kg_nil_clusters_and_conflicts_match_pandas(ray_session):
+    """kg_nil_clusters == pandas surface-key grouping of the NIL nodes;
+    kg_functional_conflicts == pandas multi-object detection on the
+    functional predicates."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+
+    nodes = e.queries()["kg_nodes"](sf)
+    if not isinstance(nodes, pd.DataFrame):
+        nodes = nodes.to_pandas()
+    nil = nodes[nodes["entity_id"].str.startswith("NIL:")].copy()
+    nil["key"] = nil["canonical_surface"].str.lower() \
+        .str.replace(r"[^a-z0-9]", "", regex=True)
+    want = (nil.groupby("key")
+            .agg(n_members=("entity_id", "size"),
+                 n_mentions=("n_mentions", "sum"),
+                 members=("entity_id",
+                          lambda s: "|".join(sorted(s))))
+            .reset_index().rename(columns={"key": "surface_key"})
+            .sort_values(["n_mentions", "surface_key"],
+                         ascending=[False, True]).head(20)
+            .reset_index(drop=True))
+    got = e.queries()["kg_nil_clusters"](sf).to_pandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["surface_key", "n_members", "n_mentions", "members"]],
+        want[["surface_key", "n_members", "n_mentions", "members"]],
+        check_dtype=False)
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    f = edges[edges["pred"].isin(["born_in", "headquartered_in"])]
+    rows = []
+    for (p, s), g in f.groupby(["pred", "subj_id"]):
+        by_obj = g.groupby("obj_id")["n_support"].sum() \
+            .sort_values(ascending=False)
+        if len(by_obj) >= 2:
+            rows.append((p, s, len(by_obj), int(by_obj.iloc[0]),
+                         int(by_obj.iloc[1])))
+    want2 = pd.DataFrame(rows, columns=["pred", "subj_id", "n_objects",
+                                        "top_support",
+                                        "second_support"]) \
+        .sort_values(["n_objects", "pred", "subj_id"],
+                     ascending=[False, True, True]).head(20) \
+        .reset_index(drop=True)
+    got2 = e.queries()["kg_functional_conflicts"](sf).to_pandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
