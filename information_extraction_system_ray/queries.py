@@ -17811,6 +17811,126 @@ def kg_functional_conflicts(sf_dir: str):
                   descending=[True, False, False]).limit(20))
 
 
+def orders_pushdown_scan(sf_dir: str):
+    """S10 — predicate-pushdown scan ("prune at the read"): a selective
+    date+status predicate handed to the Parquet READER as a
+    ``pyarrow.dataset`` expression (sources/tables.py ``read_table``
+    ``filter=``), so row-group statistics prune which groups are even
+    decoded and non-matching rows never enter the object store — versus
+    the anti-pattern of reading everything and filtering in a map stage.
+    Per-priority counts + exact cents over 1995 'F'-status orders.
+
+    Scale shape: this is the read-side discipline the whole repo's scan
+    contract rests on; downstream is one narrow count/sum groupby."""
+    import pyarrow.dataset as pds
+
+    expr = ((pds.field("o_orderdate")
+             >= pa.scalar(pd.Timestamp("1995-01-01")))
+            & (pds.field("o_orderdate")
+               < pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pds.field("o_orderstatus") == "F"))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_totalprice"],
+                        filter=expr)
+    return (orders.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("cents", alias_name="sum_cents"))
+        .sort("o_orderpriority"))
+
+
+_ORDERS_PUSHDOWN_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND o_orderstatus = 'F'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_dedup_impact(sf_dir: str):
+    """LLM17 — dedup impact report (the before/after accounting an
+    LLM-data team publishes with every corpus release): per source —
+    docs and chars in the raw corpus, docs and chars surviving exact
+    dedup (min-doc_id survivor per content fingerprint), and the
+    removed-chars ppm. Survivors via the exact-dedup operator + a
+    bloom-prefiltered semi join back to full rows; both sides reduce
+    through per-batch combiners.
+
+    Scale shape: two streaming aggregates + one semi join keyed on
+    doc_id; only |sources| rows reach the driver."""
+    from .functions.dedup import exact_dedup
+    from .functions.joins import semi_join
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars", "text"],
+                      rows_per_block=500)
+
+    def raw_stats(t: pa.Table) -> pa.Table:
+        return (pa.table({"source": t["source"],
+                          "chars": pc.cast(t["n_chars"], pa.int64())})
+                .group_by("source")
+                .aggregate([("chars", "sum"), ([], "count_all")])
+                .rename_columns(["source", "chars", "docs"]))
+
+    raw = (docs.map_batches(raw_stats, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("chars", alias_name="raw_chars"),
+                      Sum("docs", alias_name="raw_docs")))
+
+    survivors = exact_dedup(docs).select_columns(["doc_id"])
+    kept = semi_join(docs, survivors, left_key="doc_id",
+                     right_key="doc_id", bloom_bits=1 << 16)
+    kept_agg = (kept.map_batches(raw_stats, batch_format="pyarrow")
+                .groupby("source")
+                .aggregate(Sum("chars", alias_name="kept_chars"),
+                           Sum("docs", alias_name="kept_docs")))
+
+    from .functions.joins import auto_join
+
+    joined = auto_join(raw, kept_agg.map_batches(
+        lambda t: pa.table({"src2": t["source"],
+                            "kept_chars": t["kept_chars"],
+                            "kept_docs": t["kept_docs"]}),
+        batch_format="pyarrow"), left_key="source", right_key="src2",
+        right_cols=["kept_chars", "kept_docs"])
+
+    def ppm(t: pa.Table) -> pa.Table:
+        rc = t["raw_chars"].to_numpy(zero_copy_only=False)
+        kc = t["kept_chars"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "removed_ppm",
+            pa.array((rc - kc) * 1_000_000 // rc, pa.int64()))
+
+    return (joined.map_batches(ppm, batch_format="pyarrow")
+            .sort("source"))
+
+
+_DOCS_DEDUP_IMPACT_SQL = """
+WITH fp AS (SELECT doc_id, source, n_chars,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                           'g'))) AS f
+            FROM documents),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+raw AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS raw_chars,
+               CAST(COUNT(*) AS BIGINT) AS raw_docs
+        FROM fp GROUP BY 1),
+kept AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+                CAST(COUNT(*) AS BIGINT) AS kept_docs
+         FROM fp JOIN surv USING (doc_id) GROUP BY 1)
+SELECT source, raw_chars, raw_docs, kept_chars, kept_docs,
+       CAST((CAST(raw_chars AS HUGEINT) - kept_chars) * 1000000
+            // raw_chars AS BIGINT) AS removed_ppm
+FROM raw JOIN kept USING (source) ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18005,6 +18125,8 @@ def queries():
         "kg_ontology_audit": kg_ontology_audit,
         "kg_nil_clusters": kg_nil_clusters,
         "kg_functional_conflicts": kg_functional_conflicts,
+        "orders_pushdown_scan": orders_pushdown_scan,
+        "docs_dedup_impact": docs_dedup_impact,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -18425,6 +18547,8 @@ def oracle_sql():
         "events_daily_interp": _EVENTS_INTERP_SQL,
         "orders_seasonal_decomp": _ORDERS_SEASONAL_SQL,
         "customer_revenue_lorenz": _CUSTOMER_LORENZ_SQL,
+        "orders_pushdown_scan": _ORDERS_PUSHDOWN_SQL,
+        "docs_dedup_impact": _DOCS_DEDUP_IMPACT_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -11,11 +11,16 @@ import ray.data
 
 def read_table(sf_dir: str, name: str,
                columns: list[str] | None = None,
-               rows_per_block: int = 200_000) -> ray.data.Dataset:
+               rows_per_block: int = 200_000,
+               filter=None) -> ray.data.Dataset:
     """read_parquet with column pruning and data-sized parallelism.
 
     - columns: a read that loads all columns for a 2-column transform is
       wrong at 100 TB (SURVEY.md §4).
+    - filter: an optional ``pyarrow.dataset`` expression pushed down INTO
+      the read — row-group statistics prune which groups are decoded, so
+      a selective predicate never ships non-matching rows into the object
+      store (the read-side sibling of ``fetch_value``'s point lookup).
     - override_num_blocks from ROW COUNT, not CPU count: Ray's default
       splits a tiny table into 2×CPUs blocks, and downstream sort-shuffle
       width follows block count, so small inputs drown in per-task
@@ -26,8 +31,11 @@ def read_table(sf_dir: str, name: str,
     path = os.path.join(sf_dir, f"{name}.parquet")
     rows = pq.read_metadata(path).num_rows
     nblocks = max(1, min(256, math.ceil(rows / rows_per_block)))
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter
     return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=nblocks)
+                                 override_num_blocks=nblocks, **kwargs)
 
 
 def fetch_value(sf_dir: str, name: str, *, key_col: str, key,
