@@ -17931,6 +17931,74 @@ FROM raw JOIN kept USING (source) ORDER BY source
 """
 
 
+def emb_cluster_quality(sf_dir: str):
+    """V7 — simplified-silhouette cluster quality for the k-means
+    clustering (Hruschka 2004 variant the large-scale evaluators use —
+    a(i) = distance to OWN centroid, b(i) = min distance to any other,
+    s(i) = (b−a)/max(a,b) — O(n·k), not the O(n²) exact silhouette):
+    per-cluster member counts and mean silhouette in micro units, plus
+    an `overall` row. Per-point scores are quantized to int64 micro
+    BEFORE summation (round-half-up), so cluster means are exact-int
+    order-free math — deterministic under any layout, like the kmeans
+    trainer itself. Rows-only (distance recursion over the trained
+    centroids has no SQL form); the oracle is a numpy same-formula
+    recomputation + layout invariance (tests/test_kmeans.py).
+
+    Scale shape: centroids (k×d micro ints) ride the driver closure;
+    one streaming score pass emits (cluster, n, Σs_micro) partials."""
+    from .functions.vectors import kmeans
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"],
+                     rows_per_block=2_000)
+    cents, _assign = kmeans(emb, k=8, iters=5)
+    c = np.asarray(cents, np.float64)             # micro-unit centroids
+
+    def score(t: pa.Table) -> pa.Table:
+        flat = t["embedding"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        n = len(t)
+        d = len(flat) // n if n else 0
+        v = np.round(flat.astype(np.float64).reshape(n, d)
+                     * 1_000_000.0)
+        # squared L2 to every centroid; ties → lowest cluster id
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        own = d2.argmin(axis=1)
+        a = np.sqrt(d2[np.arange(n), own])
+        d2[np.arange(n), own] = np.inf
+        b = np.sqrt(d2.min(axis=1))
+        denom = np.maximum(a, b)
+        s = np.where(denom > 0, (b - a) / denom, 0.0)
+        s_micro = np.floor(s * 1_000_000.0 + 0.5).astype(np.int64)
+        return (pa.table({"cluster": pa.array(own.astype(np.int64)),
+                          "s_micro": pa.array(s_micro),
+                          "one": pa.array(np.ones(n, np.int64))})
+                .group_by("cluster")
+                .aggregate([("s_micro", "sum"), ("one", "sum")])
+                .rename_columns(["cluster", "s_sum", "n"]))
+
+    rows = (emb.map_batches(score, batch_format="pyarrow")
+            .groupby("cluster")
+            .aggregate(Sum("s_sum", alias_name="s_sum"),
+                       Sum("n", alias_name="n")).take_all())
+    rows.sort(key=lambda r: int(r["cluster"]))
+    cl, ns, means = [], [], []
+    tot_s = tot_n = 0
+    for r in rows:
+        s_sum, n = int(r["s_sum"]), int(r["n"])
+        cl.append(str(int(r["cluster"])))
+        ns.append(n)
+        means.append((2 * s_sum + n) // (2 * n))
+        tot_s += s_sum
+        tot_n += n
+    cl.append("overall")
+    ns.append(tot_n)
+    means.append((2 * tot_s + tot_n) // (2 * tot_n))
+    return pa.table({"cluster": pa.array(cl, pa.string()),
+                     "n_points": pa.array(ns, pa.int64()),
+                     "mean_silhouette_micro": pa.array(means, pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18127,6 +18195,7 @@ def queries():
         "kg_functional_conflicts": kg_functional_conflicts,
         "orders_pushdown_scan": orders_pushdown_scan,
         "docs_dedup_impact": docs_dedup_impact,
+        "emb_cluster_quality": emb_cluster_quality,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,

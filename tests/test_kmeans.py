@@ -115,3 +115,46 @@ def test_pq_layout_invariance_and_distortion(ray_session):
         want = int(((v - cb[s, int(r["code"])]) ** 2).sum())
         assert int(r["distortion_micro2"]) == want
     assert sorted(a["vec_id"].unique()) == sorted(vecs)
+
+
+def test_cluster_quality_matches_numpy_recompute(ray_session):
+    """emb_cluster_quality == a numpy same-formula recomputation from
+    the same (deterministic) kmeans centroids over the raw parquet."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from information_extraction_system_ray.functions.vectors import kmeans
+    from information_extraction_system_ray.queries import emb_cluster_quality
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["cluster"]: (int(r["n_points"]),
+                          int(r["mean_silhouette_micro"]))
+           for r in emb_cluster_quality(sf).take_all()}
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    cents, _ = kmeans(rd.from_arrow(t).repartition(3), k=8, iters=5)
+    c = np.asarray(cents, np.float64)
+    flat = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    v = np.round(flat.astype(np.float64).reshape(n, -1) * 1_000_000.0)
+    d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    own = d2.argmin(axis=1)
+    a = np.sqrt(d2[np.arange(n), own])
+    d2[np.arange(n), own] = np.inf
+    b = np.sqrt(d2.min(axis=1))
+    denom = np.maximum(a, b)
+    s = np.where(denom > 0, (b - a) / denom, 0.0)
+    sm = np.floor(s * 1_000_000.0 + 0.5).astype(np.int64)
+    want = {}
+    tot_s = tot_n = 0
+    for k in sorted(set(own.tolist())):
+        m = own == k
+        ssum, cnt = int(sm[m].sum()), int(m.sum())
+        want[str(k)] = (cnt, (2 * ssum + cnt) // (2 * cnt))
+        tot_s += ssum
+        tot_n += cnt
+    want["overall"] = (tot_n, (2 * tot_s + tot_n) // (2 * tot_n))
+    assert got == want
