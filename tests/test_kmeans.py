@@ -128,9 +128,10 @@ def test_cluster_quality_matches_numpy_recompute(ray_session):
     from information_extraction_system_ray.queries import emb_cluster_quality
 
     sf = "/root/testdata/sf0.001"
+    res = emb_cluster_quality(sf).to_pandas()
     got = {r["cluster"]: (int(r["n_points"]),
                           int(r["mean_silhouette_micro"]))
-           for r in emb_cluster_quality(sf).take_all()}
+           for _, r in res.iterrows()}
 
     t = pq.read_table(f"{sf}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
