@@ -17812,7 +17812,7 @@ def kg_functional_conflicts(sf_dir: str):
 
 
 def orders_pushdown_scan(sf_dir: str):
-    """S10 — predicate-pushdown scan ("prune at the read"): a selective
+    """S11 — predicate-pushdown scan ("prune at the read"): a selective
     date+status predicate handed to the Parquet READER as a
     ``pyarrow.dataset`` expression (sources/tables.py ``read_table``
     ``filter=``), so row-group statistics prune which groups are even
@@ -17997,6 +17997,107 @@ def emb_cluster_quality(sf_dir: str):
     return pa.table({"cluster": pa.array(cl, pa.string()),
                      "n_points": pa.array(ns, pa.int64()),
                      "mean_silhouette_micro": pa.array(means, pa.int64())})
+
+
+def orders_storage_audit(sf_dir: str):
+    """X4 — Parquet storage audit (the table-maintenance readout next
+    to [[docs_compaction_plan]] and the Z-order audit): per column of
+    the orders table — value count, compressed and uncompressed bytes
+    summed over all row groups, and the compression ratio in floor-ppm.
+    METADATA-ONLY: the footer is the only thing read (the same
+    metadata-not-data contract `read_table`'s row count uses), so the
+    audit costs O(row groups · columns) regardless of table size.
+
+    Rows-only (oracle SQL runs against registered VIEWS, not file
+    paths); the oracle is DuckDB's own ``parquet_metadata()`` table
+    function over the same file in tests/test_new_ops.py — two
+    independent footer parsers agreeing byte-for-byte."""
+    md = pq.read_metadata(f"{sf_dir}/orders.parquet")
+    agg: "dict[str, list[int]]" = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            a = agg.setdefault(col.path_in_schema, [0, 0, 0])
+            a[0] += col.num_values
+            a[1] += col.total_compressed_size
+            a[2] += col.total_uncompressed_size
+    cols = sorted(agg)
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_values": pa.array([agg[c][0] for c in cols], pa.int64()),
+        "compressed_bytes": pa.array([agg[c][1] for c in cols],
+                                     pa.int64()),
+        "uncompressed_bytes": pa.array([agg[c][2] for c in cols],
+                                       pa.int64()),
+        "ratio_ppm": pa.array(
+            [agg[c][1] * 1_000_000 // agg[c][2] for c in cols],
+            pa.int64())})
+
+
+def events_scd2_asof(sf_dir: str):
+    """S12 — AS-OF point-in-time state query over the SCD2 versioning
+    ([[events_user_scd2]] builds the intervals; this answers "what was
+    every user's state at time T?" — the bitemporal read every
+    warehouse versioning scheme exists to serve): T = the integer
+    midpoint of the observed ts range; each user's state at T is their
+    latest event with ts ≤ T; output = users per state event_type.
+
+    Scale shape: one Min/Max pre-pass; a filtered latest-per-user
+    groupby over hash-bucketed users (argmax inside the partition);
+    |types| rows out."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_type"])
+    mm = ev.map_batches(
+        lambda t: pa.table({"us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("us"), Max("us"))
+    t_mid = (int(mm["min(us)"]) + int(mm["max(us)"])) // 2
+
+    def latest_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        t = (pa.table({"user_id": t["user_id"], "us": us,
+                       "event_type": t["event_type"]})
+             .filter(pc.less_equal(us, pa.scalar(t_mid, pa.int64()))))
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "us": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string())})
+        d = t.to_pandas().sort_values(["user_id", "us", "event_type"])
+        d = d.groupby("user_id", sort=False).tail(1)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def latest_final(g: pd.DataFrame) -> pa.Table:
+        d = g.sort_values(["user_id", "us", "event_type"])
+        d = d.groupby("user_id", sort=False).tail(1)
+        return pa.table({"event_type": pa.array(d["event_type"],
+                                                pa.string())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["user_id"].to_pandas()), index=False) % 16
+        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+
+    return (ev.map_batches(latest_partial, batch_format="pyarrow")
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("_p").map_groups(latest_final,
+                                      batch_format="pandas")
+            .groupby("event_type").aggregate(Count(alias_name="n_users"))
+            .sort("event_type"))
+
+
+_EVENTS_SCD2_ASOF_SQL = """
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS tm
+           FROM events),
+f AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events, b WHERE epoch_us(ts) <= b.tm),
+pick AS (SELECT user_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY us DESC,
+                                            event_type DESC) AS rk
+         FROM f)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pick WHERE rk = 1 GROUP BY 1 ORDER BY 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -18196,6 +18297,8 @@ def queries():
         "orders_pushdown_scan": orders_pushdown_scan,
         "docs_dedup_impact": docs_dedup_impact,
         "emb_cluster_quality": emb_cluster_quality,
+        "orders_storage_audit": orders_storage_audit,
+        "events_scd2_asof": events_scd2_asof,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -18618,6 +18721,7 @@ def oracle_sql():
         "customer_revenue_lorenz": _CUSTOMER_LORENZ_SQL,
         "orders_pushdown_scan": _ORDERS_PUSHDOWN_SQL,
         "docs_dedup_impact": _DOCS_DEDUP_IMPACT_SQL,
+        "events_scd2_asof": _EVENTS_SCD2_ASOF_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

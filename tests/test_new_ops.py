@@ -962,3 +962,29 @@ def test_xmlio_roundtrip_types_and_nulls():
     bad = pa.table({"x": pa.array([[1]], pa.list_(pa.int64()))})
     with _pytest.raises(ValueError):
         write_xml(bad, path)
+
+
+def test_storage_audit_matches_duckdb_parquet_metadata(ray_session):
+    """orders_storage_audit (pyarrow footer walk) == DuckDB's own
+    parquet_metadata() over the same file — two independent footer
+    parsers agreeing byte-for-byte, per column."""
+    import duckdb
+    import pandas as pd
+
+    from information_extraction_system_ray.queries import orders_storage_audit
+
+    sf = "/root/testdata/sf0.001"
+    got = orders_storage_audit(sf).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT path_in_schema AS column,
+               CAST(SUM(num_values) AS BIGINT) AS n_values,
+               CAST(SUM(total_compressed_size) AS BIGINT)
+                   AS compressed_bytes,
+               CAST(SUM(total_uncompressed_size) AS BIGINT)
+                   AS uncompressed_bytes,
+               CAST(SUM(CAST(total_compressed_size AS HUGEINT)) * 1000000
+                    // SUM(CAST(total_uncompressed_size AS HUGEINT))
+                    AS BIGINT) AS ratio_ppm
+        FROM parquet_metadata('{sf}/orders.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
