@@ -178,13 +178,29 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     if small:
         build = right.to_pandas()
         build_ref = _ray.put(build)
+        rschema = right.schema().base_schema
+        if not isinstance(rschema, pa.Schema):
+            # build side materialized as pandas blocks (e.g. an upstream
+            # legacy pandas-out stage): infer the arrow types once here
+            rschema = pa.Schema.from_pandas(build, preserve_index=False)
 
-        def probe(df: pd.DataFrame) -> pd.DataFrame:
+        def probe(t: pa.Table) -> pa.Table:
+            # pandas merge for the vectorized 1:N probe, but the OUTPUT
+            # block is ARROW with the exact input types re-cast: a
+            # pandas-format block here makes every downstream
+            # sort/aggregate AllToAll run its comparators on pandas
+            # rows (~20× measured on a 54k-row groupby — the round-4
+            # closing q9 stall), and from_pandas alone would also
+            # silently widen timestamps to ns
             b = _ray.get(build_ref)
-            return df.merge(b, how="inner", left_on=left_key,
-                            right_on=right_key)[out_cols]
+            m = t.to_pandas().merge(b, how="inner", left_on=left_key,
+                                    right_on=right_key)[out_cols]
+            fields = ([(n, t.schema.field(n).type) for n in lnames]
+                      + [(c, rschema.field(c).type) for c in cols])
+            return pa.Table.from_pandas(
+                m, preserve_index=False).cast(pa.schema(fields))
 
-        return left.map_batches(probe, batch_format="pandas")
+        return left.map_batches(probe, batch_format="pyarrow")
     joined = left.join(right, join_type="inner",
                        num_partitions=num_partitions
                        or default_parts(), on=(left_key,),
@@ -209,11 +225,19 @@ def cross_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             " a big-big cartesian is never the right plan")
     build = right.to_pandas()
     build_ref = _ray.put(build)
+    rschema = right.schema().base_schema
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(_ray.get(build_ref), how="cross")
+    def probe(t: pa.Table) -> pa.Table:
+        # arrow-out for the same downstream-AllToAll reason as
+        # auto_join's broadcast probe (pandas blocks poison sorts)
+        m = t.to_pandas().merge(_ray.get(build_ref), how="cross")
+        fields = ([(n, t.schema.field(n).type)
+                   for n in t.schema.names]
+                  + [(f.name, f.type) for f in rschema])
+        return pa.Table.from_pandas(
+            m, preserve_index=False).cast(pa.schema(fields))
 
-    return left.map_batches(probe, batch_format="pandas")
+    return left.map_batches(probe, batch_format="pyarrow")
 
 
 def auto_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, *,

@@ -5678,12 +5678,35 @@ def q16_supplier_counts(sf_dir: str):
     attached = auto_join(pairs, part_f, left_key="l_partkey",
                          right_key="p_partkey",
                          right_cols=["p_brand", "p_type"])
-    triples = (attached
-               .groupby(["p_brand", "p_type", "s_suppkey"])
-               .aggregate(Count(alias_name="_n"))
-               .select_columns(["p_brand", "p_type", "s_suppkey"]))
-    out = (triples.groupby(["p_brand", "p_type"])
-           .aggregate(Count(alias_name="supplier_cnt"))
+
+    # global triple distinct via hash-bucketed drop_duplicates, NOT a
+    # sort-groupby: the (brand, type, supplier) key is near-unique and
+    # the aggregate walked ~375k one-row groups (39.8 s → ~3 s at
+    # sf0.01 — the _part_cooccur_counts pathology, again). Bucketing by
+    # the FULL triple co-locates duplicates, so partition-local
+    # drop_duplicates IS the global distinct and the per-partition
+    # (brand, type) sizes are exact partial counts.
+    def tri_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["p_brand"].to_pandas(),
+                          "b": t["p_type"].to_pandas(),
+                          "c": t["s_suppkey"].to_pandas()}),
+            index=False) % 16
+        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+
+    def tri_count(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["p_brand", "p_type", "s_suppkey"])
+        vc = (d.groupby(["p_brand", "p_type"], sort=False).size()
+              .reset_index(name="n_part"))
+        return pa.table({
+            "p_brand": pa.array(vc["p_brand"], pa.string()),
+            "p_type": pa.array(vc["p_type"], pa.string()),
+            "n_part": pa.array(vc["n_part"].to_numpy(np.int64))})
+
+    out = (attached.map_batches(tri_bucket, batch_format="pyarrow")
+           .groupby("_p").map_groups(tri_count, batch_format="pandas")
+           .groupby(["p_brand", "p_type"])
+           .aggregate(Sum("n_part", alias_name="supplier_cnt"))
            .to_pandas()
            .sort_values(["supplier_cnt", "p_brand", "p_type"],
                         ascending=[False, True, True])
@@ -6139,14 +6162,29 @@ def q9_profit_by_nation_year(sf_dir: str):
                      left_key="l_suppkey", right_key="s_suppkey",
                      right_cols=["n_name"])
 
-    # combiner: reduce to (orderkey, nation) partial sums before the
-    # order-year join
-    pair = (li_n.map_batches(
-        lambda t: pa.table({"l_orderkey": t["l_orderkey"],
-                            "n_name": t["n_name"], "rev": t["rev"]}),
-        batch_format="pyarrow")
-        .groupby(["l_orderkey", "n_name"])
-        .aggregate(Sum("rev", alias_name="rev")))
+    # combiner: reduce to (orderkey, nation) sums before the order-year
+    # join — via hash-bucketed pandas groupby-sum, NOT a sort-groupby:
+    # the (orderkey, nation) key is near-unique and the aggregate walked
+    # ~300k one-row groups (the _part_cooccur_counts pathology; 24 s →
+    # ~3 s at sf0.01). Bucketing by orderkey co-locates every row of a
+    # (orderkey, nation) pair, so the partition-local sum IS global.
+    def ok_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["l_orderkey"].to_pandas()), index=False) % 16
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "n_name": t["n_name"], "rev": t["rev"],
+                         "_p": pa.array(h.to_numpy(), pa.int64())})
+
+    def ok_sum(g: pd.DataFrame) -> pa.Table:
+        vc = (g.groupby(["l_orderkey", "n_name"], sort=False)["rev"]
+              .sum().reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(vc["l_orderkey"].to_numpy(np.int64)),
+            "n_name": pa.array(vc["n_name"], pa.string()),
+            "rev": pa.array(vc["rev"].to_numpy(np.int64))})
+
+    pair = (li_n.map_batches(ok_bucket, batch_format="pyarrow")
+            .groupby("_p").map_groups(ok_sum, batch_format="pandas"))
 
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderdate"])
@@ -6160,7 +6198,19 @@ def q9_profit_by_nation_year(sf_dir: str):
     j = auto_join(pair, orders.map_batches(oyear, batch_format="pyarrow"),
                   left_key="l_orderkey", right_key="o_orderkey",
                   right_cols=["o_year"])
-    return (j.groupby(["n_name", "o_year"])
+
+    # per-batch combiner BEFORE the global groupby: besides being the
+    # right shuffle shape (≤ |nations·years| rows per batch move), it
+    # sidesteps a measured ~12 s Aggregate-on-materialized-1-block
+    # stall (54k rows, 175 groups — the combiner-first plan runs in
+    # 0.1 s; see BASELINE.md round-4 closing notes)
+    def comb(t: pa.Table) -> pa.Table:
+        return (t.group_by(["n_name", "o_year"])
+                .aggregate([("rev", "sum")])
+                .rename_columns(["n_name", "o_year", "rev"]))
+
+    return (j.map_batches(comb, batch_format="pyarrow")
+            .groupby(["n_name", "o_year"])
             .aggregate(Sum("rev", alias_name="profit_cents"))
             .sort(["n_name", "o_year"]))
 
@@ -7333,11 +7383,29 @@ def orders_profile(sf_dir: str):
             }).group_by(["col_name", "val"]).aggregate([]))
         return pa.concat_tables(parts)
 
+    # global (column, value) distinct via hash-bucketed drop_duplicates
+    # — the pair key is near-unique (every o_orderkey is its own group)
+    # and the sort-groupby walked ~300k one-row groups in Python (7 s →
+    # ~1 s at sf0.01; the _part_cooccur_counts pathology)
+    def pv_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": t["col_name"].to_pandas(),
+                          "b": t["val"].to_pandas()}), index=False) % 16
+        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+
+    def pv_count(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["col_name", "val"])
+        vc = d.groupby("col_name", sort=False).size() \
+            .reset_index(name="nd_part")
+        return pa.table({
+            "col_name": pa.array(vc["col_name"], pa.string()),
+            "nd_part": pa.array(vc["nd_part"].to_numpy(np.int64))})
+
     nd = (orders.map_batches(distinct_pairs, batch_format="pyarrow")
-          .groupby(["col_name", "val"])
-          .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+          .map_batches(pv_bucket, batch_format="pyarrow")
+          .groupby("_p").map_groups(pv_count, batch_format="pandas")
           .groupby("col_name")
-          .aggregate(Count(alias_name="n_distinct"))
+          .aggregate(Sum("nd_part", alias_name="n_distinct"))
           .take_all())                        # ≤ #cols rows
     nd_by = {r["col_name"]: int(r["n_distinct"]) for r in nd}
 
@@ -10730,27 +10798,58 @@ def lineitem_pk_fd_audit(sf_dir: str):
                              "l_suppkey"])
     n_rows = li.count()
 
-    pk = (li.map_batches(
-            lambda t: t.select(["l_orderkey", "l_linenumber"])
-                       .group_by(["l_orderkey", "l_linenumber"])
-                       .aggregate([]),
-            batch_format="pyarrow")
-          .groupby(["l_orderkey", "l_linenumber"])
-          .aggregate(Count(alias_name="_n")))
-    n_pk = pk.count()
+    # both distincts via hash-bucketed drop_duplicates: the PK pair is
+    # near-unique BY DEFINITION (a sort-groupby walks every one-row
+    # group in Python — 8.5 s → ~1 s at sf0.01, the
+    # _part_cooccur_counts pathology)
+    def _pair_distinct(ds, a: str, b: str):
+        def tag(t: pa.Table) -> pa.Table:
+            d = (t.select([a, b]).group_by([a, b]).aggregate([])
+                 .rename_columns([a, b]))
+            h = pd.util.hash_pandas_object(
+                pd.DataFrame({"x": d[a].to_pandas(),
+                              "y": d[b].to_pandas()}), index=False) % 16
+            return d.append_column("_p",
+                                   pa.array(h.to_numpy(), pa.int64()))
 
-    ps = (li.map_batches(
-            lambda t: t.select(["l_partkey", "l_suppkey"])
-                       .group_by(["l_partkey", "l_suppkey"])
-                       .aggregate([]),
-            batch_format="pyarrow")
-          .groupby(["l_partkey", "l_suppkey"])
-          .aggregate(Count(alias_name="_n"))
-          .groupby("l_partkey")
-          .aggregate(Count(alias_name="n_supp")))
-    fd_viol = ps.map_batches(
-        lambda t: t.filter(pc.greater(t["n_supp"], 1)),
-        batch_format="pyarrow").count()
+        def drop(g: pd.DataFrame) -> pa.Table:
+            d = g.drop_duplicates([a, b])
+            return pa.table({a: pa.array(d[a].to_numpy(np.int64)),
+                             b: pa.array(d[b].to_numpy(np.int64))})
+
+        return (ds.map_batches(tag, batch_format="pyarrow")
+                .groupby("_p").map_groups(drop, batch_format="pandas"))
+
+    n_pk = _pair_distinct(li, "l_orderkey", "l_linenumber").count()
+
+    def supp_counts(g: pd.DataFrame) -> pa.Table:
+        # bucketed by the full pair, but ALL pairs of one l_partkey can
+        # span buckets — emit per-partition partial distinct-supp counts
+        vc = (g.drop_duplicates(["l_partkey", "l_suppkey"])
+              .groupby("l_partkey", sort=False).size()
+              .reset_index(name="ns_part"))
+        return pa.table({
+            "l_partkey": pa.array(vc["l_partkey"].to_numpy(np.int64)),
+            "ns_part": pa.array(vc["ns_part"].to_numpy(np.int64))})
+
+    def ps_tag(t: pa.Table) -> pa.Table:
+        d = (t.select(["l_partkey", "l_suppkey"])
+             .group_by(["l_partkey", "l_suppkey"]).aggregate([])
+             .rename_columns(["l_partkey", "l_suppkey"]))
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"x": d["l_partkey"].to_pandas(),
+                          "y": d["l_suppkey"].to_pandas()}),
+            index=False) % 16
+        return d.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+
+    fd_viol = (li.map_batches(ps_tag, batch_format="pyarrow")
+               .groupby("_p").map_groups(supp_counts,
+                                         batch_format="pandas")
+               .groupby("l_partkey")
+               .aggregate(Sum("ns_part", alias_name="n_supp"))
+               .map_batches(
+                   lambda t: t.filter(pc.greater(t["n_supp"], 1)),
+                   batch_format="pyarrow").count())
 
     return pa.table({
         "n_rows": pa.array([n_rows], pa.int64()),
