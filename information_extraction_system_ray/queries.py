@@ -18238,6 +18238,72 @@ FROM pick WHERE rk = 1 GROUP BY 1 ORDER BY 1
 """
 
 
+def kg_domain_yield(sf_dir: str):
+    """KG9 — per-domain extraction-yield audit (the crawl-ops report a
+    KG build emits per source site: which domains actually produce
+    knowledge, and where does entity linking fail?): pages, mentions,
+    triples, mentions-per-page (round-half-up milli), and the
+    NIL-mention rate in floor-ppm per url domain. Counting runs in ONE
+    vectorized pass over the annotated corpus — the struct-list lengths
+    ARE the per-page counts (no explode for the totals; NIL detection
+    scans the flat entity_id child array once per batch), then a
+    |domains|-row groupby.
+
+    Scale shape: per-batch combiner partials only; nothing page-sized
+    shuffles. Rows-only (KG tables aren't views); golden = pandas
+    explode-recompute (tests/test_flagship.py)."""
+    ann = _kg_run(sf_dir)["annotated"]
+
+    def partials(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist())
+        dom = urls.str.extract(r"https?://([^/]+)/", expand=False) \
+            .fillna("?")
+        ments = t["mentions"].combine_chunks()
+        trips = t["triples"].combine_chunks()
+        m_cnt = np.diff(ments.offsets.to_numpy(zero_copy_only=False))
+        t_cnt = np.diff(trips.offsets.to_numpy(zero_copy_only=False))
+        eid = ments.values.field("entity_id")
+        nil_arr = pc.starts_with(eid, "NIL:")
+        if isinstance(nil_arr, pa.ChunkedArray):
+            nil_arr = nil_arr.combine_chunks()
+        is_nil = nil_arr.to_numpy(zero_copy_only=False)
+        # per-page NIL counts: segment-sum the flat flags by offsets
+        nil_cum = np.concatenate([[0], np.cumsum(is_nil.astype(
+            np.int64))])
+        offs = ments.offsets.to_numpy(zero_copy_only=False)
+        nil_cnt = nil_cum[offs[1:]] - nil_cum[offs[:-1]]
+        g = (pd.DataFrame({"domain": dom,
+                           "pages": 1,
+                           "mentions": m_cnt.astype(np.int64),
+                           "nil_mentions": nil_cnt,
+                           "triples": t_cnt.astype(np.int64)})
+             .groupby("domain", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (ann.map_batches(partials, batch_format="pyarrow")
+            .groupby("domain")
+            .aggregate(Sum("pages", alias_name="n_pages"),
+                       Sum("mentions", alias_name="n_mentions"),
+                       Sum("nil_mentions", alias_name="n_nil"),
+                       Sum("triples", alias_name="n_triples"))
+            .take_all())
+    rows.sort(key=lambda r: r["domain"])
+    out = {"domain": [], "n_pages": [], "n_mentions": [],
+           "n_triples": [], "mentions_per_page_milli": [],
+           "nil_rate_ppm": []}
+    for r in rows:
+        p, m = int(r["n_pages"]), int(r["n_mentions"])
+        out["domain"].append(r["domain"])
+        out["n_pages"].append(p)
+        out["n_mentions"].append(m)
+        out["n_triples"].append(int(r["n_triples"]))
+        out["mentions_per_page_milli"].append(
+            (2000 * m + p) // (2 * p))
+        out["nil_rate_ppm"].append(
+            int(r["n_nil"]) * 1_000_000 // max(1, m))
+    return pa.table({k: pa.array(v) for k, v in out.items()})
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18437,6 +18503,7 @@ def queries():
         "emb_cluster_quality": emb_cluster_quality,
         "orders_storage_audit": orders_storage_audit,
         "events_scd2_asof": events_scd2_asof,
+        "kg_domain_yield": kg_domain_yield,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,

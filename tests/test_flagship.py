@@ -378,3 +378,41 @@ def test_kg_nil_clusters_and_conflicts_match_pandas(ray_session):
     got2 = e.queries()["kg_functional_conflicts"](sf).to_pandas() \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_kg_domain_yield_matches_pandas(ray_session):
+    """kg_domain_yield's vectorized offset-diff counting equals a
+    pandas explode-recompute over the same annotated corpus."""
+    import re
+
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from information_extraction_system_ray.queries import _kg_run, kg_domain_yield
+
+    sf = "/root/testdata/sf0.001"
+    got = kg_domain_yield(sf).to_pandas().set_index("domain")
+
+    ann = _kg_run(sf)["annotated"].to_pandas()
+    rows = []
+    for _, r in ann.iterrows():
+        m = re.match(r"https?://([^/]+)/", r["url"])
+        dom = m.group(1) if m else "?"
+        ments = r["mentions"]
+        nil = sum(1 for mm in ments
+                  if str(mm["entity_id"]).startswith("NIL:"))
+        rows.append((dom, 1, len(ments), nil, len(r["triples"])))
+    df = (pd.DataFrame(rows, columns=["domain", "pages", "mentions",
+                                      "nil", "triples"])
+          .groupby("domain").sum())
+    assert set(got.index) == set(df.index)
+    for dom, r in df.iterrows():
+        g = got.loc[dom]
+        p, m = int(r["pages"]), int(r["mentions"])
+        assert int(g["n_pages"]) == p
+        assert int(g["n_mentions"]) == m
+        assert int(g["n_triples"]) == int(r["triples"])
+        assert int(g["mentions_per_page_milli"]) == \
+            (2000 * m + p) // (2 * p)
+        assert int(g["nil_rate_ppm"]) == \
+            int(r["nil"]) * 1_000_000 // max(1, m)
