@@ -18304,6 +18304,87 @@ def kg_domain_yield(sf_dir: str):
     return pa.table({k: pa.array(v) for k, v in out.items()})
 
 
+def events_tumbling_changelog(sf_dir: str):
+    """ST1 — retraction-aware streaming windowed aggregate (the
+    changelog/upsert semantics a Flink-style engine emits downstream,
+    simulated EXACTLY in batch): events process in the deterministic
+    arrival order (ts, event_id); the watermark before each event is
+    the EXCLUSIVE global running max of event time
+    ([[orders_max_concurrency]]'s two-pass plan with the 1-PRECEDING
+    frame); an event landing in a 6 h (window, type) group whose window
+    end + 1 h lateness is already BEHIND the watermark is LATE and
+    forces a retract+upsert pair instead of a plain upsert. Per group:
+    final count and total changelog rows (n + n_late) — the
+    amplification factor a downstream consumer provisions for.
+
+    Scale shape: one range-partitioned running max (driver holds
+    |partitions| scalars), one vectorized late-flag map, one count/sum
+    combiner groupby."""
+    from .functions.rank import global_running_max
+
+    SIX_H = 6 * 3_600_000_000
+    LATE = 3_600_000_000
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "us": us})
+
+    wm = global_running_max(
+        ev.map_batches(prep, batch_format="pyarrow"), "us",
+        order_by=["us", "event_id"], out_col="wm", exclusive=True,
+        num_partitions=_join_parts(sf_dir, "events"))
+
+    NEG = np.iinfo(np.int64).min
+
+    def flag(t: pa.Table) -> pa.Table:
+        us = t["us"].to_numpy(zero_copy_only=False)
+        w = t["wm"].to_numpy(zero_copy_only=False)
+        win = us // SIX_H
+        win_end = (win + 1) * SIX_H
+        late = ((w != NEG) & (w > win_end + LATE)).astype(np.int64)
+        return (pa.table({"window_start_us": pa.array(win * SIX_H),
+                          "event_type": t["event_type"],
+                          "late": pa.array(late),
+                          "one": pa.array(np.ones(len(us), np.int64))})
+                .group_by(["window_start_us", "event_type"])
+                .aggregate([("one", "sum"), ("late", "sum")])
+                .rename_columns(["window_start_us", "event_type",
+                                 "n", "n_late"]))
+
+    return (wm.map_batches(flag, batch_format="pyarrow")
+            .groupby(["window_start_us", "event_type"])
+            .aggregate(Sum("n", alias_name="n_final"),
+                       Sum("n_late", alias_name="n_late"))
+            .map_batches(
+                lambda t: t.append_column(
+                    "n_changelog",
+                    pc.add(t["n_final"], t["n_late"])),
+                batch_format="pyarrow")
+            .sort(["window_start_us", "event_type"]))
+
+
+_EVENTS_CHANGELOG_SQL = """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+o AS (SELECT event_type,
+             (us // 21600000000) * 21600000000 AS window_start_us,
+             CASE WHEN MAX(us) OVER (ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                  > (us // 21600000000 + 1) * 21600000000 + 3600000000
+                  THEN 1 ELSE 0 END AS late
+      FROM e)
+SELECT window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_final,
+       CAST(SUM(late) AS BIGINT) AS n_late,
+       CAST(COUNT(*) + SUM(late) AS BIGINT) AS n_changelog
+FROM o GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18504,6 +18585,7 @@ def queries():
         "orders_storage_audit": orders_storage_audit,
         "events_scd2_asof": events_scd2_asof,
         "kg_domain_yield": kg_domain_yield,
+        "events_tumbling_changelog": events_tumbling_changelog,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -18927,6 +19009,7 @@ def oracle_sql():
         "orders_pushdown_scan": _ORDERS_PUSHDOWN_SQL,
         "docs_dedup_impact": _DOCS_DEDUP_IMPACT_SQL,
         "events_scd2_asof": _EVENTS_SCD2_ASOF_SQL,
+        "events_tumbling_changelog": _EVENTS_CHANGELOG_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
