@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     # (documented in the query) and goes quadratic at sf0.1 — the
     # oracle sweep covers its correctness at sf0.001/0.01.
     "part_graph_msf", "basket_lift_rules", "docs_nb_source_model",
-    "docs_dsir_weights", "emb_mutual_nn",
+    "docs_dsir_weights", "emb_mutual_nn", "events_tumbling_changelog",
 ]
 
 
