@@ -18385,6 +18385,71 @@ FROM o GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def orders_runs_test(sf_dir: str):
+    """G71 — Wald–Wolfowitz runs test on the daily revenue series (the
+    "is this series random or trending/mean-reverting?" screen): days
+    split above/below the discrete lower median of daily cents, R =
+    number of sign runs in calendar order; z = (R − μ)/σ with the exact
+    integer μ, σ² moments. Counts and runs are exact ints from the SAME
+    series in both engines (ties: a day equal to the median counts as
+    below); z at 4 dp.
+
+    Scale shape: the fact table collapses through a (day → Σcents)
+    combiner; the calendar-bounded series computes on the driver."""
+    import math as _math
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        return (pa.table({"d": t["o_orderdate"],
+                          "cents": _cents(t["o_totalprice"])})
+                .group_by("d").aggregate([("cents", "sum")])
+                .rename_columns(["d", "cents"]))
+
+    rows = (orders.map_batches(daily, batch_format="pyarrow")
+            .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+            .take_all())
+    rows.sort(key=lambda r: r["d"])
+    y = np.array([int(r["cents"]) for r in rows], dtype=np.int64)
+    med = int(np.sort(y)[(len(y) - 1) // 2])
+    above = y > med
+    n1 = int(above.sum())
+    n2 = len(y) - n1
+    runs = 1 + int((above[1:] != above[:-1]).sum())
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) ** 2 * (n1 + n2 - 1.0)))
+    z = round((runs - mu) / _math.sqrt(var), 4)
+    return pa.table({"n_above": pa.array([n1], pa.int64()),
+                     "n_below": pa.array([n2], pa.int64()),
+                     "n_runs": pa.array([runs], pa.int64()),
+                     "z": pa.array([z], pa.float64())})
+
+
+_ORDERS_RUNS_SQL = """
+WITH s AS (SELECT o_orderdate AS d,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+m AS (SELECT quantile_disc(y, 0.5) AS med FROM s),
+x AS (SELECT d, CAST(y > m.med AS INT) AS ab FROM s, m),
+r AS (SELECT ab, LAG(ab) OVER (ORDER BY d) AS pab FROM x),
+agg AS (SELECT CAST(SUM(ab) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(ab) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN pab IS NOT NULL
+                                  AND ab <> pab THEN 1 ELSE 0 END)
+                    AS BIGINT) AS runs
+        FROM r)
+SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+       ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4)
+           AS z
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18586,6 +18651,7 @@ def queries():
         "events_scd2_asof": events_scd2_asof,
         "kg_domain_yield": kg_domain_yield,
         "events_tumbling_changelog": events_tumbling_changelog,
+        "orders_runs_test": orders_runs_test,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -19010,6 +19076,7 @@ def oracle_sql():
         "docs_dedup_impact": _DOCS_DEDUP_IMPACT_SQL,
         "events_scd2_asof": _EVENTS_SCD2_ASOF_SQL,
         "events_tumbling_changelog": _EVENTS_CHANGELOG_SQL,
+        "orders_runs_test": _ORDERS_RUNS_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
