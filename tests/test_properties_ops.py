@@ -246,3 +246,44 @@ def test_jaro_winkler_matches_duckdb(pair):
         "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
     got = _jaro_winkler(a, b)
     assert abs(got - want) < 1e-12, (a, b, got, want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12),
+              st.integers(1, 9)),
+    min_size=1, max_size=30))
+def test_boruvka_msf_census_matches_kruskal(ray_session, edges):
+    """For ANY small weighted multigraph (self loops, parallels, ties),
+    the distributed Borůvka census equals a pure-Python Kruskal's —
+    total weight and component structure are tie-invariant."""
+    import ray.data as rd
+    from information_extraction_system_ray.functions.graphops import \
+        boruvka_msf
+
+    def kruskal(es):
+        nodes = sorted({n for e in es for n in e[:2]})
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        total = picked = 0
+        for w, a, b in sorted((w, a, b) for a, b, w in es if a != b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                total += w
+                picked += 1
+        return {"n_nodes": len(nodes),
+                "n_components": len({find(n) for n in nodes}),
+                "n_msf_edges": picked, "total_weight": total}
+
+    t = pa.table({"u": pa.array([a for a, _, _ in edges], pa.int64()),
+                  "v": pa.array([b for _, b, _ in edges], pa.int64()),
+                  "w": pa.array([w for _, _, w in edges], pa.int64())})
+    got = boruvka_msf(rd.from_arrow(t).repartition(3), num_partitions=2)
+    assert got == kruskal(edges)
