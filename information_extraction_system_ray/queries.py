@@ -18304,7 +18304,8 @@ def kg_domain_yield(sf_dir: str):
     return pa.table({k: pa.array(v) for k, v in out.items()})
 
 
-def events_tumbling_changelog(sf_dir: str):
+def events_tumbling_changelog(sf_dir: str, *,
+                              lateness_us: int = 3_600_000_000):
     """ST1 — retraction-aware streaming windowed aggregate (the
     changelog/upsert semantics a Flink-style engine emits downstream,
     simulated EXACTLY in batch): events process in the deterministic
@@ -18323,7 +18324,7 @@ def events_tumbling_changelog(sf_dir: str):
     from .functions.rank import global_running_max
 
     SIX_H = 6 * 3_600_000_000
-    LATE = 3_600_000_000
+    LATE = lateness_us
     ev = read_table(sf_dir, "events",
                     columns=["event_id", "ts", "event_type"])
 

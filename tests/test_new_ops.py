@@ -988,3 +988,24 @@ def test_storage_audit_matches_duckdb_parquet_metadata(ray_session):
         FROM parquet_metadata('{sf}/orders.parquet')
         GROUP BY 1 ORDER BY 1""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_changelog_lateness_contract(ray_session):
+    """events_tumbling_changelog: with effectively infinite allowed
+    lateness NOTHING is late (changelog == final everywhere), and with
+    the default 1 h lateness the late totals match the oracle-checked
+    run; n_changelog == n_final + n_late always."""
+    from information_extraction_system_ray.queries import events_tumbling_changelog
+
+    sf = "/root/testdata/sf0.001"
+    inf = events_tumbling_changelog(
+        sf, lateness_us=10**18).to_pandas()
+    assert (inf["n_late"] == 0).all()
+    assert (inf["n_changelog"] == inf["n_final"]).all()
+
+    dflt = events_tumbling_changelog(sf).to_pandas()
+    assert (dflt["n_changelog"] ==
+            dflt["n_final"] + dflt["n_late"]).all()
+    # same windows/groups and identical final counts in both runs
+    assert inf[["window_start_us", "event_type", "n_final"]] \
+        .equals(dflt[["window_start_us", "event_type", "n_final"]])
