@@ -18451,6 +18451,98 @@ FROM agg
 """
 
 
+def lineitem_discount_tax_heatmap(sf_dir: str):
+    """G72 — 2-D histogram / heatmap (the bivariate sibling of the 1-D
+    price histograms): lineitems bucketed by (discount percent-point,
+    tax percent-point) with row counts and exact revenue cents per
+    cell — the interaction grid a pricing analysis plots. Bands are
+    exact integer round-half-away percent points (no float bin
+    boundary); one (band, band) combiner groupby, ≤ 11×9 cells out."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_discount", "l_tax", "l_extendedprice"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        tax = pc.cast(pc.round(pc.multiply(t["l_tax"], 100.0),
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        return (pa.table({"disc_pp": disc, "tax_pp": tax,
+                          "cents": _cents(t["l_extendedprice"])})
+                .group_by(["disc_pp", "tax_pp"])
+                .aggregate([("cents", "sum"), ([], "count_all")])
+                .rename_columns(["disc_pp", "tax_pp", "cents", "n"]))
+
+    return (li.map_batches(cells, batch_format="pyarrow")
+            .groupby(["disc_pp", "tax_pp"])
+            .aggregate(Sum("n", alias_name="n_items"),
+                       Sum("cents", alias_name="sum_cents"))
+            .sort(["disc_pp", "tax_pp"]))
+
+
+_LINEITEM_HEATMAP_SQL = """
+SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pp,
+       CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pp,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def docs_char_entropy(sf_dir: str):
+    """LLM18 — corpus character-level Shannon entropy (bits/char): the
+    zero-parameter complement of [[docs_compress_ratio]]'s zlib proxy —
+    natural English sits ~4.1 bits/char over raw characters; synthetic
+    or template-heavy corpora collapse lower. Exact int64 per-character
+    counts from per-batch combiners; the ≤ |alphabet| rows fold on the
+    driver in sorted-character order, 4 dp (the events_js_drift float
+    contract).
+
+    Scale shape: text never shuffles — only (char, count) partials."""
+    import math as _math
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      rows_per_block=500)
+
+    def counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(txt or "")
+        ks = sorted(c)
+        return pa.table({"ch": pa.array(ks, pa.string()),
+                         "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    rows = (docs.map_batches(counts, batch_format="pyarrow")
+            .groupby("ch").aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    total = sum(int(r["n"]) for r in rows)
+    ent = 0.0
+    for r in sorted(rows, key=lambda r: r["ch"]):
+        p = int(r["n"]) / total
+        ent -= p * _math.log2(p)
+    return pa.table({
+        "n_chars": pa.array([total], pa.int64()),
+        "n_alphabet": pa.array([len(rows)], pa.int64()),
+        "entropy_bits": pa.array([round(ent, 4)], pa.float64())})
+
+
+_DOCS_CHAR_ENTROPY_SQL = """
+WITH c AS (SELECT ch, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, '')) AS ch
+                 FROM documents)
+           GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+SELECT tot.t AS n_chars,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_alphabet,
+       ROUND(-SUM((CAST(n AS DOUBLE) / tot.t)
+                  * log2(CAST(n AS DOUBLE) / tot.t)), 4) AS entropy_bits
+FROM c, tot GROUP BY tot.t
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18653,6 +18745,8 @@ def queries():
         "kg_domain_yield": kg_domain_yield,
         "events_tumbling_changelog": events_tumbling_changelog,
         "orders_runs_test": orders_runs_test,
+        "lineitem_discount_tax_heatmap": lineitem_discount_tax_heatmap,
+        "docs_char_entropy": docs_char_entropy,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -19078,6 +19172,8 @@ def oracle_sql():
         "events_scd2_asof": _EVENTS_SCD2_ASOF_SQL,
         "events_tumbling_changelog": _EVENTS_CHANGELOG_SQL,
         "orders_runs_test": _ORDERS_RUNS_SQL,
+        "lineitem_discount_tax_heatmap": _LINEITEM_HEATMAP_SQL,
+        "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
