@@ -18543,6 +18543,96 @@ FROM c, tot GROUP BY tot.t
 """
 
 
+def events_hour_anova(sf_dir: str):
+    """G73 — one-way ANOVA of event value by hour-of-day (the "does the
+    hour explain spend?" seasonality-strength test; the k-group
+    generalization of [[events_ab_ztest]]): F = (SSB/(k−1)) /
+    (SSW/(N−k)) and effect size η² = SSB/SST, from the EXACT integer
+    per-hour moments (n_h, Σcents, Σcents²) — cleared of rational means
+    by multiplying through, so both engines fold identical bigints and
+    the two floats (F at 4 dp, η² ppm floor) can't diverge.
+
+    SST·N = N·ΣΣx² − (ΣΣx)²; SSB·N·Πn? — no: SSB = Σ_h (S_h²/n_h) −
+    S²/N is rational per-hour; both engines compute Σ_h S_h²/n_h in
+    DOUBLE over the SAME ≤24 exact int pairs in sorted hour order.
+
+    Scale shape: one (hour, n, Σ, Σ²) combiner groupby; 24 rows out."""
+    import math as _math
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.hour(t["ts"]), pa.int64())
+        cents = _cents(t["value"])
+        sq = pc.multiply(cents, cents)
+        return (pa.table({"hr": hr, "n": pa.array(
+            np.ones(len(t), np.int64)), "s": cents, "ss": sq})
+            .group_by("hr")
+            .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+            .rename_columns(["hr", "n", "s", "ss"]))
+
+    rows = (ev.map_batches(moments, batch_format="pyarrow")
+            .groupby("hr")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss")).take_all())
+    rows.sort(key=lambda r: int(r["hr"]))
+    n_tot = sum(int(r["n"]) for r in rows)
+    s_tot = sum(int(r["s"]) for r in rows)
+    ss_tot = sum(int(r["ss"]) for r in rows)
+    k = len(rows)
+    grand = float(s_tot) / n_tot
+    sst = float(ss_tot) - n_tot * grand * grand
+    ssb = 0.0
+    for r in rows:                          # sorted hour order
+        ssb += float(int(r["s"])) ** 2 / int(r["n"])
+    ssb -= n_tot * grand * grand
+    ssw = sst - ssb
+    f = round((ssb / (k - 1)) / (ssw / (n_tot - k)), 4)
+    eta2_ppm = int(_math.floor(ssb / sst * 1_000_000))
+    return pa.table({
+        "n_events": pa.array([n_tot], pa.int64()),
+        "k_groups": pa.array([k], pa.int64()),
+        "f_stat": pa.array([f], pa.float64()),
+        "eta2_ppm": pa.array([eta2_ppm], pa.int64())})
+
+
+_EVENTS_ANOVA_SQL = """
+WITH m AS (SELECT CAST(hour(ts) AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                           * CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS ss
+           FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) st,
+               CAST(SUM(ss) AS BIGINT) sst_raw,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM m),
+parts AS (SELECT SUM(CAST(s AS DOUBLE) * s / n) AS sb_raw FROM m)
+SELECT tot.nt AS n_events, tot.k AS k_groups,
+       ROUND(((parts.sb_raw - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
+                                     * (CAST(tot.st AS DOUBLE) / tot.nt))
+              / (tot.k - 1))
+             / ((CAST(tot.sst_raw AS DOUBLE)
+                 - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
+                          * (CAST(tot.st AS DOUBLE) / tot.nt)
+                 - (parts.sb_raw
+                    - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
+                             * (CAST(tot.st AS DOUBLE) / tot.nt)))
+                / (tot.nt - tot.k)), 4) AS f_stat,
+       CAST(FLOOR((parts.sb_raw - tot.nt * (CAST(tot.st AS DOUBLE)
+                                            / tot.nt)
+                                * (CAST(tot.st AS DOUBLE) / tot.nt))
+                  / (CAST(tot.sst_raw AS DOUBLE)
+                     - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
+                              * (CAST(tot.st AS DOUBLE) / tot.nt))
+                  * 1000000) AS BIGINT) AS eta2_ppm
+FROM tot, parts
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18747,6 +18837,7 @@ def queries():
         "orders_runs_test": orders_runs_test,
         "lineitem_discount_tax_heatmap": lineitem_discount_tax_heatmap,
         "docs_char_entropy": docs_char_entropy,
+        "events_hour_anova": events_hour_anova,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -19174,6 +19265,7 @@ def oracle_sql():
         "orders_runs_test": _ORDERS_RUNS_SQL,
         "lineitem_discount_tax_heatmap": _LINEITEM_HEATMAP_SQL,
         "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
+        "events_hour_anova": _EVENTS_ANOVA_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real
