@@ -615,7 +615,7 @@ def dag_longest_paths(edges: ray.data.Dataset, *, u: str = "u",
 def scc_labels(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
                num_partitions: "int | None" = None,
                max_outer: int = 50,
-               trim_rounds: int = 0) -> ray.data.Dataset:
+               trim_rounds: int = 6) -> ray.data.Dataset:
     """STRONGLY connected components of a directed edge list —
     Dataset(node, scc) where scc = the component's minimum node id.
     Trim-and-intersect (the label-intersection variant of FW–BW /
@@ -698,7 +698,7 @@ def scc_labels(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
     from .joins import semi_join
 
     n_cur = cur.count()
-    for _ in range(6):
+    for _ in range(trim_rounds):
         if n_cur == 0:
             break
         dsts = cur.map_batches(
@@ -1110,10 +1110,14 @@ def boruvka_msf(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
 
             def relab(t: pa.Table, ref=ref) -> pa.Table:
                 d = _ray.get(ref)
-                s = pd.Series(t["label"].to_pandas())
-                out = s.map(d).fillna(s).astype(np.int64)
+                # integer-domain relabel: pandas .map + fillna upcasts
+                # through float64 on any miss and would corrupt ids
+                # above 2^53 — keep the full-int64 id contract instead
+                s = t["label"].to_numpy(zero_copy_only=False)
+                out = np.fromiter((d.get(int(x), int(x)) for x in s),
+                                  np.int64, len(s))
                 return pa.table({"node": t["node"],
-                                 "label": pa.array(out.to_numpy())})
+                                 "label": pa.array(out)})
 
             labels = labels.map_batches(
                 relab, batch_format="pyarrow").materialize()

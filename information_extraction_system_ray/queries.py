@@ -18548,13 +18548,18 @@ def events_hour_anova(sf_dir: str):
     hour explain spend?" seasonality-strength test; the k-group
     generalization of [[events_ab_ztest]]): F = (SSB/(k−1)) /
     (SSW/(N−k)) and effect size η² = SSB/SST, from the EXACT integer
-    per-hour moments (n_h, Σcents, Σcents²) — cleared of rational means
-    by multiplying through, so both engines fold identical bigints and
-    the two floats (F at 4 dp, η² ppm floor) can't diverge.
+    per-hour moments (n_h, Σcents, Σcents²).
 
-    SST·N = N·ΣΣx² − (ΣΣx)²; SSB·N·Πn? — no: SSB = Σ_h (S_h²/n_h) −
-    S²/N is rational per-hour; both engines compute Σ_h S_h²/n_h in
-    DOUBLE over the SAME ≤24 exact int pairs in sorted hour order.
+    Every rational term is cleared by integer quotient+remainder:
+    S_h²/n_h = q_h + r_h/n_h and S²/N = Q + R/N, so SSB =
+    (Σq_h − Q) + (Σ r_h/n_h − R/N): the first bracket is an exact
+    (huge)int both engines share bit-for-bit; the second is a sum of
+    ≤24 doubles each in [0,1). The only order-dependent float fold
+    left is that residual sum — cross-engine divergence ≤ ~24·ulp(24)
+    ≈ 1e-13 ABSOLUTE on SS terms of magnitude ≫1, so the 4-dp F and
+    floor-ppm η² cannot flip off a rounding boundary in practice (the
+    prior formulation folded ~1e18-magnitude doubles under
+    cancellation — ulp ~256).
 
     Scale shape: one (hour, n, Σ, Σ²) combiner groupby; 24 rows out."""
     import math as _math
@@ -18581,12 +18586,14 @@ def events_hour_anova(sf_dir: str):
     s_tot = sum(int(r["s"]) for r in rows)
     ss_tot = sum(int(r["ss"]) for r in rows)
     k = len(rows)
-    grand = float(s_tot) / n_tot
-    sst = float(ss_tot) - n_tot * grand * grand
-    ssb = 0.0
+    # exact integer quotient parts (mirrored as HUGEINT // in the SQL)
+    q_grand, r_grand = divmod(s_tot * s_tot, n_tot)
+    qsum = sum(int(r["s"]) * int(r["s"]) // int(r["n"]) for r in rows)
+    rsum = 0.0
     for r in rows:                          # sorted hour order
-        ssb += float(int(r["s"])) ** 2 / int(r["n"])
-    ssb -= n_tot * grand * grand
+        rsum += (int(r["s"]) * int(r["s"]) % int(r["n"])) / int(r["n"])
+    ssb = float(qsum - q_grand) + (rsum - r_grand / n_tot)
+    sst = float(ss_tot - q_grand) - r_grand / n_tot
     ssw = sst - ssb
     f = round((ssb / (k - 1)) / (ssw / (n_tot - k)), 4)
     eta2_ppm = int(_math.floor(ssb / sst * 1_000_000))
@@ -18606,30 +18613,29 @@ WITH m AS (SELECT CAST(hour(ts) AS BIGINT) AS hr,
                            * CAST(ROUND(value * 100) AS BIGINT))
                        AS BIGINT) AS ss
            FROM events GROUP BY 1),
-tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) st,
-               CAST(SUM(ss) AS BIGINT) sst_raw,
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS HUGEINT) AS st,
+               CAST(SUM(ss) AS HUGEINT) AS sst_raw,
                CAST(COUNT(*) AS BIGINT) AS k
         FROM m),
-parts AS (SELECT SUM(CAST(s AS DOUBLE) * s / n) AS sb_raw FROM m)
-SELECT tot.nt AS n_events, tot.k AS k_groups,
-       ROUND(((parts.sb_raw - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
-                                     * (CAST(tot.st AS DOUBLE) / tot.nt))
-              / (tot.k - 1))
-             / ((CAST(tot.sst_raw AS DOUBLE)
-                 - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
-                          * (CAST(tot.st AS DOUBLE) / tot.nt)
-                 - (parts.sb_raw
-                    - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
-                             * (CAST(tot.st AS DOUBLE) / tot.nt)))
-                / (tot.nt - tot.k)), 4) AS f_stat,
-       CAST(FLOOR((parts.sb_raw - tot.nt * (CAST(tot.st AS DOUBLE)
-                                            / tot.nt)
-                                * (CAST(tot.st AS DOUBLE) / tot.nt))
-                  / (CAST(tot.sst_raw AS DOUBLE)
-                     - tot.nt * (CAST(tot.st AS DOUBLE) / tot.nt)
-                              * (CAST(tot.st AS DOUBLE) / tot.nt))
-                  * 1000000) AS BIGINT) AS eta2_ppm
-FROM tot, parts
+parts AS (SELECT CAST(SUM(CAST(s AS HUGEINT) * s // n) AS HUGEINT)
+                   AS qsum,
+                 SUM(CAST(CAST(s AS HUGEINT) * s % n AS DOUBLE) / n)
+                   AS rsum
+          FROM m),
+fin AS (SELECT tot.nt, tot.k,
+               CAST(parts.qsum - (tot.st * tot.st // tot.nt) AS DOUBLE)
+                 + (parts.rsum
+                    - CAST(tot.st * tot.st % tot.nt AS DOUBLE) / tot.nt)
+                 AS ssb,
+               CAST(tot.sst_raw - (tot.st * tot.st // tot.nt) AS DOUBLE)
+                 - CAST(tot.st * tot.st % tot.nt AS DOUBLE) / tot.nt
+                 AS sst
+        FROM tot, parts)
+SELECT nt AS n_events, k AS k_groups,
+       ROUND((ssb / (k - 1)) / ((sst - ssb) / (nt - k)), 4) AS f_stat,
+       CAST(FLOOR(ssb / sst * 1000000) AS BIGINT) AS eta2_ppm
+FROM fin
 """
 
 

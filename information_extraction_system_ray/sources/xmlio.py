@@ -18,10 +18,16 @@ same resumable-shard layout as the Avro/ORC/IPC sinks.
 
 from __future__ import annotations
 
+import calendar
+import re
 import xml.etree.ElementTree as ET
 from xml.sax.saxutils import escape
 
 import pyarrow as pa
+
+# Conservative XML element-name rule (no colons — they'd be namespace
+# prefixes): letters/underscore start, then letters/digits/_/./-.
+_XML_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 _TYPES = {
     pa.int64(): "int64",
@@ -36,8 +42,13 @@ _BACK = {v: k for k, v in _TYPES.items()}
 
 def _render(val, typ: str) -> str:
     if typ == "timestamp_us":
-        return str(int(val.timestamp() * 1_000_000)) \
-            if hasattr(val, "timestamp") else str(int(val))
+        # timezone-independent epoch micros: naive datetimes are UTC
+        # by contract; val.timestamp() would read them in the host's
+        # LOCAL zone and break the exact roundtrip whenever TZ != UTC
+        if hasattr(val, "timetuple"):
+            return str(calendar.timegm(val.timetuple()) * 1_000_000
+                       + val.microsecond)
+        return str(int(val))
     if typ == "date32":
         return val.isoformat()
     if typ == "bool":
@@ -54,6 +65,11 @@ def write_xml(table: pa.Table, path: str) -> None:
         if f.type not in _TYPES:
             raise ValueError(f"xmlio: unsupported type {f.type} "
                              f"for column {f.name!r}")
+        if not _XML_NAME.match(f.name):
+            # column names become element tags — reject up front
+            # instead of writing a file that only fails at read time
+            raise ValueError(f"xmlio: column name {f.name!r} is not a "
+                             "valid XML element name")
         cols.append((f.name, _TYPES[f.type]))
     parts = ["<table><schema>"]
     for name, typ in cols:

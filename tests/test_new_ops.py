@@ -963,6 +963,31 @@ def test_xmlio_roundtrip_types_and_nulls():
     with _pytest.raises(ValueError):
         write_xml(bad, path)
 
+    # column names become element tags: XML-invalid names rejected
+    # up front (ADVICE r4), not discovered at read time
+    for bad_name in ("has space", "1leading", "a<b", "a:b"):
+        with _pytest.raises(ValueError):
+            write_xml(pa.table({bad_name: pa.array([1], pa.int64())}),
+                      path)
+
+    # timestamp serialization is timezone-INDEPENDENT (ADVICE r4):
+    # the epoch-micros rendering must not consult the host TZ
+    import os as _os
+    import time as _time
+    old_tz = _os.environ.get("TZ")
+    _os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        tt = t.select(["ts"])
+        write_xml(tt, path)
+        assert read_xml(path).equals(tt)
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
+
 
 def test_storage_audit_matches_duckdb_parquet_metadata(ray_session):
     """orders_storage_audit (pyarrow footer walk) == DuckDB's own
