@@ -101,16 +101,22 @@ def run_once() -> dict:
 
     n_pages = _n_pages(SF_DIR)
     sf = n_pages / 4000 * 0.001  # pages corpus scales 4k/40k/400k with sf
+    # KG grows with the corpus (r4 VERDICT #1): ~√pages entities with
+    # Zipf frequencies, so the canonicalize/graph phases face a
+    # corpus-proportional node/edge table, not the constant 104 nodes
+    n_entities = max(95, int(round(n_pages ** 0.5)))
 
     from concurrent.futures import ThreadPoolExecutor
 
     def flagship_run() -> tuple:
         t0 = time.time()
-        ann = annotate(synth_pages(n_pages), num_parts=64,
+        ann = annotate(synth_pages(n_pages, n_entities=n_entities),
+                       num_parts=64,
                        concurrency=(max(2, NUM_CPUS * 3 // 4), NUM_CPUS),
-                       batch_size=128).materialize()
+                       batch_size=128,
+                       n_entities=n_entities).materialize()
         t_ann = time.time()
-        g = build_graph(ann)
+        g = build_graph(ann, n_entities=n_entities)
         t_cc = time.time()
         # nodes and edges are independent DAGs over the same materialized
         # input: drive them concurrently (ray.get releases the GIL)
@@ -147,6 +153,7 @@ def run_once() -> dict:
         "phases": phases,
         "nodes": n_nodes,
         "edges": n_edges,
+        "n_entities": n_entities,
         "flagship_runs_sec": [round(r[0], 3) for r in runs],
         "flagship_stat": f"median_of_{repeats}",
         "host_probe": {

@@ -41,12 +41,13 @@ def consume(ds):
     return n
 
 consume(annotate(synth_pages(64), num_parts=4))  # warm
+N_ENT = max(95, int(round(N_PAGES ** 0.5)))  # KG grows with corpus (r5)
 t0 = time.time()
-ann = annotate(synth_pages(N_PAGES), num_parts=256,
+ann = annotate(synth_pages(N_PAGES, n_entities=N_ENT), num_parts=256,
                concurrency=(max(2, NUM_CPUS * 3 // 4), NUM_CPUS),
-               batch_size=128).materialize()
+               batch_size=128, n_entities=N_ENT).materialize()
 t1 = time.time()
-g = build_graph(ann)
+g = build_graph(ann, n_entities=N_ENT)
 t2 = time.time()
 from concurrent.futures import ThreadPoolExecutor
 with ThreadPoolExecutor(2) as ex:
@@ -59,13 +60,13 @@ out = {"num_cpus": NUM_CPUS, "pages": N_PAGES,
        "phases": {"annotate": round(t1 - t0, 3),
                   "canonicalize": round(t2 - t1, 3),
                   "graph": round(t3 - t2, 3)},
-       "nodes": n_nodes, "edges": n_edges}
+       "nodes": n_nodes, "edges": n_edges, "n_entities": N_ENT}
 if len(sys.argv) > 3 and sys.argv[3] == "distributed":
     # force the Pregel shard-actor CC (driver_threshold=0) over the same
     # materialized annotations — the archived evidence that the
     # distributed graph path holds at sf1 (VERDICT r3 item #10)
     t4 = time.time()
-    g2 = build_graph(ann, driver_threshold=0)
+    g2 = build_graph(ann, driver_threshold=0, n_entities=N_ENT)
     with ThreadPoolExecutor(2) as ex:
         fe = ex.submit(consume, g2["edges"])
         fn = ex.submit(consume, g2["nodes"])
@@ -124,7 +125,7 @@ def main() -> None:
         "efficiency_vs_ceiling": round(eff / ceil["ceiling"], 3),
         "total_runtime_s": round(time.time() - t_start, 1),
     }
-    with open("BENCH_r4_sf1.json", "w") as f:
+    with open("BENCH_r05_sf1.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -54,12 +54,15 @@ def cmd_extract(args) -> int:
     from .sources.pages import read_pages, synth_pages
     from .state.manifest import Manifest, corpus_fingerprint
 
-    pages = synth_pages(args.synth) if args.synth else read_pages(args.pages)
+    n_ent = getattr(args, "entities", None)
+    pages = synth_pages(args.synth, n_entities=n_ent) if args.synth \
+        else read_pages(args.pages)
     t0 = time.time()
     if args.resume and not args.out:
         print("--resume requires --out", file=sys.stderr)
         return 2
-    fp = corpus_fingerprint(args.pages, synth_n=args.synth)
+    fp = corpus_fingerprint(args.pages, synth_n=args.synth,
+                            n_entities=n_ent)
     if args.out and not args.resume and Manifest(args.out).has_records():
         print(f"{args.out} already holds committed results; pass --resume "
               "to reuse them (stale-input partitions are recomputed) or "
@@ -70,7 +73,7 @@ def cmd_extract(args) -> int:
                        num_parts=args.num_parts,
                        concurrency=(max(2, ncpu * 3 // 4), max(2, ncpu)),
                        batch_size=args.batch_size,
-                       input_fingerprint=fp)
+                       input_fingerprint=fp, n_entities=n_ent)
     if args.out:
         print(json.dumps({"cmd": "extract", "out_dir": res["out_dir"],
                           "metrics": res["metrics"],
@@ -369,6 +372,11 @@ def main(argv=None) -> int:
     e.add_argument("--num-parts", type=int, default=64)
     e.add_argument("--batch-size", type=int, default=128)
     e.add_argument("--num-cpus", type=int, default=None)
+    e.add_argument("--entities", type=int, default=None,
+                   help="entity-universe size for --synth corpora "
+                        "(default: the base 95-entity universe; bench "
+                        "uses ~sqrt(pages) so the KG grows with the "
+                        "corpus)")
     e.set_defaults(fn=cmd_extract)
 
     upd = sub.add_parser("update",

@@ -75,9 +75,12 @@ class FusedAnnotator:
     (same refimpl primitives; verified against goldens in
     tests/test_flagship.py)."""
 
-    def __init__(self, model_ref, alias_ref=None) -> None:
+    def __init__(self, model_ref, alias_ref=None,
+                 n_entities: int | None = None) -> None:
         import ray as _ray
         import numpy as _np
+
+        from refimpl.vocab import scaled_universe
 
         from ..stages.fastpath import BatchLinker, FastHasher
 
@@ -85,8 +88,12 @@ class FusedAnnotator:
             if isinstance(model_ref, _ray.ObjectRef) else model_ref
         self.W = _np.ascontiguousarray(W, dtype=_np.float32)
         self.T = _np.ascontiguousarray(T, dtype=_np.float32)
-        self.hasher = FastHasher()
-        self.linker = BatchLinker()
+        # the universe is a pure function of n_entities (lru-cached), so
+        # each actor reconstructs it from the scalar — nothing
+        # entity-count-sized ships through the object store
+        uni = scaled_universe(n_entities)
+        self.hasher = FastHasher(None if uni.is_base else uni.gazetteer())
+        self.linker = BatchLinker(uni)
         if alias_ref is not None:
             alias, profiles = _ray.get(alias_ref)
             self.linker.alias = alias
@@ -157,7 +164,8 @@ class FusedAnnotator:
 
 def annotate(pages: ray.data.Dataset, *, langs=DEFAULT_LANGS,
              num_parts: int = 32, concurrency=(1, 8),
-             batch_size: int = 256, fused: bool = True) -> ray.data.Dataset:
+             batch_size: int = 256, fused: bool = True,
+             n_entities: int | None = None) -> ray.data.Dataset:
     """pages → annotated(url, part_id, lang, mentions, triples): the
     per-page half of the DAG (no shuffles; pure streaming)."""
     model_ref = put_once("crf_model", get_model)
@@ -165,7 +173,8 @@ def annotate(pages: ray.data.Dataset, *, langs=DEFAULT_LANGS,
     en = _filter_langs(extracted, langs)
     if fused:
         return en.map_batches(
-            FusedAnnotator, fn_constructor_args=(model_ref,),
+            FusedAnnotator, fn_constructor_args=(model_ref, None,
+                                                 n_entities),
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency, num_cpus=1.0)
     tagged = tag_pages(en, model_ref, concurrency=concurrency,
@@ -176,7 +185,8 @@ def annotate(pages: ray.data.Dataset, *, langs=DEFAULT_LANGS,
 
 
 def build_graph(annotated: ray.data.Dataset, *,
-                driver_threshold: int = 2_000_000) -> dict:
+                driver_threshold: int = 2_000_000,
+                n_entities: int | None = None) -> dict:
     """annotated → {cluster map, nodes Dataset, edges Dataset}.
 
     Under ``driver_threshold`` distinct edges the cluster map is a driver
@@ -196,7 +206,7 @@ def build_graph(annotated: ray.data.Dataset, *,
         cref = cm.materialize()  # consumed by nodes + 2× edges attach
     return {
         "cluster": cm,
-        "nodes": build_nodes(annotated, cref),
+        "nodes": build_nodes(annotated, cref, n_entities=n_entities),
         "edges": build_edges(annotated, cref),
     }
 
@@ -205,12 +215,15 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
                  langs=DEFAULT_LANGS, num_parts: int = 32,
                  concurrency=(1, 8), batch_size: int = 256,
                  driver_threshold: int = 2_000_000,
-                 input_fingerprint: str = "") -> dict:
+                 input_fingerprint: str = "",
+                 n_entities: int | None = None) -> dict:
     if out_dir is None:
         annotated = annotate(pages, langs=langs, num_parts=num_parts,
-                             concurrency=concurrency, batch_size=batch_size)
+                             concurrency=concurrency, batch_size=batch_size,
+                             n_entities=n_entities)
         annotated = annotated.materialize()  # consumed 3× below (small rows)
-        g = build_graph(annotated, driver_threshold=driver_threshold)
+        g = build_graph(annotated, driver_threshold=driver_threshold,
+                        n_entities=n_entities)
         return {"annotated": annotated, **g}
 
     man = Manifest(out_dir)
@@ -244,7 +257,8 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
         if len(pend) < num_parts:
             src = _filter_parts(src, pend)
         ann = src.map_batches(
-            FusedAnnotator, fn_constructor_args=(model_ref,),
+            FusedAnnotator, fn_constructor_args=(model_ref, None,
+                                                 n_entities),
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency, num_cpus=1.0)
         ann.write_parquet(ann_dir, partition_cols=["part_id"])
@@ -266,7 +280,8 @@ def run_flagship(pages: ray.data.Dataset, out_dir: str | None = None, *,
                 shutil.rmtree(d)
         t0 = time.time()
         annotated = _normalize_part_id(ray.data.read_parquet(ann_dir))
-        g = build_graph(annotated, driver_threshold=driver_threshold)
+        g = build_graph(annotated, driver_threshold=driver_threshold,
+                        n_entities=n_entities)
         g["nodes"].write_parquet(nodes_dir)
         g["edges"].write_parquet(edges_dir)
         import pyarrow.parquet as pq

@@ -27,9 +27,13 @@ def read_pages(path: str, columns: list[str] | None = None,
     return ray.data.read_parquet(path, columns=columns, filter=filt)
 
 
-def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
+def _gen_batch(batch: pa.Table, seed: int,
+               n_entities: int | None = None) -> pa.Table:
+    from refimpl.vocab import scaled_universe
+
+    uni = scaled_universe(n_entities)   # lru-cached per worker
     ids = batch["id"].to_pylist()
-    pages = [gen_page(i, seed) for i in ids]
+    pages = [gen_page(i, seed, uni) for i in ids]
     return pa.table({
         "url": pa.array([p.url for p in pages], pa.string()),
         "warc_ts": pa.array([p.warc_ts_us for p in pages],
@@ -43,14 +47,19 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
 
 
 def synth_pages(n: int, seed: int = SEED, *,
-                override_num_blocks: int | None = None) -> ray.data.Dataset:
-    """Deterministic n-page corpus as a Dataset; parallel by construction."""
+                override_num_blocks: int | None = None,
+                n_entities: int | None = None) -> ray.data.Dataset:
+    """Deterministic n-page corpus as a Dataset; parallel by construction.
+
+    ``n_entities`` scales the entity universe (refimpl.vocab
+    scaled_universe) so the KG grows with the corpus — r4 VERDICT #1; the
+    scalar rides in fn_kwargs and each worker reconstructs the universe."""
     # ~2000 pages per block: enough blocks for full-width parallelism at
     # bench scale, but not so many that every downstream coalescing
     # repartition pays a 400-wide barrier (profiled: the graph phase's
     # repartitions were block-count-bound, not data-bound)
     blocks = override_num_blocks or max(8, min(400, n // 2000 or 1))
     return ray.data.range(n, override_num_blocks=blocks).map_batches(
-        _gen_batch, fn_kwargs={"seed": seed},
+        _gen_batch, fn_kwargs={"seed": seed, "n_entities": n_entities},
         batch_format="pyarrow", batch_size=256,
     )

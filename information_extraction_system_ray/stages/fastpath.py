@@ -166,8 +166,8 @@ class FastHasher(FeatureHasher):
 
     _ENTRY_W = 14          # token-local entry width (== len(_token_entry))
 
-    def __init__(self) -> None:
-        super().__init__()
+    def __init__(self, gaz: frozenset | None = None) -> None:
+        super().__init__(gaz)
         self._ids: dict[str, int] = {}
         self._E = np.empty((1024, self._ENTRY_W), dtype=np.int32)
         self._h_bos_pv = _h("pv=<BOS>")

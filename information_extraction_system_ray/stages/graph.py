@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from refimpl.vocab import BY_ID
+from refimpl.vocab import scaled_universe
 
 from ..functions.arrowutil import to_arrow
 from ..functions.partitions import default_parts
@@ -67,7 +67,8 @@ _NODES_SCHEMA = pa.schema([
 ])
 
 
-def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
+def build_nodes(annotated: ray.data.Dataset, cluster_ref,
+                n_entities: int | None = None) -> ray.data.Dataset:
     """annotated → nodes(entity_id, canonical_surface, aliases, n_mentions),
     sorted by entity_id.
 
@@ -106,12 +107,15 @@ def build_nodes(annotated: ray.data.Dataset, cluster_ref) -> ray.data.Dataset:
         })
 
     def merge_part(g: pd.DataFrame) -> pa.Table:
+        # by_id reconstructed from the scalar inside the remote task
+        # (scaled_universe is lru-cached per worker process — no broadcast)
+        by_id = scaled_universe(n_entities).by_id
         out = (g.groupby("entity_id", sort=False)
                .agg(n_mentions=("n_partial", "sum"),
                     aliases=("aliases_partial",
                              lambda s: sorted({a for lst in s for a in lst})))
                .reset_index())
-        canon = [(BY_ID[e].canonical if e in BY_ID
+        canon = [(by_id[e].canonical if e in by_id
                   else e.removeprefix("NIL:")) for e in out["entity_id"]]
         return to_arrow(pd.DataFrame({
             "entity_id": out["entity_id"],

@@ -106,15 +106,18 @@ class Manifest:
 
 
 def corpus_fingerprint(path: str | None = None, *,
-                       synth_n: int | None = None) -> str:
+                       synth_n: int | None = None,
+                       n_entities: int | None = None) -> str:
     """Cheap, deterministic fingerprint of the INPUT corpus: sha256 over the
     sorted (relative name, byte size) of its parquet files — no data scan,
     changes whenever the input file set changes. For synthetic corpora the
-    generator is deterministic, so the page count IS the fingerprint."""
+    generator is deterministic, so the page count (plus the entity-universe
+    size, which changes the generated pages) IS the fingerprint."""
     import hashlib
 
     if synth_n is not None:
-        return f"synth:{synth_n}"
+        return f"synth:{synth_n}" if n_entities is None \
+            else f"synth:{synth_n}:ents{n_entities}"
     if path is None:
         return ""
     h = hashlib.sha256()

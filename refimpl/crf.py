@@ -127,9 +127,13 @@ class FeatureHasher:
     hash values are identical to the uncached definition by construction.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, gaz: frozenset | None = None) -> None:
         self._tok: dict[str, tuple[int, ...]] = {}
         self._big: dict[tuple[str, str], int] = {}
+        # the gazetteer word set; None = the base universe's (module
+        # _GAZ). A scaled universe (vocab.scaled_universe) passes its own
+        # so the gaz= feature fires on synthesized entity names too.
+        self._gaz = _GAZ if gaz is None else gaz
 
     def _token_entry(self, w: str) -> tuple[int, ...]:
         e = self._tok.get(w)
@@ -145,7 +149,7 @@ class FeatureHasher:
                 _h("s1=" + lw[-1:]), _h("s2=" + lw[-2:]),
                 _h("pv=" + lw), _h("nx=" + lw), _h("psh=" + sh),
                 _h("pos=" + _pos(w)),
-                _h("gaz=" + ("1" if lw in _GAZ else "0")),
+                _h("gaz=" + ("1" if lw in self._gaz else "0")),
             )
             self._tok[w] = e
         return e

@@ -23,7 +23,7 @@ import zlib
 
 import numpy as np
 
-from .vocab import ENTITIES, alias_rows
+from .vocab import BASE, Universe
 
 EMB_DIM = 64
 CTX_WINDOW = 8  # tokens on each side of a mention
@@ -41,28 +41,29 @@ def embed_words(words: list[str]) -> np.ndarray:
     return v / n if n > 0 else v
 
 
-def build_alias_index() -> dict[str, list[tuple[str, float]]]:
+def build_alias_index(uni: Universe = BASE
+                      ) -> dict[str, list[tuple[str, float]]]:
     idx: dict[str, list[tuple[str, float]]] = {}
-    for surface, eid, prior in alias_rows():
+    for surface, eid, prior in uni.alias_rows():
         idx.setdefault(surface, []).append((eid, prior))
     for surface in idx:
         idx[surface].sort()
     return idx
 
 
-def build_entity_profiles() -> dict[str, np.ndarray]:
+def build_entity_profiles(uni: Universe = BASE) -> dict[str, np.ndarray]:
     return {
         e.eid: embed_words(e.canonical.split() + e.signature)
-        for e in ENTITIES
+        for e in uni.entities
     }
 
 
 class Linker:
     """Stateful linker; construct once, call per mention."""
 
-    def __init__(self) -> None:
-        self.alias = build_alias_index()
-        self.profiles = build_entity_profiles()
+    def __init__(self, uni: Universe = BASE) -> None:
+        self.alias = build_alias_index(uni)
+        self.profiles = build_entity_profiles(uni)
         self._wcache: dict[str, tuple[int, float]] = {}
 
     def _embed(self, words: list[str]) -> np.ndarray:

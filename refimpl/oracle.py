@@ -78,13 +78,16 @@ def get_model(fixture_path: str | None = None):
 
 
 def process_page(url: str, text: str, W: np.ndarray, T: np.ndarray,
-                 linker: Linker) -> dict:
+                 linker: Linker, hasher=None) -> dict:
     """Tag one page and derive mentions, triples, links (reference control
-    flow, SURVEY.md §3.1 step 2)."""
+    flow, SURVEY.md §3.1 step 2). ``hasher`` overrides the global
+    FeatureHasher (scaled universes pass one built with their gazetteer)."""
     tokens, offsets = tokenize(text)
     if not tokens:
         return {"url": url, "mentions": [], "triples": []}
-    tag_ids = viterbi_batch([hash_features(tokens)], W, T)[0]
+    feats = (hasher.hash_tokens(tokens) if hasher is not None
+             else hash_features(tokens))
+    tag_ids = viterbi_batch([feats], W, T)[0]
     spans = spans_from_tags(tokens, offsets, tag_ids)
     mentions = []
     for (ts, te, cs, ce, ty) in spans:
@@ -113,10 +116,18 @@ def canonicalize(linked_mentions: list[dict]) -> dict[str, str]:
     return {x: c for x, c in comp.items() if not x.startswith("s::")}
 
 
-def run_oracle(pages: list[GoldPage]) -> dict:
-    """Full single-process pipeline → dict of plain-Python tables."""
+def run_oracle(pages: list[GoldPage], uni=None) -> dict:
+    """Full single-process pipeline → dict of plain-Python tables.
+    ``uni`` (vocab.Universe) scales the entity universe: the linker's
+    alias dict/profiles and the hasher's gazetteer derive from it; the
+    CRF weights stay the fixture model (same as the Ray engine)."""
+    from .crf import FeatureHasher
+    from .vocab import BASE
+
+    uni = uni or BASE
     W, T = get_model()
-    linker = Linker()
+    linker = Linker(uni)
+    hasher = None if uni.is_base else FeatureHasher(gaz=uni.gazetteer())
     extracted, mention_rows, triple_rows = [], [], []
     for p in pages:
         text = extracted_text(p.html, p.text if p.text_provided else None)
@@ -126,7 +137,7 @@ def run_oracle(pages: list[GoldPage]) -> dict:
         })
         if p.lang != "en":
             continue  # language filter before tagging (SURVEY.md §2 M4)
-        res = process_page(p.url, text, W, T, linker)
+        res = process_page(p.url, text, W, T, linker, hasher)
         for m in res["mentions"]:
             mention_rows.append({"url": p.url, **m})
         for t in res["triples"]:
@@ -146,7 +157,7 @@ def run_oracle(pages: list[GoldPage]) -> dict:
         a["n_mentions"] += 1
     nodes = []
     for c in sorted(agg):
-        e = BY_ID.get(c)
+        e = uni.by_id.get(c)
         canonical = e.canonical if e else c.removeprefix("NIL:")
         nodes.append({"entity_id": c, "canonical_surface": canonical,
                       "aliases": sorted(agg[c]["aliases"]),

@@ -18,8 +18,8 @@ from dataclasses import dataclass, field
 
 from . import SEED
 from .htmlstrip import strip_html_str
-from .vocab import (ENTITIES, FILLER, HOT_ORG, ORGS, PERSONS, PLACES,
-                    PREDICATES, Entity)
+from .vocab import (BASE, ENTITIES, FILLER, HOT_ORG, ORGS, PERSONS, PLACES,
+                    PREDICATES, Entity, Universe)
 
 LANGS = ["en", "de", "es", "fr", "zh"]
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in µs
@@ -47,15 +47,26 @@ class GoldPage:
     triples: list[tuple[int, str, int]] = field(default_factory=list)
 
 
-def _pick_entity(rng: random.Random, etype: str) -> Entity:
-    if etype == "PER":
-        return rng.choice(PERSONS)
-    if etype == "LOC":
-        return rng.choice(PLACES)
-    # ORG with head-entity skew: ~30% of slots go to HOT_ORG
-    if rng.random() < 0.30:
-        return HOT_ORG
-    return rng.choice(ORGS)
+def _pick_entity(rng: random.Random, etype: str,
+                 uni: Universe = BASE) -> Entity:
+    if uni.is_base:
+        # base path kept draw-for-draw identical (golden fixtures)
+        if etype == "PER":
+            return rng.choice(PERSONS)
+        if etype == "LOC":
+            return rng.choice(PLACES)
+        # ORG with head-entity skew: ~30% of slots go to HOT_ORG
+        if rng.random() < 0.30:
+            return HOT_ORG
+        return rng.choice(ORGS)
+    # scaled universe: Zipf(1) rank pick (P(rank k) ∝ 1/(k+1)) so the
+    # head-entity skew the north star mandates survives at every scale —
+    # base entities occupy the head ranks, synthesized entities the tail
+    if etype == "ORG" and rng.random() < 0.30:
+        return uni.hot_org
+    pool = uni.pool(etype)
+    n = len(pool)
+    return pool[min(int(n ** rng.random()) - 1, n - 1)]
 
 
 def _alias(rng: random.Random, e: Entity) -> str:
@@ -73,15 +84,16 @@ class Sentence:
     triples: list[tuple[int, str, int]]             # mention-index pairs
 
 
-def gen_sentence(rng: random.Random, entity_rate: float = 0.65) -> Sentence:
+def gen_sentence(rng: random.Random, entity_rate: float = 0.65,
+                 uni: Universe = BASE) -> Sentence:
     """One sentence: triple sentence (45%), mention-only (20%), filler."""
     r = rng.random()
     if r < entity_rate - 0.20:  # triple sentence
         pid = rng.choice(sorted(PREDICATES))
         phrase, st, ot = PREDICATES[pid]
-        subj, obj = _pick_entity(rng, st), _pick_entity(rng, ot)
+        subj, obj = _pick_entity(rng, st, uni), _pick_entity(rng, ot, uni)
         while obj.eid == subj.eid:
-            obj = _pick_entity(rng, ot)
+            obj = _pick_entity(rng, ot, uni)
         s_surf, o_surf = _alias(rng, subj), _alias(rng, obj)
         sig = rng.sample(subj.signature, 2) + rng.sample(obj.signature, 2)
         parts: list[str] = []
@@ -107,7 +119,7 @@ def gen_sentence(rng: random.Random, entity_rate: float = 0.65) -> Sentence:
         text = "".join(parts) + "."
         return Sentence(text, mentions, [(0, pid, 1)])
     if r < entity_rate:  # mention-only sentence
-        e = _pick_entity(rng, rng.choice(["PER", "ORG", "LOC"]))
+        e = _pick_entity(rng, rng.choice(["PER", "ORG", "LOC"]), uni)
         surf = _alias(rng, e)
         sig = rng.sample(e.signature, 2)
         tail = rng.sample(FILLER, 3)
@@ -125,8 +137,12 @@ _FOOTER = ("<footer>&copy; 2024 example press &mdash; all rights "
 _SCRIPT = "<script>var q=window.q||[];q.push(['track','%d']);</script>"
 
 
-def gen_page(i: int, seed: int = SEED) -> GoldPage:
-    """Deterministically synthesize page ``i`` (independent of other pages)."""
+def gen_page(i: int, seed: int = SEED, uni: Universe = BASE) -> GoldPage:
+    """Deterministically synthesize page ``i`` (independent of other pages).
+
+    ``uni`` selects the entity universe (vocab.scaled_universe); the base
+    universe path is draw-for-draw identical to round 4 so every golden
+    fixture regenerates byte-exact."""
     rng = random.Random(seed * 1_000_003 + i)
     lang = LANGS[rng.randrange(len(LANGS))] if rng.random() < 0.35 else "en"
     url = f"https://site{i % 97}.example/{lang}/p{i}"
@@ -137,7 +153,8 @@ def gen_page(i: int, seed: int = SEED) -> GoldPage:
         n_sent = rng.randrange(2, 7)
         # entity sentences only on English pages (language-filter fixture)
         rate = 0.65 if lang == "en" else 0.0
-        paragraphs.append([gen_sentence(rng, rate) for _ in range(n_sent)])
+        paragraphs.append([gen_sentence(rng, rate, uni)
+                           for _ in range(n_sent)])
 
     # assemble stripped text + global mention offsets
     mentions: list[Mention] = []
@@ -196,8 +213,9 @@ def gen_page(i: int, seed: int = SEED) -> GoldPage:
     return page
 
 
-def gen_pages(n: int, seed: int = SEED) -> list[GoldPage]:
-    return [gen_page(i, seed) for i in range(n)]
+def gen_pages(n: int, seed: int = SEED,
+              uni: Universe = BASE) -> list[GoldPage]:
+    return [gen_page(i, seed, uni) for i in range(n)]
 
 
 def pages_arrow(pages: list[GoldPage]):

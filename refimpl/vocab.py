@@ -165,15 +165,146 @@ def alias_rows(distractor_frac: float = 0.2) -> list[tuple[str, str, float]]:
     alone is ambiguous and context-embedding scoring is exercised
     (FIXTURES.md §6).
     """
-    rows: list[tuple[str, str, float]] = []
-    by_type = {"PER": PERSONS, "ORG": ORGS, "LOC": PLACES}
-    k = 0
-    for e in ENTITIES:
-        for rank, s in enumerate(e.aliases):
-            rows.append((s, e.eid, round(1.0 / (1 + rank), 4)))
-            k += 1
-            if (k * 997) % 1000 < distractor_frac * 1000:
-                pool = by_type[e.etype]
-                wrong = pool[(pool.index(e) + 1 + (k % 5)) % len(pool)]
-                rows.append((s, wrong.eid, 0.9))
-    return rows
+    return BASE.alias_rows(distractor_frac)
+
+
+# --------------------------------------------------------------------------
+# Scalable entity universe (round 5)
+#
+# The r4 VERDICT's top finding: with a FIXED 95-entity universe the flagship
+# KG is a constant ~104 nodes at every corpus scale, so the graph phases of
+# the bench never face a corpus-proportional node/edge table. A ``Universe``
+# bundles an entity population of any size; ``scaled_universe(n)`` extends
+# the base 95 entities (kept verbatim — every golden fixture stays valid)
+# with deterministically synthesized entities, and is a pure function of
+# ``n`` so any Ray worker can reconstruct it from the scalar — the universe
+# is never shipped, only its size.
+# --------------------------------------------------------------------------
+
+class Universe:
+    """An entity population + the alias/gazetteer views derived from it."""
+
+    __slots__ = ("persons", "orgs", "places", "entities", "by_id",
+                 "hot_org", "n_extra", "_type_index")
+
+    def __init__(self, persons: list[Entity], orgs: list[Entity],
+                 places: list[Entity], n_extra: int = 0) -> None:
+        self.persons = persons
+        self.orgs = orgs
+        self.places = places
+        self.entities = persons + orgs + places
+        self.by_id = {e.eid: e for e in self.entities}
+        self.hot_org = orgs[0]
+        self.n_extra = n_extra
+        self._type_index = {}
+        for pool in (persons, orgs, places):
+            for i, e in enumerate(pool):
+                self._type_index[e.eid] = i
+
+    @property
+    def is_base(self) -> bool:
+        return self.n_extra == 0
+
+    def pool(self, etype: str) -> list[Entity]:
+        return {"PER": self.persons, "ORG": self.orgs,
+                "LOC": self.places}[etype]
+
+    def alias_rows(self, distractor_frac: float = 0.2
+                   ) -> list[tuple[str, str, float]]:
+        """Generalization of the module-level :func:`alias_rows` —
+        bit-identical rows for the base universe (``pool.index(e)`` is
+        replaced by the precomputed per-type index, the same value)."""
+        rows: list[tuple[str, str, float]] = []
+        k = 0
+        for e in self.entities:
+            pool = self.pool(e.etype)
+            for rank, s in enumerate(e.aliases):
+                rows.append((s, e.eid, round(1.0 / (1 + rank), 4)))
+                k += 1
+                if (k * 997) % 1000 < distractor_frac * 1000:
+                    wrong = pool[(self._type_index[e.eid] + 1 + (k % 5))
+                                 % len(pool)]
+                    rows.append((s, wrong.eid, 0.9))
+        return rows
+
+    def gazetteer(self) -> frozenset:
+        """Lowercased word set of every alias surface (the A5 gazetteer)."""
+        return frozenset(w for surface, _e, _p in self.alias_rows()
+                         for w in surface.lower().split())
+
+
+# 60 CV syllables → unique synthesized proper names: 3 syllables cover
+# 216k extras, a 4th prefix syllable extends to 12.9M — far beyond any
+# bench scale (sf1 uses ~2k).
+_SYL = [c + v for c in "bdgklmnrstvz" for v in "aeiou"]
+_BASE_WORDS = frozenset(
+    w.lower() for name in (_LAST + _ORG_NAMES + _PLACE_NAMES + _FIRST)
+    for w in name.split())
+
+
+def _syl_name(k: int) -> str:
+    """Deterministic unique proper name for extra-entity index ``k``."""
+    s = _SYL[(k // 3600) % 60] + _SYL[(k // 60) % 60] + _SYL[k % 60]
+    if k >= 216_000:
+        s = _SYL[(k // 216_000) % 60] + s
+    return s.capitalize()
+
+
+_ORG_SUFFIX = ["Systems", "Labs", "Group", "Holdings", "Industries",
+               "Networks", "Analytics", "Software"]
+_PLACE_SUFFIX = ["Bay", "Ridge", "Falls", "Harbor", "Vale", "Mesa",
+                 "Point", "Grove"]
+
+
+def scaled_universe(n_entities: int | None) -> Universe:
+    """The deterministic ``n_entities``-entity universe; ``None`` or
+    ``<= 95`` → the base universe (goldens unchanged). Extras cycle
+    PER/ORG/LOC at 8:7:5 per 20 and get unique syllable names (collisions
+    with base name words are skipped), canonical-prefixed aliases via the
+    same alias builders, and signatures from the same closed pool — so the
+    CRF's shape/gazetteer features and the linker's context profiles work
+    identically on them. Pure function of ``n_entities`` (cached): Ray
+    workers reconstruct it from the scalar instead of receiving a
+    broadcast."""
+    if n_entities is None or n_entities <= len(ENTITIES):
+        return BASE
+    return _scaled_universe_cached(int(n_entities))
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _scaled_universe_cached(n_entities: int) -> Universe:
+    n_extra = n_entities - len(ENTITIES)
+    persons = list(PERSONS)
+    orgs = list(ORGS)
+    places = list(PLACES)
+    made, k = 0, 0
+    while made < n_extra:
+        name = _syl_name(k)
+        k += 1
+        if name.lower() in _BASE_WORDS:
+            continue  # never collide with a base alias word
+        cyc = made % 20
+        if cyc < 8:  # PER
+            i = len(persons)
+            first = _FIRST[(made * 13 + 7) % len(_FIRST)]
+            persons.append(Entity(
+                f"PER_{i:06d}", "PER", f"{first} {name}",
+                _person_aliases(first, name), _sig(i, 0)))
+        elif cyc < 15:  # ORG
+            i = len(orgs)
+            full = f"{name} {_ORG_SUFFIX[made % len(_ORG_SUFFIX)]}"
+            orgs.append(Entity(f"ORG_{i:06d}", "ORG", full,
+                               _org_aliases(full), _sig(i, 13)))
+        else:  # LOC
+            i = len(places)
+            full = f"{name} {_PLACE_SUFFIX[made % len(_PLACE_SUFFIX)]}"
+            places.append(Entity(f"LOC_{i:06d}", "LOC", full,
+                                 _place_aliases(full), _sig(i, 29)))
+        made += 1
+    return Universe(persons, orgs, places, n_extra=n_extra)
+
+
+BASE = Universe(PERSONS, ORGS, PLACES)
