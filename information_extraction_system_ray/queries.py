@@ -16082,7 +16082,10 @@ def events_user_scc(sf_dir: str):
     # Distinct via hash-bucketed drop_duplicates, NOT groupby(...).
     # aggregate(Count): the triple key is near-unique, and Ray's
     # sort-groupby walks each one-row group in Python (the
-    # _part_cooccur_counts pathology — 8× there)
+    # _part_cooccur_counts pathology — 8× there). Measured r5: keeping
+    # this global distinct BEATS skipping it (6.6 s vs 5.3 s at sf0.1)
+    # because the raw triple stream is ~3× the distinct set and the
+    # make_edges shuffle pays for every duplicate row.
     def _thu_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
             pd.DataFrame({"a": t["t"].to_pandas(),
@@ -16160,29 +16163,15 @@ def events_user_scc(sf_dir: str):
                          "v": pa.array(pairs_arr[:, 1], pa.int64())}
                         ).cast(edge_schema)
 
-    # (u,v) distinct via hash-bucketed drop_duplicates (2.7M instances
-    # collapse ~10× at sf0.1 — worth one skinny shuffle before the
-    # anti-joins and the double edge route inside scc_labels; the slow
-    # path here is NEVER groupby().aggregate(Count) over near-unique
-    # keys — see _part_cooccur_counts)
-    def _uv_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"a": t["u"].to_pandas(),
-                          "b": t["v"].to_pandas()}), index=False) % 16
-        return t.append_column("_pp", pa.array(h.to_numpy(), pa.int64()))
-
-    def _uv_distinct(g: pd.DataFrame) -> pa.Table:
-        d = g.drop_duplicates(["u", "v"])
-        return pa.table({"u": pa.array(d["u"].to_numpy(np.int64)),
-                         "v": pa.array(d["v"].to_numpy(np.int64))})
-
+    # NO global (u,v)-distinct shuffle here (r5): make_edges already
+    # dedupes partition-locally (~10× collapse at sf0.1), and the fused
+    # SCCShard.build() drop_duplicates the remainder per shard — the r4
+    # version needed global distinct edges for its per-round anti-joins,
+    # which the in-actor settle/drop loop replaced.
     edges = (thu_ds.map_batches(tag_cur, batch_format="pyarrow")
              .union(thu_ds.map_batches(tag_next, batch_format="pyarrow"))
              .groupby("part").map_groups(make_edges,
-                                         batch_format="pandas")
-             .map_batches(_uv_bucket, batch_format="pyarrow")
-             .groupby("_pp").map_groups(_uv_distinct,
-                                        batch_format="pandas"))
+                                         batch_format="pandas"))
 
     labels = scc_labels(edges, num_partitions=_join_parts(sf_dir,
                                                           "events"))

@@ -283,6 +283,321 @@ class PropagationShard:
             "dist": pa.array(self.values[keep], pa.int64())})
 
 
+@ray.remote(num_cpus=0)
+class SCCShard:
+    """FW–BW label-intersection SCC, fully fused into the shard ring
+    (r4 VERDICT "what's wrong" #1: the old scc_labels ran ~10 Dataset
+    executions per OUTER round — two full run_propagation lifecycles
+    plus joins — so the query was coordination-bound, not data-bound).
+
+    Here the directed edge list hash-partitions ONCE; each shard owns
+    the nodes hashing to it and keeps BOTH labels per owned node:
+    ``fw`` (min id with a directed path TO the node) and ``bw`` (min id
+    the node reaches). One inner ring round exchanges fw and bw
+    candidates TOGETHER (half the rounds of two separate propagations),
+    with in-shard edges relaxed to a local fixpoint between exchanges.
+    When the inner loop converges, nodes with fw == bw settle as a
+    complete SCC (scc = the shared min id), settled sets all-gather as
+    object refs, every shard drops incident edges vectorized, owned
+    zero-degree actives settle as singletons (== the old
+    universe-diff accounting: a node that lost every edge would settle
+    fw=bw=self next round anyway), remaining labels reset, repeat. An
+    outer round is therefore (inner rings + ONE settle/drop exchange)
+    — no Dataset execution anywhere after the initial route."""
+
+    def __init__(self, pid: int, num_parts: int,
+                 node_type: "pa.DataType | None" = None) -> None:
+        self.pid = pid
+        self.P = num_parts
+        self.node_type = node_type or pa.string()
+        self._pend_src: "list[np.ndarray]" = []
+        self._pend_dst: "list[np.ndarray]" = []
+        self.outbox: "dict[int, tuple]" = {}
+        self.inbox: "list[tuple]" = []
+        self._done_nodes: "list[np.ndarray]" = []
+        self._done_sccs: "list[np.ndarray]" = []
+
+    def add_edges(self, srcs, dsts) -> None:
+        # every edge is shipped to BOTH endpoint owners (route below)
+        self._pend_src.append(np.asarray(srcs))
+        self._pend_dst.append(np.asarray(dsts))
+
+    @staticmethod
+    def _owner(arr: np.ndarray, P: int) -> np.ndarray:
+        import pandas as pd
+        return (pd.util.hash_pandas_object(pd.Series(arr), index=False)
+                % P).to_numpy().astype(np.int64)
+
+    def build(self) -> int:
+        import pandas as pd
+        if self._pend_src:
+            df = pd.DataFrame({
+                "s": np.concatenate(self._pend_src),
+                "d": np.concatenate(self._pend_dst)}).drop_duplicates()
+            s = df["s"].to_numpy()
+            d = df["d"].to_numpy()
+        else:
+            s = d = np.array([], dtype=object)
+        self._pend_src = self._pend_dst = None
+        so = self._owner(s, self.P) if len(s) else np.array([], np.int64)
+        do = self._owner(d, self.P) if len(d) else np.array([], np.int64)
+        mine_s = so == self.pid
+        mine_d = do == self.pid
+        # owned node universe: every endpoint hashing here
+        self.nodes = np.unique(np.concatenate([s[mine_s], d[mine_d]]))
+        n = len(self.nodes)
+        # fw pushes walk edges whose SRC is owned; bw pushes edges whose
+        # DST is owned. Keep each with the remote endpoint + its owner.
+        self.f_src = np.searchsorted(self.nodes, s[mine_s]).astype(np.int64)
+        self.f_dst = d[mine_s]
+        self.f_dpart = do[mine_s]
+        self.b_dst = np.searchsorted(self.nodes, d[mine_d]).astype(np.int64)
+        self.b_src = s[mine_d]
+        self.b_spart = so[mine_d]
+        self.active = np.ones(n, dtype=bool)
+        self.fw = self.nodes.copy()
+        self.bw = self.nodes.copy()
+        self.ch_f = np.ones(n, dtype=bool)
+        self.ch_b = np.ones(n, dtype=bool)
+        self._settle_zero_degree()
+        self._relax_local()
+        return n
+
+    # -- helpers ------------------------------------------------------
+    def _alive_f(self) -> np.ndarray:
+        """fw-push edges still alive: src active locally AND dst not
+        known-settled (dst liveness is enforced at the dst owner on
+        apply; dropped eagerly in drop_settled)."""
+        return self.active[self.f_src]
+
+    def _local_edges(self):
+        """in-shard edges (both endpoints owned): (src_idx, dst_idx)."""
+        m = self.f_dpart == self.pid
+        if not m.any():
+            return None
+        return (self.f_src[m],
+                np.searchsorted(self.nodes, self.f_dst[m]).astype(np.int64))
+
+    def _relax_local(self) -> None:
+        import pandas as pd
+        le = self._local_edges()
+        if le is None:
+            return
+        ls, ld = le
+        alive = self.active[ls] & self.active[ld]
+        ls, ld = ls[alive], ld[alive]
+        if len(ls) == 0:
+            return
+        for vals, ch, src_i, dst_i in ((self.fw, self.ch_f, ls, ld),
+                                       (self.bw, self.ch_b, ld, ls)):
+            frontier = ch.copy()
+            sweeps = 0
+            while True:
+                m = frontier[src_i]
+                if not m.any():
+                    break
+                g = pd.DataFrame({"i": dst_i[m], "c": vals[src_i[m]]}) \
+                    .groupby("i", sort=False)["c"].min()
+                idx = g.index.to_numpy()
+                best = g.to_numpy()
+                better = best < vals[idx]
+                frontier = np.zeros(len(self.nodes), dtype=bool)
+                if better.any():
+                    vals[idx[better]] = best[better]
+                    frontier[idx[better]] = True
+                    ch[idx[better]] = True
+                sweeps += 1
+                if sweeps > len(self.nodes) + 1:
+                    raise RuntimeError("scc: local relax did not settle")
+
+    def _settle_zero_degree(self) -> None:
+        """Owned active nodes with no incident alive edges are
+        singleton SCCs (scc = self)."""
+        deg = np.zeros(len(self.nodes), dtype=np.int64)
+        np.add.at(deg, self.f_src, 1)
+        np.add.at(deg, self.b_dst, 1)
+        zero = self.active & (deg == 0)
+        if zero.any():
+            self._done_nodes.append(self.nodes[zero])
+            self._done_sccs.append(self.nodes[zero])
+            self.active[zero] = False
+            self.ch_f[zero] = False
+            self.ch_b[zero] = False
+
+    # -- inner ring ---------------------------------------------------
+    def push(self) -> None:
+        import pandas as pd
+        self.outbox = {}
+        fm = self.ch_f[self.f_src] & self.active[self.f_src]
+        bm = self.ch_b[self.b_dst] & self.active[self.b_dst]
+        parts = {}
+        if fm.any():
+            g = pd.DataFrame({"p": self.f_dpart[fm], "n": self.f_dst[fm],
+                              "c": self.fw[self.f_src[fm]]}) \
+                .groupby(["p", "n"], sort=False)["c"].min().reset_index()
+            for p, sub in g.groupby("p", sort=False):
+                parts.setdefault(int(p), [None, None])[0] = \
+                    (sub["n"].to_numpy(), sub["c"].to_numpy())
+        if bm.any():
+            g = pd.DataFrame({"p": self.b_spart[bm], "n": self.b_src[bm],
+                              "c": self.bw[self.b_dst[bm]]}) \
+                .groupby(["p", "n"], sort=False)["c"].min().reset_index()
+            for p, sub in g.groupby("p", sort=False):
+                parts.setdefault(int(p), [None, None])[1] = \
+                    (sub["n"].to_numpy(), sub["c"].to_numpy())
+        self.outbox = {p: tuple(v) for p, v in parts.items()}
+
+    def take_outbox(self, dest: int):
+        return self.outbox.get(dest)
+
+    def recv(self, payload) -> None:
+        if payload is not None:
+            self.inbox.append(payload)
+
+    def apply(self) -> int:
+        import pandas as pd
+        self.ch_f[:] = False
+        self.ch_b[:] = False
+        if not self.inbox:
+            return 0
+        for sel, vals, ch in ((0, self.fw, self.ch_f),
+                              (1, self.bw, self.ch_b)):
+            pairs = [p[sel] for p in self.inbox if p[sel] is not None]
+            if not pairs:
+                continue
+            dst = np.concatenate([q[0] for q in pairs])
+            cand = np.concatenate([q[1] for q in pairs])
+            g = pd.DataFrame({"n": dst, "c": cand}) \
+                .groupby("n", sort=False)["c"].min()
+            idx = np.searchsorted(self.nodes, g.index.to_numpy())
+            best = g.to_numpy()
+            ok = self.active[idx]
+            better = ok & (best < vals[idx])
+            if better.any():
+                vals[idx[better]] = best[better]
+                ch[idx[better]] = True
+        self.inbox = []
+        n_ch = int(self.ch_f.sum() + self.ch_b.sum())
+        if n_ch:
+            self._relax_local()
+            n_ch = int(self.ch_f.sum() + self.ch_b.sum())
+        return n_ch
+
+    # -- outer round --------------------------------------------------
+    def settle(self) -> np.ndarray:
+        """fw == bw ⇒ the node's complete SCC is settled with that min
+        id. Returns the newly settled owned nodes (for edge dropping
+        everywhere)."""
+        done = self.active & (self.fw == self.bw)
+        out = self.nodes[done]
+        if done.any():
+            self._done_nodes.append(out)
+            self._done_sccs.append(self.fw[done])
+            self.active[done] = False
+        return out
+
+    def drop_settled(self, *settled_parts) -> "tuple[int, int]":
+        """Drop edges incident to ANY newly settled node, settle new
+        zero-degree actives as singletons, reset remaining labels.
+        Returns (alive fw-edges, active nodes) for the driver's
+        termination check."""
+        import pandas as pd
+        gone = pd.Index(np.concatenate(
+            [np.asarray(x) for x in settled_parts if len(x)])) \
+            if any(len(x) for x in settled_parts) else None
+        if gone is not None and len(gone):
+            fk = ~(pd.Index(self.f_dst).isin(gone)
+                   | ~self.active[self.f_src])
+            self.f_src, self.f_dst, self.f_dpart = \
+                self.f_src[fk], self.f_dst[fk], self.f_dpart[fk]
+            bk = ~(pd.Index(self.b_src).isin(gone)
+                   | ~self.active[self.b_dst])
+            self.b_dst, self.b_src, self.b_spart = \
+                self.b_dst[bk], self.b_src[bk], self.b_spart[bk]
+        self._settle_zero_degree()
+        # reset labels of the still-active nodes for the next round
+        act = self.active
+        self.fw[act] = self.nodes[act]
+        self.bw[act] = self.nodes[act]
+        self.ch_f[:] = act
+        self.ch_b[:] = act
+        self._relax_local()
+        return int(len(self.f_src)), int(act.sum())
+
+    def result_table(self) -> pa.Table:
+        if self._done_nodes:
+            nodes = np.concatenate(self._done_nodes)
+            sccs = np.concatenate(self._done_sccs)
+        else:
+            nodes = sccs = np.array([], dtype=object)
+        return pa.table({
+            "node": pa.array(nodes.tolist(), self.node_type),
+            "scc": pa.array(sccs.tolist(), self.node_type)})
+
+
+def run_scc(edges: ray.data.Dataset, *, u: str = "u", v: str = "v",
+            num_partitions: int = 16, max_outer: int = 50,
+            max_inner: int = 200) -> ray.data.Dataset:
+    """Strongly connected components over a directed edge Dataset via
+    the fused :class:`SCCShard` ring — Dataset(node, scc), scc = min
+    member id. Edges ship to their endpoint-owner shards exactly once;
+    every subsequent outer round is pure actor traffic."""
+    import pandas as pd
+
+    P = num_partitions
+    node_type = edges.schema().base_schema.field(u).type
+    shards = [SCCShard.remote(p, P, node_type) for p in range(P)]
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t[u].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t[v].combine_chunks().to_numpy(zero_copy_only=False)
+        so = (pd.util.hash_pandas_object(pd.Series(s), index=False)
+              % P).to_numpy()
+        do = (pd.util.hash_pandas_object(pd.Series(d), index=False)
+              % P).to_numpy()
+        refs = []
+        for p in range(P):
+            m = (so == p) | (do == p)   # both endpoint owners get a copy
+            if m.any():
+                refs.append(shards[p].add_edges.remote(s[m], d[m]))
+        ray.get(refs)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    try:
+        edges.map_batches(route, batch_format="pyarrow").materialize()
+        ray.get([s.build.remote() for s in shards])
+
+        for _outer in range(max_outer):
+            for _ in range(max_inner):
+                ray.get([s.push.remote() for s in shards])
+                recvs = []
+                for q in range(P):
+                    for p in range(P):
+                        recvs.append(shards[p].recv.remote(
+                            shards[q].take_outbox.remote(p)))
+                ray.get(recvs)
+                if sum(ray.get([s.apply.remote() for s in shards])) == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"scc: inner ring not converged in {max_inner} rounds")
+            settled_refs = [s.settle.remote() for s in shards]
+            stats = ray.get([s.drop_settled.remote(*settled_refs)
+                             for s in shards])
+            if sum(a for _e, a in stats) == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: not settled in {max_outer} outer rounds")
+
+        refs = [s.result_table.remote() for s in shards]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        for s in shards:
+            ray.kill(s)
+
+
 def run_propagation(edges: ray.data.Dataset, *, mode: str,
                     src_col: str = "src", dst_col: str = "dst",
                     weight_col: "str | None" = None,

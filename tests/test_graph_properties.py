@@ -527,6 +527,21 @@ def test_scc_labels_matches_tarjan(ray_session):
             adv.append((2 * (i - 1), a))
     assert run(adv) == tarjan(adv)
 
+    # 20-round worst case (r5 fused-SCCShard evidence): 20 2-cycles
+    # chained so every component's backward label bleeds from the
+    # not-yet-settled downstream min — exactly ONE component settles
+    # per outer round, so this drives 20 full settle/drop exchanges
+    # through the in-actor loop
+    deep = []
+    for i in range(20):
+        a, b = 2 * i, 2 * i + 1
+        deep += [(a, b), (b, a)]
+        if i:
+            deep.append((a, 2 * (i - 1)))   # bridge toward smaller ids
+    got = run(deep)
+    assert got == tarjan(deep)
+    assert len(set(got.values())) == 20
+
     rng = random.Random(3)
     for trial in range(3):
         nodes = list(range(30))
