@@ -381,11 +381,17 @@ def dedup_pages_by_url(pages: ray.data.Dataset, *,
         return (t.append_column("rank_key", pa.array(rk, pa.string()))
                 .append_column("part", pa.array(part.to_numpy(), pa.int64())))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
+    # output re-emits ARROW with the INPUT schema pinned — the pandas
+    # round-trip would otherwise widen warc_ts us→ns and hand pandas
+    # blocks to every downstream stage (the r4 AllToAll poisoning)
+    base = pa.schema([f for f in pages.schema().base_schema])
+
+    def pick(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["url", "rank_key"], ascending=[True, False],
                           kind="mergesort")
-        out = g.groupby("url", sort=False).head(1)
-        return out.drop(columns=["rank_key", "part"])
+        out = g.groupby("url", sort=False).head(1) \
+            .drop(columns=["rank_key", "part"])
+        return to_arrow(out, base)
 
     return (pages.map_batches(keyed, batch_format="pyarrow")
             .groupby("part").map_groups(pick, batch_format="pandas"))

@@ -31,6 +31,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from .functions.bucketed import add_bucket
 from .sources.tables import read_table
 
 
@@ -1562,13 +1563,16 @@ def media_vad_segments(sf_dir: str):
     }).cast(MEDIA_SCHEMA)
     segs = vad_segments(ray.data.from_arrow(t))
 
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "media_id": [int(g["media_id"].iloc[0])],
-            "n_segments": [len(g)],
-            "voiced_ms": [int((g["end_ms"] - g["start_ms"]).sum())],
-            "first_start_ms": [int(g["start_ms"].min())],
-            "last_end_ms": [int(g["end_ms"].max())]})
+    def summarize(g: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "media_id": pa.array([int(g["media_id"].iloc[0])], pa.int64()),
+            "n_segments": pa.array([len(g)], pa.int64()),
+            "voiced_ms": pa.array(
+                [int((g["end_ms"] - g["start_ms"]).sum())], pa.int64()),
+            "first_start_ms": pa.array([int(g["start_ms"].min())],
+                                       pa.int64()),
+            "last_end_ms": pa.array([int(g["end_ms"].max())],
+                                    pa.int64())})
 
     return (segs.groupby("media_id")
             .map_groups(summarize, batch_format="pandas")
@@ -4159,9 +4163,10 @@ def q4_priority_late_ship(sf_dir: str):
                        right_key="l_orderkey", right_cols=["max_ship"],
                        num_partitions=_join_parts(sf_dir, "orders"))
 
-    def late(df: pd.DataFrame) -> pd.DataFrame:
+    def late(df: pd.DataFrame) -> pa.Table:
         keep = df["max_ship"] > df["o_orderdate"] + pd.Timedelta(days=60)
-        return df.loc[keep, ["o_orderpriority"]]
+        return pa.table({"o_orderpriority": pa.array(
+            df.loc[keep, "o_orderpriority"], pa.string())})
 
     return (joined.map_batches(late, batch_format="pandas")
             .groupby("o_orderpriority")
@@ -4730,7 +4735,7 @@ def q7_nation_trade(sf_dir: str):
                        right_cols=["c_nk", "o_year"],
                        num_partitions=_join_parts(sf_dir))
 
-    def name_pair(df: pd.DataFrame) -> pd.DataFrame:
+    def name_pair(df: pd.DataFrame) -> pa.Table:
         names = ray.get(nn_ref)
         df = df[df["s_nk"] != df["c_nk"]]
         out = pd.DataFrame({
@@ -4738,8 +4743,13 @@ def q7_nation_trade(sf_dir: str):
             "cust_nation": df["c_nk"].map(names),
             "o_year": df["o_year"],
             "rev_cents": df["rev_cents"]})
-        return (out.groupby(["supp_nation", "cust_nation", "o_year"],
-                            as_index=False)["rev_cents"].sum())
+        vc = (out.groupby(["supp_nation", "cust_nation", "o_year"],
+                          as_index=False)["rev_cents"].sum())
+        return pa.table({
+            "supp_nation": pa.array(vc["supp_nation"], pa.string()),
+            "cust_nation": pa.array(vc["cust_nation"], pa.string()),
+            "o_year": pa.array(vc["o_year"].to_numpy(np.int64)),
+            "rev_cents": pa.array(vc["rev_cents"].to_numpy(np.int64))})
 
     return (joined.map_batches(name_pair, batch_format="pandas")
             .groupby(["supp_nation", "cust_nation", "o_year"])
@@ -5687,12 +5697,7 @@ def q16_supplier_counts(sf_dir: str):
     # drop_duplicates IS the global distinct and the per-partition
     # (brand, type) sizes are exact partial counts.
     def tri_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"a": t["p_brand"].to_pandas(),
-                          "b": t["p_type"].to_pandas(),
-                          "c": t["s_suppkey"].to_pandas()}),
-            index=False) % 16
-        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["p_brand", "p_type", "s_suppkey"], 16, "_p")
 
     def tri_count(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["p_brand", "p_type", "s_suppkey"])
@@ -5763,9 +5768,7 @@ def q21_sole_late_supplier(sf_dir: str):
     # orderkey (co-locates every row of a pair), pandas max inside the
     # partition IS the exact global max.
     def os_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(t["o_orderkey"].to_pandas()), index=False) % 16
-        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["o_orderkey"], 16, "_p")
 
     def os_max(g: pd.DataFrame) -> pa.Table:
         vc = (g.groupby(["o_orderkey", "s_suppkey"],
@@ -5804,11 +5807,7 @@ def q21_sole_late_supplier(sf_dir: str):
     nparts = _join_parts(sf_dir, "orders")
 
     def tag(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(t["o_orderkey"].to_numpy(zero_copy_only=False)),
-            index=False) % nparts
-        return t.append_column("_opart",
-                               pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["o_orderkey"], nparts, "_opart")
 
     def per_order(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby("o_orderkey").agg(
@@ -6189,11 +6188,8 @@ def q9_profit_by_nation_year(sf_dir: str):
     # ~3 s at sf0.01). Bucketing by orderkey co-locates every row of a
     # (orderkey, nation) pair, so the partition-local sum IS global.
     def ok_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(t["l_orderkey"].to_pandas()), index=False) % 16
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "n_name": t["n_name"], "rev": t["rev"],
-                         "_p": pa.array(h.to_numpy(), pa.int64())})
+        return add_bucket(t.select(["l_orderkey", "n_name", "rev"]),
+                          ["l_orderkey"], 16, "_p")
 
     def ok_sum(g: pd.DataFrame) -> pa.Table:
         vc = (g.groupby(["l_orderkey", "n_name"], sort=False)["rev"]
@@ -7408,10 +7404,7 @@ def orders_profile(sf_dir: str):
     # and the sort-groupby walked ~300k one-row groups in Python (7 s →
     # ~1 s at sf0.01; the _part_cooccur_counts pathology)
     def pv_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"a": t["col_name"].to_pandas(),
-                          "b": t["val"].to_pandas()}), index=False) % 16
-        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["col_name", "val"], 16, "_p")
 
     def pv_count(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["col_name", "val"])
@@ -7804,13 +7797,15 @@ def nation_top3_customers(sf_dir: str):
         return pa.Table.from_pandas(df.groupby("c_nationkey").head(3),
                                     preserve_index=False)
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
+    def top3(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["cents", "c_custkey"],
                           ascending=[False, True], kind="mergesort").head(3)
-        return pd.DataFrame({
-            "c_nationkey": [g["c_nationkey"].iat[0]],
-            "top_names": [",".join(g["c_name"].tolist())],
-            "n_top": [len(g)]})
+        return pa.table({
+            "c_nationkey": pa.array([int(g["c_nationkey"].iat[0])],
+                                    pa.int64()),
+            "top_names": pa.array([",".join(g["c_name"].tolist())],
+                                  pa.string()),
+            "n_top": pa.array([len(g)], pa.int64())})
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("c_nationkey")
@@ -10459,9 +10454,7 @@ def docs_jaccard_prefix_join(sf_dir: str):
                       right_cols=["df"])
 
     def bucket(t: pa.Table, col: str) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(t[col].to_pandas()), index=False) % nparts
-        return t.append_column("part", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, [col], nparts, "part")
 
     bucketed = tokdf.map_batches(lambda t: bucket(t, "doc_id"),
                                  batch_format="pyarrow").materialize()
@@ -10517,12 +10510,7 @@ def docs_jaccard_prefix_join(sf_dir: str):
     # 1-row group in Python (the _part_cooccur_counts pathology — this
     # single groupby was 90% of the query's wall)
     def pair_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"a": t["id_a"].to_pandas(),
-                          "b": t["id_b"].to_pandas()}),
-            index=False) % nparts
-        return t.append_column("part",
-                               pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["id_a", "id_b"], nparts, "part")
 
     def pair_dedup(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["id_a", "id_b"])
@@ -10826,11 +10814,7 @@ def lineitem_pk_fd_audit(sf_dir: str):
         def tag(t: pa.Table) -> pa.Table:
             d = (t.select([a, b]).group_by([a, b]).aggregate([])
                  .rename_columns([a, b]))
-            h = pd.util.hash_pandas_object(
-                pd.DataFrame({"x": d[a].to_pandas(),
-                              "y": d[b].to_pandas()}), index=False) % 16
-            return d.append_column("_p",
-                                   pa.array(h.to_numpy(), pa.int64()))
+            return add_bucket(d, [a, b], 16, "_p")
 
         def drop(g: pd.DataFrame) -> pa.Table:
             d = g.drop_duplicates([a, b])
@@ -10856,11 +10840,7 @@ def lineitem_pk_fd_audit(sf_dir: str):
         d = (t.select(["l_partkey", "l_suppkey"])
              .group_by(["l_partkey", "l_suppkey"]).aggregate([])
              .rename_columns(["l_partkey", "l_suppkey"]))
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"x": d["l_partkey"].to_pandas(),
-                          "y": d["l_suppkey"].to_pandas()}),
-            index=False) % 16
-        return d.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(d, ["l_partkey", "l_suppkey"], 16, "_p")
 
     fd_viol = (li.map_batches(ps_tag, batch_format="pyarrow")
                .groupby("_p").map_groups(supp_counts,
@@ -12125,13 +12105,14 @@ def events_user_median_gap(sf_dir: str):
             "gap_us": pc.subtract(t["ts"].cast(pa.int64()),
                                   t["prev_ts"].cast(pa.int64()))})
 
-    def med2(g: pd.DataFrame) -> pd.DataFrame:
+    def med2(g: pd.DataFrame) -> pa.Table:
         v = np.sort(g["gap_us"].to_numpy(np.int64))
         n = len(v)
         m2 = int(v[n // 2] * 2) if n % 2 else int(v[n // 2 - 1] + v[n // 2])
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "median2_gap_us": [m2],
-                             "n_gaps": [n]})
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+            "median2_gap_us": pa.array([m2], pa.int64()),
+            "n_gaps": pa.array([n], pa.int64())})
 
     return (lagged.map_batches(gaps, batch_format="pyarrow")
             .groupby("user_id").map_groups(med2, batch_format="pandas")
@@ -12204,7 +12185,11 @@ def events_purchase_attribution(sf_dir: str):
                       != g["r_user"].to_numpy()[:-1])
                      | (g["rts"].to_numpy()[1:]
                         != g["rts"].to_numpy()[:-1]), True]
-        return g.loc[last, ["r_user", "rts", "touch"]]
+        d = g.loc[last, ["r_user", "rts", "touch"]]
+        return pa.table({
+            "r_user": pa.array(d["r_user"].to_numpy(np.int64)),
+            "rts": pa.array(d["rts"].to_numpy(np.int64)),
+            "touch": pa.array(d["touch"], pa.string())})
 
     left = pur.map_batches(key_left, batch_format="pyarrow")
     # the trailing identity map rewraps the pandas group blocks as Arrow
@@ -12718,9 +12703,7 @@ def docs_winnow_pairs(sf_dir: str):
                               ("pn", pa.int64())])
 
     def bucket_fp(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(t["fp"].to_pandas()), index=False) % 32
-        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["fp"], 32, "_p")
 
     def doc_pairs(g: pd.DataFrame) -> pa.Table:
         # ONE vectorized pass per fp-hash BUCKET (millions of per-fp
@@ -12744,10 +12727,7 @@ def docs_winnow_pairs(sf_dir: str):
                         ).cast(pairs_schema)
 
     def tag_pair(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"a": t["a"].to_pandas(),
-                          "b": t["b"].to_pandas()}), index=False) % 32
-        return t.append_column("_pp", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["a", "b"], 32, "_pp")
 
     def sum_pairs(g: pd.DataFrame) -> pa.Table:
         # global per-(a, b) sums via hash-bucketed pandas — the (a, b)
@@ -13919,14 +13899,14 @@ def docs_sentence_dedup(sf_dir: str):
             "source": t["source"].combine_chunks().take(parent)
                        .filter(keep)})
 
-    def per_sentence(g: pd.DataFrame) -> pd.DataFrame:
+    def per_sentence(g: pd.DataFrame) -> pa.Table:
         shared = g["doc_id"].nunique() >= 2
         counts = g.groupby("source", sort=False).size()
-        return pd.DataFrame({
-            "source": list(counts.index),
-            "n_inst": counts.to_numpy(np.int64),
-            "n_shared": counts.to_numpy(np.int64) if shared
-            else np.zeros(len(counts), np.int64)})
+        return pa.table({
+            "source": pa.array(list(counts.index), pa.string()),
+            "n_inst": pa.array(counts.to_numpy(np.int64)),
+            "n_shared": pa.array(counts.to_numpy(np.int64) if shared
+                                 else np.zeros(len(counts), np.int64))})
 
     def ppm(t: pa.Table) -> pa.Table:
         inst = t["n_instances"].to_numpy(zero_copy_only=False)
@@ -13984,7 +13964,7 @@ def customer_supplier_percentile(sf_dir: str):
                          "cents": _cents(t["s_acctbal"])})
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        return pd.DataFrame({  # arrow-ok: final driver-bound (take_all)
             "nation": [int(g["nation"].iloc[0])],
             "sorted_cents": [np.sort(g["cents"].to_numpy(np.int64))]})
 
@@ -14075,17 +14055,18 @@ def events_ohlc_daily(sf_dir: str):
                     n=("vm", "size")).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pd.DataFrame) -> pa.Table:
         o = np.lexsort((g["o_eid"].to_numpy(), g["o_ts"].to_numpy()))[0]
         c = np.lexsort((g["c_eid"].to_numpy(), g["c_ts"].to_numpy()))[-1]
-        return pd.DataFrame({
-            "day": [g["day"].iloc[0]],
-            "event_type": [g["event_type"].iloc[0]],
-            "n_events": [int(g["n"].sum())],
-            "open_micro": [int(g["o_vm"].iloc[o])],
-            "high_micro": [int(g["hi"].max())],
-            "low_micro": [int(g["lo"].min())],
-            "close_micro": [int(g["c_vm"].iloc[c])]})
+        return pa.table({
+            "day": pa.array([g["day"].iloc[0]], pa.string()),
+            "event_type": pa.array([g["event_type"].iloc[0]], pa.string()),
+            "n_events": pa.array([int(g["n"].sum())], pa.int64()),
+            "open_micro": pa.array([int(g["o_vm"].iloc[o])], pa.int64()),
+            "high_micro": pa.array([int(g["hi"].max())], pa.int64()),
+            "low_micro": pa.array([int(g["lo"].min())], pa.int64()),
+            "close_micro": pa.array([int(g["c_vm"].iloc[c])],
+                                    pa.int64())})
 
     return (ev.map_batches(partial, batch_format="pyarrow")
             .groupby(["day", "event_type"])
@@ -14127,20 +14108,21 @@ def events_user_twap(sf_dir: str):
             "ts_us": pc.cast(t["ts"], pa.int64()),
             "vc": _cents(t["value"])})
 
-    def twap(g: pd.DataFrame) -> pd.DataFrame:
+    def twap(g: pd.DataFrame) -> pa.Table:
         ts = g["ts_us"].to_numpy(np.int64)
         order = np.lexsort((g["eid"].to_numpy(np.int64), ts))
         ts, vc = ts[order], g["vc"].to_numpy(np.int64)[order]
         dur = (ts[1:] - ts[:-1]) // 1_000_000
         tot = int(dur.sum())
         if tot <= 0:
-            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
-                                 "twap_cents": pd.Series([], dtype=np.int64),
-                                 "dur_s": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "twap_cents": [int((vc[:-1] * dur).sum()) // tot],
-            "dur_s": [tot]})
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "twap_cents": pa.array([], pa.int64()),
+                             "dur_s": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+            "twap_cents": pa.array([int((vc[:-1] * dur).sum()) // tot],
+                                   pa.int64()),
+            "dur_s": pa.array([tot], pa.int64())})
 
     return (ev.map_batches(prep, batch_format="pyarrow")
             .groupby("user_id").map_groups(twap, batch_format="pandas")
@@ -14293,14 +14275,16 @@ def orders_prefix_dominance(sf_dir: str):
                          pa.int64()),
             "cents": _cents(t["o_totalprice"])})
 
-    def inv(g: pd.DataFrame) -> pd.DataFrame:
+    def inv(g: pd.DataFrame) -> pa.Table:
         order = np.lexsort((g["okey"].to_numpy(np.int64),
                             g["d"].to_numpy(np.int64)))
         c = g["cents"].to_numpy(np.int64)[order]
         n_inv = int(np.sum(np.triu(c[:, None] > c[None, :], k=1)))
-        return pd.DataFrame({"o_custkey": [int(g["o_custkey"].iloc[0])],
-                             "n_orders": [len(c)],
-                             "n_inversions": [n_inv]})
+        return pa.table({
+            "o_custkey": pa.array([int(g["o_custkey"].iloc[0])],
+                                  pa.int64()),
+            "n_orders": pa.array([len(c)], pa.int64()),
+            "n_inversions": pa.array([n_inv], pa.int64())})
 
     return (orders.map_batches(prep, batch_format="pyarrow")
             .groupby("o_custkey").map_groups(inv, batch_format="pandas")
@@ -14357,8 +14341,9 @@ def events_ab_precedence(sf_dir: str):
                            indexing="ij")
         keep = (i.ravel() != j.ravel()) & \
             (mn[i.ravel()] < mx[j.ravel()])
-        return pd.DataFrame({"type_a": ty[i.ravel()[keep]],
-                             "type_b": ty[j.ravel()[keep]]})
+        return pa.table({
+            "type_a": pa.array(ty[i.ravel()[keep]], pa.string()),
+            "type_b": pa.array(ty[j.ravel()[keep]], pa.string())})
 
     return (spans.groupby("user_id")
             .map_groups(cross, batch_format="pandas")
@@ -14410,10 +14395,7 @@ def lineitem_weighted_median(sf_dir: str):
     # sort-groupby that walked ~60k one-row groups (5.8 s → ~1 s at
     # sf0.01, the _part_cooccur_counts pathology)
     def fc_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"a": t["flag"].to_pandas(),
-                          "b": t["cents"].to_pandas()}), index=False) % 16
-        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["flag", "cents"], 16, "_p")
 
     def fc_sum(g: pd.DataFrame) -> pa.Table:
         vc = (g.groupby(["flag", "cents"], sort=False)["q"].sum()
@@ -14427,15 +14409,16 @@ def lineitem_weighted_median(sf_dir: str):
             .map_batches(fc_bucket, batch_format="pyarrow")
             .groupby("_p").map_groups(fc_sum, batch_format="pandas"))
 
-    def wmedian(g: pd.DataFrame) -> pd.DataFrame:
+    def wmedian(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("cents")
         cum = g["q"].to_numpy(np.int64).cumsum()
         tot = int(cum[-1])
         idx = int(np.searchsorted(2 * cum, tot, side="left"))
-        return pd.DataFrame({
-            "flag": [g["flag"].iloc[0]],
-            "wmedian_cents": [int(g["cents"].iloc[idx])],
-            "total_qty": [tot]})
+        return pa.table({
+            "flag": pa.array([g["flag"].iloc[0]], pa.string()),
+            "wmedian_cents": pa.array([int(g["cents"].iloc[idx])],
+                                      pa.int64()),
+            "total_qty": pa.array([tot], pa.int64())})
 
     return (dist.groupby("flag").map_groups(wmedian, batch_format="pandas")
             .sort("flag"))
@@ -14491,13 +14474,11 @@ def part_item_cosine(sf_dir: str, min_co: int = 3):
     # exactly within each hash partition
     op = li.map_batches(dedup, batch_format="pyarrow")
 
-    _empty_pairs = pd.DataFrame(
-        {"part_a": pd.Series([], dtype=np.int64),
-         "part_b": pd.Series([], dtype=np.int64),
-         "n_co": pd.Series([], dtype=np.int64),
-         "bucket": pd.Series([], dtype=np.int64)})
+    _pairs_schema = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64()),
+         ("n_co", pa.int64()), ("bucket", pa.int64())])
 
-    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_part(part: pd.DataFrame) -> pa.Table:
         part = part.drop_duplicates(["o", "p"])
         oa, ob = [], []
         for _, g in part.groupby("o", sort=False):
@@ -14508,7 +14489,7 @@ def part_item_cosine(sf_dir: str, min_co: int = 3):
             oa.append(ids[x])
             ob.append(ids[y])
         if not oa:
-            return _empty_pairs
+            return _pairs_schema.empty_table()
         # partial pair counts within this order-bucket (vectorized);
         # exact across buckets after the bucket-sum pass below
         cnt = (pd.DataFrame({"part_a": np.concatenate(oa),
@@ -14516,29 +14497,34 @@ def part_item_cosine(sf_dir: str, min_co: int = 3):
                .groupby(["part_a", "part_b"], sort=False)
                .size().rename("n_co").reset_index())
         cnt["bucket"] = (cnt["part_a"] * 1_000_003 + cnt["part_b"]) % nparts
-        return cnt
+        return pa.Table.from_pandas(cnt, preserve_index=False) \
+            .cast(_pairs_schema)
 
-    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
         tot = (g.groupby(["part_a", "part_b"], sort=False)["n_co"]
                .sum().reset_index())
-        return tot[tot["n_co"] >= min_co]
+        tot = tot[tot["n_co"] >= min_co]
+        return pa.table({
+            "part_a": pa.array(tot["part_a"].to_numpy(np.int64)),
+            "part_b": pa.array(tot["part_b"].to_numpy(np.int64)),
+            "n_co": pa.array(tot["n_co"].to_numpy(np.int64))})
 
     co = (op.groupby("part").map_groups(pairs_in_part,
                                         batch_format="pandas")
           .groupby("bucket").map_groups(sum_bucket, batch_format="pandas")
           .select_columns(["part_a", "part_b", "n_co"]))
 
-    def parts_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def parts_in_bucket(g: pd.DataFrame) -> pa.Table:
         vc = g.drop_duplicates(["o", "p"])["p"].value_counts()
-        out = pd.DataFrame({"p": vc.index.to_numpy(np.int64),
-                            "n_part": vc.to_numpy(np.int64)})
-        out["bucket"] = out["p"] % nparts
-        return out
+        p = vc.index.to_numpy(np.int64)
+        return pa.table({"p": pa.array(p),
+                         "n_part": pa.array(vc.to_numpy(np.int64)),
+                         "bucket": pa.array(p % nparts)})
 
-    def sum_parts(g: pd.DataFrame) -> pd.DataFrame:
-        tot = (g.groupby("p", sort=False)["n_part"].sum()
-               .rename("n").reset_index())
-        return tot
+    def sum_parts(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("p", sort=False)["n_part"].sum()
+        return pa.table({"p": pa.array(tot.index.to_numpy(np.int64)),
+                         "n": pa.array(tot.to_numpy(np.int64))})
 
     # per-part DISTINCT-basket counts, exact: an (o, p) pair lives in
     # exactly one order-bucket, so the in-bucket dedup is global; the
@@ -14727,9 +14713,11 @@ def part_fuzzy_name_pairs(sf_dir: str, max_d: int = 2):
                 np.array([stable_hash64(s) % nparts for s in names],
                          np.int64))})
 
-    def sum_names(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby("name", sort=False)["n_rows"].sum()
-                .reset_index())
+    def sum_names(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("name", sort=False)["n_rows"].sum()
+        return pa.table({
+            "name": pa.array(tot.index.to_numpy(object), pa.string()),
+            "n_rows": pa.array(tot.to_numpy(np.int64))})
 
     names = (part.map_batches(name_counts, batch_format="pyarrow")
              .groupby("bucket").map_groups(sum_names,
@@ -14759,7 +14747,7 @@ def part_fuzzy_name_pairs(sf_dir: str, max_d: int = 2):
                          "key": pa.array(keys),
                          "kb": pa.array(keys % nparts)})
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+    def candidates(g: pd.DataFrame) -> pa.Table:
         pa_, pb_ = [], []
         for _, kg in g.groupby("key", sort=False):
             nm = np.sort(kg["name"].unique())
@@ -14769,16 +14757,18 @@ def part_fuzzy_name_pairs(sf_dir: str, max_d: int = 2):
             pa_.append(nm[x])
             pb_.append(nm[y])
         if not pa_:
-            return pd.DataFrame({
-                "name_a": pd.Series([], dtype=object),
-                "name_b": pd.Series([], dtype=object),
-                "pb": pd.Series([], dtype=np.int64)})
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string()),
+                             "pb": pa.array([], pa.int64())})
         cand = (pd.DataFrame({"name_a": np.concatenate(pa_),
                               "name_b": np.concatenate(pb_)})
                 .drop_duplicates())
         cand["pb"] = [(stable_hash64(a + "\x00" + b)) % nparts
                       for a, b in zip(cand["name_a"], cand["name_b"])]
-        return cand
+        return pa.table({
+            "name_a": pa.array(cand["name_a"], pa.string()),
+            "name_b": pa.array(cand["name_b"], pa.string()),
+            "pb": pa.array(cand["pb"].to_numpy(np.int64))})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["name_a", "name_b"])
@@ -16087,11 +16077,7 @@ def events_user_scc(sf_dir: str):
     # because the raw triple stream is ~3× the distinct set and the
     # make_edges shuffle pays for every duplicate row.
     def _thu_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.DataFrame({"a": t["t"].to_pandas(),
-                          "b": t["h"].to_pandas(),
-                          "c": t["user"].to_pandas()}), index=False) % 16
-        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["t", "h", "user"], 16, "_p")
 
     def _thu_distinct(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["t", "h", "user"])
@@ -18200,9 +18186,7 @@ def events_scd2_asof(sf_dir: str):
                                                 pa.string())})
 
     def bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(t["user_id"].to_pandas()), index=False) % 16
-        return t.append_column("_p", pa.array(h.to_numpy(), pa.int64()))
+        return add_bucket(t, ["user_id"], 16, "_p")
 
     return (ev.map_batches(latest_partial, batch_format="pyarrow")
             .map_batches(bucket, batch_format="pyarrow")
