@@ -5708,16 +5708,18 @@ def q16_supplier_counts(sf_dir: str):
             "p_type": pa.array(vc["p_type"], pa.string()),
             "n_part": pa.array(vc["n_part"].to_numpy(np.int64))})
 
+    # top-k stays in the distributed plan (r4 VERDICT #8): a
+    # distributed sort + limit over the dim-bounded aggregate — only
+    # the 20 winners ever reach the driver
     out = (attached.map_batches(tri_bucket, batch_format="pyarrow")
            .groupby("_p").map_groups(tri_count, batch_format="pandas")
            .groupby(["p_brand", "p_type"])
            .aggregate(Sum("n_part", alias_name="supplier_cnt"))
-           .to_pandas()
-           .sort_values(["supplier_cnt", "p_brand", "p_type"],
-                        ascending=[False, True, True])
-           .head(20).reset_index(drop=True))
+           .sort(["supplier_cnt", "p_brand", "p_type"],
+                 descending=[True, False, False])
+           .limit(20).to_pandas())
     out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
-    return out
+    return out[["p_brand", "p_type", "supplier_cnt"]]
 
 
 _Q16_SQL = """
@@ -5820,14 +5822,14 @@ def q21_sole_late_supplier(sf_dir: str):
             "s_suppkey": pa.array(c.index.to_numpy(), pa.int64()),
             "n_orders": pa.array(c.to_numpy(), pa.int64())})
 
+    # distributed sort + limit (r4 VERDICT #8): only 10 rows land on
+    # the driver
     out = (pair.map_batches(tag, batch_format="pyarrow")
            .groupby("_opart").map_groups(per_order, batch_format="pandas")
            .groupby("s_suppkey")
            .aggregate(Sum("n_orders", alias_name="n_orders"))
-           .to_pandas()
-           .sort_values(["n_orders", "s_suppkey"],
-                        ascending=[False, True])
-           .head(10).reset_index(drop=True))
+           .sort(["n_orders", "s_suppkey"], descending=[True, False])
+           .limit(10).to_pandas())
     out = out.astype({"s_suppkey": "int64", "n_orders": "int64"})
     return out
 
