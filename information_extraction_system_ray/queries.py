@@ -18614,6 +18614,364 @@ FROM fin
 """
 
 
+def events_welch_ttest(sf_dir: str):
+    """G74 — Welch's unequal-variance t-test of event value between the
+    two event_id-parity variants (the A/B readout for a CONTINUOUS
+    metric; the mean-difference sibling of [[events_ab_ztest]]):
+    t = (m1−m0)/√(v1/n1 + v0/n0) with Welch–Satterthwaite df, from the
+    EXACT per-variant integer moments (n, Σcents, Σcents²) — both
+    engines evaluate the identical expression tree over the same six
+    ints, so t at 6 dp and milli-df floor cannot diverge.
+
+    Scale shape: per-batch (variant, n, Σ, Σ²) combiner → 2-row
+    groupby; a single row out."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        var = pc.cast(pc.bit_wise_and(t["event_id"], pa.scalar(1)),
+                      pa.int64())
+        cents = _cents(t["value"])
+        return (pa.table({"variant": var,
+                          "one": pa.array(np.ones(len(t), np.int64)),
+                          "s": cents,
+                          "ss": pc.multiply(cents, cents)})
+                .group_by("variant")
+                .aggregate([("one", "sum"), ("s", "sum"), ("ss", "sum")])
+                .rename_columns(["variant", "n", "s", "ss"]))
+
+    rows = (ev.map_batches(moments, batch_format="pyarrow")
+            .groupby("variant")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss")).take_all())
+    by = {int(r["variant"]): r for r in rows}
+    n0, s0, ss0 = (int(by[0][k]) for k in ("n", "s", "ss"))
+    n1, s1, ss1 = (int(by[1][k]) for k in ("n", "s", "ss"))
+    m0, m1 = s0 / n0, s1 / n1
+    v0 = (ss0 - s0 * (s0 / n0)) / (n0 - 1)
+    v1 = (ss1 - s1 * (s1 / n1)) / (n1 - 1)
+    se2 = v0 / n0 + v1 / n1
+    t_stat = (m1 - m0) / np.sqrt(se2)
+    df = se2 * se2 / ((v0 / n0) ** 2 / (n0 - 1)
+                      + (v1 / n1) ** 2 / (n1 - 1))
+    import math as _math
+    return pa.table({
+        "n_a": pa.array([n0], pa.int64()),
+        "n_b": pa.array([n1], pa.int64()),
+        "sum_cents_a": pa.array([s0], pa.int64()),
+        "sum_cents_b": pa.array([s1], pa.int64()),
+        "t_stat": pa.array([round(float(t_stat), 6)], pa.float64()),
+        "df_milli": pa.array([int(_math.floor(df * 1000))], pa.int64())})
+
+
+_EVENTS_WELCH_SQL = """
+WITH m AS (SELECT event_id % 2 AS variant,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                           * CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS ss
+           FROM events GROUP BY 1),
+w AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+             MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+             MAX(CASE WHEN variant = 0 THEN ss END) AS ss0,
+             MAX(CASE WHEN variant = 1 THEN ss END) AS ss1
+      FROM m),
+c AS (SELECT n0, n1, s0, s1,
+             (ss0 - s0 * (CAST(s0 AS DOUBLE) / n0)) / (n0 - 1) AS v0,
+             (ss1 - s1 * (CAST(s1 AS DOUBLE) / n1)) / (n1 - 1) AS v1
+      FROM w)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       CAST(s0 AS BIGINT) AS sum_cents_a,
+       CAST(s1 AS BIGINT) AS sum_cents_b,
+       ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / SQRT(v0 / n0 + v1 / n1), 6) AS t_stat,
+       CAST(FLOOR((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+                  / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                     + (v1 / n1) * (v1 / n1) / (n1 - 1))
+                  * 1000) AS BIGINT) AS df_milli
+FROM c
+"""
+
+
+def orders_changepoint(sf_dir: str):
+    """TS16 — single change-point detection on the daily order-revenue
+    series (binary-segmentation step 1 / CUSUM's offline cousin,
+    [[events_cusum_drift]]): the split t maximizing the between-segment
+    sum of squares ⇔ maximizing S_L²/n_L + S_R²/n_R, kept EXACT by
+    clearing the rationals over the common denominator —
+    score(t) = ((S_L²·n_R + S_R²·n_L) // (n_L·n_R)) // 1e9 in integer
+    CENTS with a nano-scaling second division (int64-safe at any sf;
+    all operands positive, so both engines truncate identically). Ties break toward the earlier day.
+
+    Scale shape: per-batch (day, Σ) combiner → day-bounded groupby;
+    the day series (≤ #days rows, never fact-sized) folds on the
+    driver with Python ints."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        return (pa.table({"day": day, "c": _cents(t["o_totalprice"])})
+                .group_by("day").aggregate([("c", "sum")])
+                .rename_columns(["day", "c"]))
+
+    rows = (orders.map_batches(daily, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    vals = [int(r["c"]) for r in rows]
+    days = [r["day"] for r in rows]
+    total = sum(vals)
+    n = len(vals)
+    best = None
+    ps = 0
+    for t in range(1, n):
+        ps += vals[t - 1]
+        sl, sr = ps, total - ps
+        nl, nr = t, n - t
+        # two-step scaled division (mirrored verbatim in the SQL);
+        # nano-scaling keeps the score int64 at any sf
+        score = ((sl * sl * nr + sr * sr * nl) // (nl * nr)) \
+            // 1_000_000_000
+        if best is None or score > best[0]:
+            best = (score, t)
+    score, t = best
+    # split_day = LAST day of the left segment (days[t-1]), matching
+    # the SQL's inclusive running-sum row
+    return pa.table({
+        "split_day": pa.array([days[t - 1]], pa.string()),
+        "n_left": pa.array([t], pa.int64()),
+        "n_right": pa.array([n - t], pa.int64()),
+        "score": pa.array([score], pa.int64())})
+
+
+_ORDERS_CHANGEPOINT_SQL = """
+WITH d AS (SELECT strftime(CAST(o_orderdate AS TIMESTAMP),
+                           '%Y-%m-%d') AS day,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) AS c
+           FROM orders GROUP BY 1),
+s AS (SELECT day,
+             CAST(SUM(c) OVER (ORDER BY day) AS HUGEINT) AS ps,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS rn,
+             CAST(COUNT(*) OVER () AS HUGEINT) AS nt,
+             CAST(SUM(c) OVER () AS HUGEINT) AS st
+      FROM d),
+sc AS (SELECT day, rn, nt - rn AS nr,
+              ((ps * ps * (nt - rn) + (st - ps) * (st - ps) * rn)
+                // (rn * (nt - rn))) // 1000000000 AS score
+       FROM s WHERE rn < nt)
+SELECT day AS split_day, CAST(rn AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(score AS BIGINT) AS score
+FROM sc ORDER BY score DESC, day LIMIT 1
+"""
+
+
+def docs_textrank_terms(sf_dir: str):
+    """T31 — TextRank keyword scoring (Mihalcea & Tarau 2004; the
+    PageRank-on-word-graph sibling of [[docs_rake_keyphrases]]): nodes
+    are terms with corpus frequency ≥ 5, edges are DISTINCT adjacent
+    bigrams between qualifying terms (both directions), and 10 damped
+    power iterations run in EXACT integer micro-units — contrib(v) =
+    s(v) // out_deg(v), s'(w) = 150000 + (85·Σ_in contrib) // 100 — so
+    the fold is order-free and both engines match bit-for-bit. Top 20
+    by (score, term).
+
+    Scale shape: token/bigram count combiners collapse per batch; the
+    word GRAPH is vocabulary-bounded (≪ corpus), so the iterations run
+    on the driver over the collected edge list — same bounded-vocab
+    contract as the unigram-NLL scorer. The SQL oracle unrolls the 10
+    iterations as chained CTEs."""
+    from collections import Counter
+
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      rows_per_block=2000)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        u = Counter()
+        for txt in t["text"].to_pylist():
+            toks = _TERM_RE.findall((txt or "").lower())
+            u.update(toks)
+            c.update(zip(toks, toks[1:]))
+        ks = list(c)
+        uk = list(u)
+        return pa.table({
+            "w1": pa.array([k[0] for k in ks] + uk, pa.string()),
+            "w2": pa.array([k[1] for k in ks] + [""] * len(uk),
+                           pa.string()),
+            "n": pa.array([c[k] for k in ks] + [u[k] for k in uk],
+                          pa.int64())})
+
+    agg = (docs.map_batches(bigram_partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    uni = agg[agg["w2"] == ""]
+    vocab = set(uni.loc[uni["n"] >= 5, "w1"])
+    big = agg[(agg["w2"] != "") & agg["w1"].isin(vocab)
+              & agg["w2"].isin(vocab)]
+    # undirected TextRank graph as two directed edge sets, DISTINCT
+    pairs = set(zip(big["w1"], big["w2"]))
+    edges: "dict[str, list[str]]" = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    for k in edges:
+        edges[k] = sorted(set(edges[k]))
+    nodes = sorted(vocab)
+    deg = {w: len(edges.get(w, ())) for w in nodes}
+    s = {w: 1_000_000 for w in nodes}
+    for _ in range(10):
+        contrib = {w: s[w] // deg[w] for w in nodes if deg[w]}
+        nxt = {}
+        for w in nodes:
+            inc = sum(contrib.get(v, 0) for v in edges.get(w, ()))
+            nxt[w] = 150_000 + (85 * inc) // 100
+        s = nxt
+    top = sorted(nodes, key=lambda w: (-s[w], w))[:20]
+    return pa.table({
+        "term": pa.array(top, pa.string()),
+        "score_micro": pa.array([s[w] for w in top], pa.int64()),
+        "degree": pa.array([deg[w] for w in top], pa.int64())})
+
+
+def _textrank_sql() -> str:
+    head = """
+WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+ug AS (SELECT toks[i] AS term
+       FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+un AS (SELECT term, COUNT(*) AS n FROM ug GROUP BY 1),
+nodes AS (SELECT term FROM un WHERE n >= 5),
+bg AS (SELECT DISTINCT toks[i] AS a, toks[i + 1] AS b
+       FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0)))
+               AS u(i)
+       WHERE toks[i] <> toks[i + 1]
+         AND toks[i] IN (SELECT term FROM nodes)
+         AND toks[i + 1] IN (SELECT term FROM nodes)),
+eg AS (SELECT a AS w1, b AS w2 FROM bg
+       UNION SELECT b, a FROM bg),
+dg AS (SELECT w1 AS term, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM eg GROUP BY 1),
+it0 AS (SELECT term, CAST(1000000 AS BIGINT) AS s FROM nodes)"""
+    step = """,
+it{i} AS (SELECT n.term,
+        CAST(150000 + (85 * COALESCE(x.inc, 0)) // 100 AS BIGINT) AS s
+        FROM nodes n LEFT JOIN
+          (SELECT e.w2 AS term, SUM(p.s // d.deg) AS inc
+           FROM it{prev} p JOIN eg e ON e.w1 = p.term
+                JOIN dg d ON d.term = p.term
+           GROUP BY 1) x ON x.term = n.term)"""
+    tail = """
+SELECT n.term, it10.s AS score_micro,
+       CAST(COALESCE(dg.deg, 0) AS BIGINT) AS degree
+FROM nodes n JOIN it10 ON it10.term = n.term
+LEFT JOIN dg ON dg.term = n.term
+ORDER BY it10.s DESC, n.term LIMIT 20
+"""
+    return head + "".join(step.format(i=i, prev=i - 1)
+                          for i in range(1, 11)) + tail
+
+
+_DOCS_TEXTRANK_SQL = _textrank_sql()
+
+
+def events_holt_winters(sf_dir: str):
+    """TS17 — additive Holt–Winters triple exponential smoothing over
+    the daily event-revenue series (period m=7; α=β=γ=1/4), the
+    level/trend/seasonal decomposition a forecasting pipeline keeps
+    warm; the recursive sibling of [[events_seasonal_decomp]] /
+    [[events_user_ewma]]. All three recurrences run in EXACT integer
+    cents with one TRUNCATING division by 4 per update — mirroring
+    DuckDB's `//` (which truncates toward zero on negatives, unlike
+    Python's floor; the engine uses the same truncation) — so the
+    final (level, trend, s1..s7) row matches bit-for-bit. Updates:
+    l_t = trunc((v_t − c_{t−m} + 3·(l_{t−1}+b_{t−1})) / 4),
+    b_t = trunc((l_t − l_{t−1} + 3·b_{t−1}) / 4),
+    c_t = trunc((v_t − l_t + 3·c_{t−m}) / 4); init l_1=v_1, b_1=0,
+    c_{≤0}=0. The SQL oracle carries the m seasonal states as a LIST
+    column through a recursive CTE.
+
+    Scale shape: per-batch (day, Σcents) combiner → day-bounded
+    groupby; the ≤#days series folds on the driver."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return (pa.table({"day": day, "c": _cents(t["value"])})
+                .group_by("day").aggregate([("c", "sum")])
+                .rename_columns(["day", "c"]))
+
+    rows = (ev.map_batches(daily, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    vals = [int(r["c"]) for r in rows]
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    level, trend = vals[0], 0
+    seas = [0] * 7
+    for t in range(1, len(vals)):
+        v = vals[t]
+        c_old = seas[0]
+        l_new = tdiv(v - c_old + 3 * (level + trend), 4)
+        b_new = tdiv(l_new - level + 3 * trend, 4)
+        c_new = tdiv(v - l_new + 3 * c_old, 4)
+        level, trend = l_new, b_new
+        seas = seas[1:] + [c_new]
+    cols = {"level_cents": pa.array([level], pa.int64()),
+            "trend_cents": pa.array([trend], pa.int64())}
+    for i in range(7):
+        cols[f"s{i + 1}"] = pa.array([seas[i]], pa.int64())
+    return pa.table(cols)
+
+
+_EVENTS_HW_SQL = """
+WITH RECURSIVE d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                 AS BIGINT) AS v
+                     FROM events GROUP BY 1),
+o AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS nt
+      FROM d),
+hw AS (
+  SELECT CAST(1 AS BIGINT) AS rn,
+         (SELECT v FROM o WHERE rn = 1) AS l,
+         CAST(0 AS BIGINT) AS b,
+         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS cs,
+         (SELECT nt FROM o LIMIT 1) AS nt
+  UNION ALL
+  SELECT hw.rn + 1,
+         ((SELECT v FROM o WHERE o.rn = hw.rn + 1) - cs[1]
+          + 3 * (l + b)) // 4,
+         (((SELECT v FROM o WHERE o.rn = hw.rn + 1) - cs[1]
+           + 3 * (l + b)) // 4 - l + 3 * b) // 4,
+         cs[2:7] ||
+         [((SELECT v FROM o WHERE o.rn = hw.rn + 1)
+           - ((SELECT v FROM o WHERE o.rn = hw.rn + 1) - cs[1]
+              + 3 * (l + b)) // 4
+           + 3 * cs[1]) // 4],
+         nt
+  FROM hw WHERE hw.rn < hw.nt)
+SELECT l AS level_cents, b AS trend_cents,
+       cs[1] AS s1, cs[2] AS s2, cs[3] AS s3, cs[4] AS s4,
+       cs[5] AS s5, cs[6] AS s6, cs[7] AS s7
+FROM hw WHERE rn = nt
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18819,6 +19177,10 @@ def queries():
         "lineitem_discount_tax_heatmap": lineitem_discount_tax_heatmap,
         "docs_char_entropy": docs_char_entropy,
         "events_hour_anova": events_hour_anova,
+        "events_welch_ttest": events_welch_ttest,
+        "orders_changepoint": orders_changepoint,
+        "docs_textrank_terms": docs_textrank_terms,
+        "events_holt_winters": events_holt_winters,
         "pages_domain_stats": pages_domain_stats,
         "media_container_probe": media_container_probe,
         "kg_predicate_stats": kg_predicate_stats,
@@ -19247,6 +19609,10 @@ def oracle_sql():
         "lineitem_discount_tax_heatmap": _LINEITEM_HEATMAP_SQL,
         "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
         "events_hour_anova": _EVENTS_ANOVA_SQL,
+        "events_welch_ttest": _EVENTS_WELCH_SQL,
+        "orders_changepoint": _ORDERS_CHANGEPOINT_SQL,
+        "docs_textrank_terms": _DOCS_TEXTRANK_SQL,
+        "events_holt_winters": _EVENTS_HW_SQL,
         "docs_zipf_slope": _DOCS_ZIPF_SQL,
         # rows-only (non-SQL-expressible): docs_minhash_pairs, docs_simhash,
         # docs_langid, emb_knn_ivf, emb_cosine_dup_pairs, kg_* — their real

@@ -949,7 +949,18 @@ def probe_mp3(data: bytes) -> dict:
     samplerate/padding), steps frame-by-frame using the REAL frame-size
     formula (144·bitrate/samplerate + padding) and accounts frames,
     bytes and duration (1152 samples per frame). Raises on non-MP3
-    input; sample decode stays library-blocked."""
+    input.
+
+    Sample decode is PERMANENTLY out of scope in this sandbox (closing
+    the last r4 partial row honestly): Layer III entropy decode needs
+    the ISO/IEC 11172-3 Huffman code tables, which are normative
+    out-of-band constants — unlike JPEG, whose Huffman tables ride in
+    the stream's own DHT segments (which is exactly why the T.81
+    baseline decoder in this module could be written from scratch and
+    golden-tested). Without the spec tables a "decoder" could only be
+    validated against an encoder sharing the same invented tables —
+    self-consistent but wrong on any real MP3 — so the container/
+    header layer stays the honest boundary here."""
     pos = 0
     if data[:3] == b"ID3":                    # ID3v2: syncsafe size
         sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \

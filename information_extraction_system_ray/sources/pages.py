@@ -57,8 +57,14 @@ def synth_pages(n: int, seed: int = SEED, *,
     # ~2000 pages per block: enough blocks for full-width parallelism at
     # bench scale, but not so many that every downstream coalescing
     # repartition pays a 400-wide barrier (profiled: the graph phase's
-    # repartitions were block-count-bound, not data-bound)
+    # repartitions were block-count-bound, not data-bound). Past 64
+    # blocks, round DOWN to a multiple of 32 so the annotate actor-pool
+    # waves pack exactly (r4 VERDICT #6: the 200-block tail wave ran 8
+    # of 32 actors busy; 192 = 6 full waves measured ~3% faster and
+    # flat across repeats)
     blocks = override_num_blocks or max(8, min(400, n // 2000 or 1))
+    if override_num_blocks is None and blocks >= 64:
+        blocks -= blocks % 32
     return ray.data.range(n, override_num_blocks=blocks).map_batches(
         _gen_batch, fn_kwargs={"seed": seed, "n_entities": n_entities},
         batch_format="pyarrow", batch_size=256,
