@@ -18972,6 +18972,314 @@ FROM hw WHERE rn = nt
 """
 
 
+def events_levene_bf(sf_dir: str):
+    """G75 — Brown–Forsythe test (Levene with group medians) for equal
+    spread of event value across event types — the robust
+    variance-homogeneity gate run before trusting [[events_hour_anova]]:
+    F over absolute deviations from each group's lower median
+    (quantile_disc semantics), all moments exact integers, rationals
+    cleared by quotient+remainder exactly as in the ANOVA (residual
+    float fold bounded by ~1e-13 absolute).
+
+    Scale shape: pass 1 = per-type lower median (type-bounded groupby);
+    medians broadcast as a dict; pass 2 = per-batch (type, n, Σd, Σd²)
+    combiner; one row out."""
+    import math as _math
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "v": _cents(t["value"])})
+
+    cv = ev.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def med_part(g: pd.DataFrame) -> pa.Table:
+        rows_t, rows_m = [], []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp["v"].to_numpy(np.int64))
+            rows_t.append(et)
+            rows_m.append(int(v[max(1, _math.ceil(0.5 * len(v))) - 1]))
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "m": pa.array(rows_m, pa.int64())})
+
+    med_rows = (cv.map_batches(
+        lambda t: add_bucket(t, ["event_type"], 8, "_p"),
+        batch_format="pyarrow")
+        .groupby("_p").map_groups(med_part, batch_format="pandas")
+        .take_all())
+    med_ref = ray.put({r["event_type"]: int(r["m"]) for r in med_rows})
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        med = pa.array([m[e] for e in t["event_type"].to_pylist()],
+                       pa.int64())
+        d = pc.abs(pc.subtract(t["v"], med))
+        return (pa.table({"event_type": t["event_type"],
+                          "one": pa.array(np.ones(len(t), np.int64)),
+                          "s": d, "ss": pc.multiply(d, d)})
+                .group_by("event_type")
+                .aggregate([("one", "sum"), ("s", "sum"), ("ss", "sum")])
+                .rename_columns(["event_type", "n", "s", "ss"]))
+
+    rows = (cv.map_batches(moments, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss")).take_all())
+    rows.sort(key=lambda r: r["event_type"])
+    n_tot = sum(int(r["n"]) for r in rows)
+    s_tot = sum(int(r["s"]) for r in rows)
+    ss_tot = sum(int(r["ss"]) for r in rows)
+    k = len(rows)
+    q_grand, r_grand = divmod(s_tot * s_tot, n_tot)
+    qsum = sum(int(r["s"]) * int(r["s"]) // int(r["n"]) for r in rows)
+    rsum = 0.0
+    for r in rows:                          # sorted type order
+        rsum += (int(r["s"]) * int(r["s"]) % int(r["n"])) / int(r["n"])
+    ssb = float(qsum - q_grand) + (rsum - r_grand / n_tot)
+    sst = float(ss_tot - q_grand) - r_grand / n_tot
+    f = round((ssb / (k - 1)) / ((sst - ssb) / (n_tot - k)), 4)
+    return pa.table({
+        "n_events": pa.array([n_tot], pa.int64()),
+        "k_groups": pa.array([k], pa.int64()),
+        "f_stat": pa.array([f], pa.float64())})
+
+
+_EVENTS_LEVENE_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events),
+med AS (SELECT event_type, quantile_disc(v, 0.5) AS m
+        FROM c GROUP BY 1),
+d AS (SELECT c.event_type, ABS(c.v - med.m) AS dv
+      FROM c JOIN med USING (event_type)),
+m2 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dv) AS HUGEINT) AS s,
+              CAST(SUM(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS ss
+       FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS HUGEINT) AS st,
+               CAST(SUM(ss) AS HUGEINT) AS sst_raw,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM m2),
+parts AS (SELECT CAST(SUM(s * s // n) AS HUGEINT) AS qsum,
+                 SUM(CAST(s * s % n AS DOUBLE) / n) AS rsum
+          FROM m2),
+fin AS (SELECT tot.nt, tot.k,
+               CAST(parts.qsum - (tot.st * tot.st // tot.nt) AS DOUBLE)
+                 + (parts.rsum
+                    - CAST(tot.st * tot.st % tot.nt AS DOUBLE) / tot.nt)
+                 AS ssb,
+               CAST(tot.sst_raw - (tot.st * tot.st // tot.nt) AS DOUBLE)
+                 - CAST(tot.st * tot.st % tot.nt AS DOUBLE) / tot.nt
+                 AS sst
+        FROM tot, parts)
+SELECT nt AS n_events, k AS k_groups,
+       ROUND((ssb / (k - 1)) / ((sst - ssb) / (nt - k)), 4) AS f_stat
+FROM fin
+"""
+
+
+def orders_mann_kendall(sf_dir: str):
+    """TS18 — Mann–Kendall monotone-trend test on the daily
+    order-revenue series (the nonparametric sibling of
+    [[orders_theil_sen]]): S = Σ_{i<j} sign(v_j − v_i), tie-corrected
+    Var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) as EXACT integers, z
+    from the identical continuity-corrected expression in both engines
+    (6 dp).
+
+    Scale shape: per-batch (day, Σcents) combiner → day-bounded
+    groupby; the ≤#days series folds on the driver (vectorized sign
+    matrix)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        return (pa.table({"day": day, "c": _cents(t["o_totalprice"])})
+                .group_by("day").aggregate([("c", "sum")])
+                .rename_columns(["day", "c"]))
+
+    rows = (orders.map_batches(daily, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    v = np.array([int(r["c"]) for r in rows], np.int64)
+    n = len(v)
+    sgn = np.sign(v[None, :] - v[:, None])
+    s_stat = int(np.triu(sgn, k=1).sum())
+    _vals, counts = np.unique(v, return_counts=True)
+    tie_term = int(sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                       for t in counts if t > 1))
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    if s_stat > 0:
+        z = (s_stat - 1) / np.sqrt(var18 / 18.0)
+    elif s_stat < 0:
+        z = (s_stat + 1) / np.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "s_stat": pa.array([s_stat], pa.int64()),
+        "var18": pa.array([var18], pa.int64()),
+        "z": pa.array([round(float(z), 6)], pa.float64())})
+
+
+_ORDERS_MK_SQL = """
+WITH d AS (SELECT strftime(CAST(o_orderdate AS TIMESTAMP),
+                           '%Y-%m-%d') AS day,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+st AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                            WHEN b.v < a.v THEN -1 ELSE 0 END)
+               AS BIGINT) AS s
+       FROM d a JOIN d b ON a.day < b.day),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+ties AS (SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5))
+                              AS BIGINT), 0) AS tt
+         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+               FROM d GROUP BY v HAVING COUNT(*) > 1)),
+fin AS (SELECT nn.n, st.s,
+               nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt AS var18
+        FROM nn, st, ties)
+SELECT n AS n_days, s AS s_stat, var18,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var18 / 18.0)
+                  WHEN s < 0 THEN (s + 1) / SQRT(var18 / 18.0)
+                  ELSE 0.0 END, 6) AS z
+FROM fin
+"""
+
+
+def docs_wordcount_auc(sf_dir: str):
+    """LLM20 — ranking AUC of the word-count score against the
+    length≥300 weak label (the threshold-free metric for quality
+    models like [[docs_quality_logreg]]): AUC via the midrank /
+    rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻), kept EXACT in
+    integers — 2·midrank = 2·rank_min + (ties−1), and the final value
+    reported as auc_ppm = (R2⁺ − n⁺·(n⁺+1)) · 10⁶ // (2·n⁺·n⁻) in
+    HUGEINT. Zero float anywhere.
+
+    Scale shape: per-doc (score, label) rows; the rank attach is one
+    bounded-score groupby (scores are small ints) — score counts fold
+    to cumulative min-ranks on the driver (score-cardinality-bounded),
+    then a per-batch Σ2·midrank combiner."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        score = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                        pa.int64())
+        y = pc.cast(pc.greater_equal(pc.utf8_length(t["text"]),
+                                     pa.scalar(300)), pa.int64())
+        return (pa.table({"score": score, "y": y,
+                          "one": pa.array(np.ones(len(t), np.int64))})
+                .group_by(["score", "y"]).aggregate([("one", "sum")])
+                .rename_columns(["score", "y", "n"]))
+
+    rows = (docs.map_batches(feats, batch_format="pyarrow")
+            .groupby(["score", "y"]).aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    agg: "dict[int, list[int]]" = {}
+    for r in rows:
+        a = agg.setdefault(int(r["score"]), [0, 0])
+        a[int(r["y"])] += int(r["n"])
+    n_pos = sum(a[1] for a in agg.values())
+    n_neg = sum(a[0] for a in agg.values())
+    r2_pos = 0
+    rank_min = 1
+    for sc in sorted(agg):
+        cnt = agg[sc][0] + agg[sc][1]
+        r2_mid = 2 * rank_min + (cnt - 1)
+        r2_pos += agg[sc][1] * r2_mid
+        rank_min += cnt
+    auc_ppm = (r2_pos - n_pos * (n_pos + 1)) * 1_000_000 \
+        // (2 * n_pos * n_neg)
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc_ppm": pa.array([auc_ppm], pa.int64())})
+
+
+_DOCS_AUC_SQL = """
+WITH f AS (SELECT CAST(length(regexp_extract_all(text, '\\S+'))
+                       AS BIGINT) AS score,
+                  CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS y
+           FROM documents),
+r AS (SELECT score, y,
+             CAST(RANK() OVER (ORDER BY score) AS HUGEINT) AS rmin,
+             CAST(COUNT(*) OVER (PARTITION BY score) AS HUGEINT) AS cnt
+      FROM f),
+agg AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 2 * rmin + (cnt - 1)
+                             ELSE 0 END) AS HUGEINT) AS r2_pos,
+               CAST(SUM(y) AS HUGEINT) AS n_pos,
+               CAST(SUM(1 - y) AS HUGEINT) AS n_neg
+        FROM r)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+
+def events_mase_naive7(sf_dir: str):
+    """TS19 — MASE forecast backtest of the seasonal-naïve-7 model on
+    the daily event-revenue series (Hyndman & Koehler 2006; the
+    accuracy yardstick for [[events_holt_winters]]): scaled error =
+    MAE(v_t vs v_{t−7}) / MAE(v_t vs v_{t−1}), reported exactly as
+    mase_ppm = ΣAE₇·n₁·10⁶ // (n₇·ΣAE₁) over integer cents.
+
+    Scale shape: day-bounded series on the driver after the (day, Σ)
+    combiner groupby."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return (pa.table({"day": day, "c": _cents(t["value"])})
+                .group_by("day").aggregate([("c", "sum")])
+                .rename_columns(["day", "c"]))
+
+    rows = (ev.map_batches(daily, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    v = [int(r["c"]) for r in rows]
+    n = len(v)
+    sae7 = sum(abs(v[t] - v[t - 7]) for t in range(7, n))
+    sae1 = sum(abs(v[t] - v[t - 1]) for t in range(1, n))
+    n7, n1 = n - 7, n - 1
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "sae7_cents": pa.array([sae7], pa.int64()),
+        "sae1_cents": pa.array([sae1], pa.int64()),
+        "mase_ppm": pa.array([sae7 * n1 * 1_000_000 // (n7 * sae1)],
+                             pa.int64())})
+
+
+_EVENTS_MASE_SQL = """
+WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS v
+           FROM events GROUP BY 1),
+l AS (SELECT v,
+             LAG(v, 1) OVER (ORDER BY day) AS v1,
+             LAG(v, 7) OVER (ORDER BY day) AS v7
+      FROM d),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN v7 IS NOT NULL
+                             THEN ABS(v - v7) END) AS HUGEINT) AS sae7,
+               CAST(SUM(CASE WHEN v1 IS NOT NULL
+                             THEN ABS(v - v1) END) AS HUGEINT) AS sae1
+        FROM l)
+SELECT n AS n_days, CAST(sae7 AS BIGINT) AS sae7_cents,
+       CAST(sae1 AS BIGINT) AS sae1_cents,
+       CAST(sae7 * (n - 1) * 1000000 // ((n - 7) * sae1) AS BIGINT)
+           AS mase_ppm
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19178,6 +19486,10 @@ def queries():
         "docs_char_entropy": docs_char_entropy,
         "events_hour_anova": events_hour_anova,
         "events_welch_ttest": events_welch_ttest,
+        "events_levene_bf": events_levene_bf,
+        "orders_mann_kendall": orders_mann_kendall,
+        "docs_wordcount_auc": docs_wordcount_auc,
+        "events_mase_naive7": events_mase_naive7,
         "orders_changepoint": orders_changepoint,
         "docs_textrank_terms": docs_textrank_terms,
         "events_holt_winters": events_holt_winters,
@@ -19610,6 +19922,10 @@ def oracle_sql():
         "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
         "events_hour_anova": _EVENTS_ANOVA_SQL,
         "events_welch_ttest": _EVENTS_WELCH_SQL,
+        "events_levene_bf": _EVENTS_LEVENE_SQL,
+        "orders_mann_kendall": _ORDERS_MK_SQL,
+        "docs_wordcount_auc": _DOCS_AUC_SQL,
+        "events_mase_naive7": _EVENTS_MASE_SQL,
         "orders_changepoint": _ORDERS_CHANGEPOINT_SQL,
         "docs_textrank_terms": _DOCS_TEXTRANK_SQL,
         "events_holt_winters": _EVENTS_HW_SQL,
