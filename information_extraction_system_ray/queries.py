@@ -19280,6 +19280,122 @@ FROM agg
 """
 
 
+def emb_mmr_select(sf_dir: str):
+    """V12 — Maximal Marginal Relevance diverse top-5 (Carbonell &
+    Goldstein 1998; the diversity-aware selection step a training-data
+    curator runs after [[emb_knn_bruteforce]] retrieval): greedy picks
+    maximizing 0.7·relevance − 0.3·max-similarity-to-selected, with
+    BOTH terms pre-rounded to integer basis points so the greedy
+    argmax compares exact ints in both engines — score_bp =
+    7·rel_bp − 3·max_sim_bp, ties toward the smaller vec_id.
+
+    Scale shape: the candidate cut is the distributed brute-force
+    top-20 scan (float32 kernels, partial top-k per block); only the
+    20 candidate vectors are point-read back and the 5-step greedy
+    runs on the driver over a 20×20 int matrix. The SQL oracle unrolls
+    the 5 selection stages as chained CTEs over
+    list_cosine_similarity."""
+    from .functions.similarity import knn_bruteforce
+    from .sources.tables import fetch_value
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"], rows_per_block=2_000)
+    q = np.array(fetch_value(sf_dir, "embeddings", key_col="vec_id",
+                             key=0, value_col="embedding"), np.float64)
+    cand = knn_bruteforce(
+        ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["vec_id"], pa.scalar(0))),
+            batch_format="pyarrow"),
+        q[None, :], k=20)
+    ids = sorted(int(x) for x in cand["vec_id"])
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", ids)])
+    vid = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in tbl["embedding"].to_pylist()])
+
+    def bp(x: np.ndarray) -> np.ndarray:
+        return (np.sign(x) * np.floor(np.abs(x) * 10000 + 0.5)) \
+            .astype(np.int64)
+
+    nrm = np.linalg.norm(mat, axis=1)
+    rel = bp((mat @ q) / (nrm * np.linalg.norm(q)))
+    sim = bp((mat @ mat.T) / (nrm[:, None] * nrm[None, :]))
+
+    order = np.argsort(vid)                 # deterministic id order
+    vid, rel, sim, mat = vid[order], rel[order], \
+        sim[order][:, order], mat[order]
+    picked: "list[int]" = []
+    out_rows = []
+    remaining = list(range(len(vid)))
+    for pick in range(1, 6):
+        best = None
+        for i in remaining:                 # ascending vec_id = tiebreak
+            msim = max((int(sim[i, j]) for j in picked), default=0)
+            score = 7 * int(rel[i]) - 3 * msim
+            if best is None or score > best[0]:
+                best = (score, i)
+        score, i = best
+        picked.append(i)
+        remaining.remove(i)
+        out_rows.append((pick, int(vid[i]), int(rel[i]), score))
+    return pa.table({
+        "pick": pa.array([r[0] for r in out_rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in out_rows], pa.int64()),
+        "rel_bp": pa.array([r[2] for r in out_rows], pa.int64()),
+        "score_bp": pa.array([r[3] for r in out_rows], pa.int64())})
+
+
+def _mmr_sql() -> str:
+    head = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding,
+                CAST(round(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) * 10000) AS BIGINT)
+                    AS rel_bp
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+         LIMIT 20),
+sim AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT)
+                   AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+s1 AS (SELECT vec_id, rel_bp, 7 * rel_bp AS score_bp, 1 AS pick
+       FROM cand ORDER BY score_bp DESC, vec_id LIMIT 1),
+p1 AS (SELECT vec_id FROM s1)"""
+    step = """,
+s{i} AS (SELECT c.vec_id, c.rel_bp,
+               7 * c.rel_bp - 3 * (SELECT MAX(s.s) FROM sim s
+                                   WHERE s.va = c.vec_id
+                                     AND s.vb IN (SELECT vec_id
+                                                  FROM p{prev}))
+                   AS score_bp, {i} AS pick
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM p{prev})
+        ORDER BY score_bp DESC, c.vec_id LIMIT 1),
+p{i} AS (SELECT vec_id FROM p{prev}
+         UNION ALL SELECT vec_id FROM s{i})"""
+    tail = """
+SELECT pick, vec_id, rel_bp, score_bp
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      UNION ALL SELECT * FROM s5)
+ORDER BY pick
+"""
+    return head + "".join(step.format(i=i, prev=i - 1)
+                          for i in range(2, 6)) + tail
+
+
+_EMB_MMR_SQL = _mmr_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19486,6 +19602,7 @@ def queries():
         "docs_char_entropy": docs_char_entropy,
         "events_hour_anova": events_hour_anova,
         "events_welch_ttest": events_welch_ttest,
+        "emb_mmr_select": emb_mmr_select,
         "events_levene_bf": events_levene_bf,
         "orders_mann_kendall": orders_mann_kendall,
         "docs_wordcount_auc": docs_wordcount_auc,
@@ -19922,6 +20039,7 @@ def oracle_sql():
         "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
         "events_hour_anova": _EVENTS_ANOVA_SQL,
         "events_welch_ttest": _EVENTS_WELCH_SQL,
+        "emb_mmr_select": _EMB_MMR_SQL,
         "events_levene_bf": _EVENTS_LEVENE_SQL,
         "orders_mann_kendall": _ORDERS_MK_SQL,
         "docs_wordcount_auc": _DOCS_AUC_SQL,
