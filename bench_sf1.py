@@ -76,6 +76,40 @@ if len(sys.argv) > 3 and sys.argv[3] == "distributed":
         "wall_s": round(t5 - t4, 3), "driver_threshold": 0,
         "nodes": d_nodes, "edges": d_edges,
         "parity_with_driver_uf": (d_nodes, d_edges) == (n_nodes, n_edges)}
+    # r4 VERDICT #5: dedup-suite evidence at sf1 — exact + MinHash+LSH
+    # over a 4M-doc corpus (the stripped page texts), walls + peak
+    # driver RSS (proof nothing corpus-sized lands on the driver)
+    import resource
+    import pyarrow as pa
+    from information_extraction_system_ray.functions.dedup import (
+        exact_dedup, minhash_lsh_duplicates)
+    from information_extraction_system_ray.functions.hashing import \
+        stable_hash64
+    from information_extraction_system_ray.stages.strip import extract_text
+
+    def as_docs(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        ids = _np.fromiter((stable_hash64(u) for u in
+                            t["url"].to_pylist()), _np.int64, len(t))
+        return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
+
+    docs = (extract_text(synth_pages(N_PAGES, n_entities=N_ENT),
+                         num_parts=256, with_sha=False)
+            .map_batches(as_docs, batch_format="pyarrow").materialize())
+    t6 = time.time()
+    n_exact = exact_dedup(docs).count()
+    t7 = time.time()
+    n_near = minhash_lsh_duplicates(docs).count()
+    t8 = time.time()
+    out["dedup_sf1"] = {
+        "n_docs": docs.count(),
+        "docs_materialize_s": round(t6 - t5, 3),
+        "exact_dedup_survivors": n_exact,
+        "exact_dedup_s": round(t7 - t6, 3),
+        "minhash_lsh_dup_rows": n_near,
+        "minhash_lsh_s": round(t8 - t7, 3),
+        "driver_peak_rss_mb": resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss // 1024}
 ray.shutdown()
 print("SF1RESULT " + json.dumps(out))
 """
