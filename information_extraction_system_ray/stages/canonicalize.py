@@ -128,19 +128,34 @@ def cluster_labels(edges: ray.data.Dataset, *,
     attaches cluster ids with :func:`attach_labels` instead of a broadcast
     dict (a KG at 10^12 pages can hold 10^9+ entities).
 
-    ``edges`` may contain duplicate rows (pass distinct=False): the driver
-    union-find absorbs them for free, so the flagship feeds PARTIAL-deduped
-    edges straight in and skips the global-distinct shuffle entirely on the
-    driver path; the distributed path inserts it (label-prop cost scales
-    with edge rows, so there it pays for itself)."""
+    ``edges`` may contain duplicate rows (pass distinct=False). The path
+    chooser compares the DISTINCT pair count against the threshold — CC
+    complexity is a function of distinct edges, not raw mention volume
+    (r5 fix: at sf1 the corpus-proportional mention stream is ~3.6M rows
+    collapsing to ~5k distinct pairs; choosing on raw rows sent the
+    flagship to 52 s of label propagation where the global-distinct
+    shuffle + driver union-find takes ~3 s. At true web scale the
+    distinct pair set itself grows past the threshold and the
+    distributed path still engages — the criterion is now the right
+    quantity). Small raw inputs skip even the distinct shuffle: the
+    union-find absorbs duplicates for free."""
     edges = edges.materialize()  # count() + downstream reuse: execute ONCE
     n = edges.count()
     if n <= driver_threshold:
+        # raw volume already driver-sized: the union-find absorbs
+        # duplicates for free, so only a narrow per-block dedup runs
         if not distinct and n > 100_000:
             edges = second_level_dedup(edges)
         return connected_components_driver(edges)
     if not distinct:
-        edges = distinct_edges(edges)
+        # global distinct (skinny 2-column shuffle) collapses the
+        # duplicate-heavy mention stream to the real edge set, then the
+        # path RE-chooses on the count that CC complexity actually
+        # depends on
+        edges = distinct_edges(edges).materialize()
+        n = edges.count()
+        if n <= driver_threshold:
+            return connected_components_driver(edges)
     labels = connected_components_distributed(
         edges, num_partitions=num_partitions)
     # drop surface nodes — only entity→cluster rows flow downstream
