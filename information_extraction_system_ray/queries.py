@@ -19396,6 +19396,243 @@ ORDER BY pick
 _EMB_MMR_SQL = _mmr_sql()
 
 
+def kg_wl_fingerprint(sf_dir: str):
+    """KG21 — 2-round Weisfeiler–Lehman refinement over the flagship KG
+    (Weisfeiler & Leman 1968; Shervashidze 2011 — the graph-isomorphism
+    / GNN-expressivity fingerprint): label₀(v) = "out/in" degree pair;
+    label_{i+1}(v) = md5-hex8 of label_i(v) plus the SORTED multisets of
+    (pred, neighbor-label) over out- and in-edges. Returns the top-20
+    (wl2_label, n_nodes) histogram — the structural signature two KG
+    snapshots can be diffed by. Deterministic by construction (sorted
+    multisets, fixed hash). Rows-only; golden = pure-pandas recompute
+    (tests/test_flagship.py).
+
+    Scale shape: 2 rounds of (edges ⋈ labels → per-node sorted fold) via
+    hash-bucketed map_groups (functions/bucketed.py) — the label table
+    shuffles by node, never the corpus."""
+    import hashlib as _hl
+
+    from .functions.bucketed import bucketed_groups
+
+    edges = _kg_run(sf_dir)["edges"] \
+        .map_batches(lambda t: t.select(["subj_id", "pred", "obj_id"]),
+                     batch_format="pyarrow").materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"node": t["subj_id"], "pred": t["pred"],
+                      "nbr": t["obj_id"],
+                      "dir": pa.array(["o"] * len(t), pa.string())}),
+            pa.table({"node": t["obj_id"], "pred": t["pred"],
+                      "nbr": t["subj_id"],
+                      "dir": pa.array(["i"] * len(t), pa.string())})])
+
+    adj = edges.map_batches(endpoints, batch_format="pyarrow") \
+        .materialize()
+
+    deg_schema = pa.schema([("node", pa.string()), ("lbl", pa.string())])
+
+    def deg_label(g: pd.DataFrame) -> pa.Table:
+        pv = g.pivot_table(index="node", columns="dir", values="nbr",
+                           aggfunc="count", fill_value=0)
+        out_c = pv["o"] if "o" in pv.columns else 0
+        in_c = pv["i"] if "i" in pv.columns else 0
+        d = pd.DataFrame({"node": pv.index,
+                          "lbl": (pd.Series(out_c, index=pv.index)
+                                  .astype(int).astype(str)
+                                  + "/" +
+                                  pd.Series(in_c, index=pv.index)
+                                  .astype(int).astype(str))})
+        return pa.Table.from_pandas(d, preserve_index=False) \
+            .cast(deg_schema)
+
+    labels = bucketed_groups(adj, ["node"], deg_label,
+                             out_schema=deg_schema).materialize()
+
+    for _round in range(2):
+        lbl_ref = ray.put({r["node"]: r["lbl"]
+                           for r in labels.take_all()})
+
+        def refine(g: pd.DataFrame, _ref=lbl_ref) -> pa.Table:
+            m = ray.get(_ref)
+            rows_n, rows_l = [], []
+            for node, grp in g.groupby("node", sort=False):
+                parts = sorted(
+                    f"{d}:{p}:{m[v]}" for d, p, v in
+                    zip(grp["dir"], grp["pred"], grp["nbr"]))
+                sig = m[node] + "|" + ",".join(parts)
+                rows_n.append(node)
+                rows_l.append(_hl.md5(sig.encode()).hexdigest()[:8])
+            return pa.table({"node": pa.array(rows_n, pa.string()),
+                             "lbl": pa.array(rows_l, pa.string())})
+
+        labels = bucketed_groups(adj, ["node"], refine,
+                                 out_schema=deg_schema).materialize()
+
+    hist = (labels.groupby("lbl").aggregate(Count(alias_name="n_nodes"))
+            .rename_columns({"lbl": "wl2_label"}))
+    return (hist.sort(["n_nodes", "wl2_label"], descending=[True, False])
+            .limit(20))
+
+
+def docs_bigram_cond_entropy(sf_dir: str):
+    """T32 — conditional bigram entropy H(W₂|W₁) of the corpus in nats
+    (the predictability / redundancy measure next to
+    [[docs_char_entropy]] and [[docs_collocations]]): H = −Σ_{ab}
+    (n_ab/N) ln(n_ab/n_a•) over adjacent-word bigrams, n_a• = Σ_b n_ab.
+    Counts are exact ints; the final fold follows the char-entropy
+    precedent — the Ray side sums in sorted (w1, w2) order, the oracle
+    in SQL SUM order, and the 4-dp rounding absorbs the ~1e-12 relative
+    float divergence over the vocabulary-bounded term count.
+
+    Scale shape: per-batch Counter combiners; only (w1, w2, n) rows
+    shuffle; the vocab-bounded bigram table folds on the driver."""
+    import math as _math
+
+    from collections import Counter
+
+    from .functions.terms import _TERM_RE
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      rows_per_block=2000)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t["text"].to_pylist():
+            toks = _TERM_RE.findall((txt or "").lower())
+            c.update(zip(toks, toks[1:]))
+        ks = list(c)
+        return pa.table({
+            "w1": pa.array([k[0] for k in ks], pa.string()),
+            "w2": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    rows = (docs.map_batches(bigram_partial, batch_format="pyarrow")
+            .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    rows.sort(key=lambda r: (r["w1"], r["w2"]))
+    first = Counter()
+    for r in rows:
+        first[r["w1"]] += int(r["n"])
+    total = sum(first.values())
+    h = 0.0
+    for r in rows:                      # sorted (w1, w2) order
+        nab = int(r["n"])
+        h -= nab / total * _math.log(nab / first[r["w1"]])
+    return pa.table({
+        "n_bigrams": pa.array([total], pa.int64()),
+        "n_bigram_types": pa.array([len(rows)], pa.int64()),
+        "cond_entropy_nats": pa.array([round(h, 4)], pa.float64())})
+
+
+_DOCS_CONDH_SQL = """
+WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0)))
+               AS u(i)),
+b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bg GROUP BY 1, 2),
+f AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM b GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS nty
+        FROM b)
+SELECT tot.nt AS n_bigrams, tot.nty AS n_bigram_types,
+       ROUND(-SUM((CAST(b.n_ab AS DOUBLE) / tot.nt)
+                  * ln(CAST(b.n_ab AS DOUBLE) / f.n_a)), 4)
+           AS cond_entropy_nats
+FROM b JOIN f USING (w1), tot GROUP BY tot.nt, tot.nty
+"""
+
+
+def lineitem_simpson_flip(sf_dir: str):
+    """G76 — Simpson's-paradox audit of the (quantity, price)
+    association (the aggregation-bias gate next to
+    [[lineitem_cov_matrix]]): the EXACT integer covariance numerator
+    covN = n·Σxy − Σx·Σy overall and per l_returnflag; a group whose
+    sign opposes the pooled sign is a paradox flip. All HUGEINT, no
+    float anywhere.
+
+    Scale shape: per-batch (flag, n, Σx, Σy, Σxy) combiners; a
+    flag-bounded groupby; scalars out."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        c = _cents(t["l_extendedprice"])
+        return (pa.table({"flag": t["l_returnflag"],
+                          "one": pa.array(np.ones(len(t), np.int64)),
+                          "sx": q, "sy": c,
+                          "sxy": pc.multiply(q, c)})
+                .group_by("flag")
+                .aggregate([("one", "sum"), ("sx", "sum"),
+                            ("sy", "sum"), ("sxy", "sum")])
+                .rename_columns(["flag", "n", "sx", "sy", "sxy"]))
+
+    rows = (li.map_batches(moments, batch_format="pyarrow")
+            .groupby("flag")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxy", alias_name="sxy")).take_all())
+    rows.sort(key=lambda r: r["flag"])
+    n_all = sum(int(r["n"]) for r in rows)
+    sx_all = sum(int(r["sx"]) for r in rows)
+    sy_all = sum(int(r["sy"]) for r in rows)
+    sxy_all = sum(int(r["sxy"]) for r in rows)
+    cov_all = n_all * sxy_all - sx_all * sy_all
+    sign_all = (cov_all > 0) - (cov_all < 0)
+    out = {"flag": [], "n": [], "sign_group": [], "sign_overall": [],
+           "flipped": []}
+    for r in rows:
+        covg = int(r["n"]) * int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+        sg = (covg > 0) - (covg < 0)
+        out["flag"].append(r["flag"])
+        out["n"].append(int(r["n"]))
+        out["sign_group"].append(sg)
+        out["sign_overall"].append(sign_all)
+        out["flipped"].append(int(sg * sign_all < 0))
+    return pa.table({
+        "flag": pa.array(out["flag"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sign_group": pa.array(out["sign_group"], pa.int64()),
+        "sign_overall": pa.array(out["sign_overall"], pa.int64()),
+        "flipped": pa.array(out["flipped"], pa.int64())})
+
+
+_LINEITEM_SIMPSON_SQL = """
+WITH m AS (SELECT l_returnflag AS flag,
+                  CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                      AS sx,
+                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS HUGEINT) AS sy,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(ROUND(l_extendedprice * 100)
+                                  AS BIGINT)) AS HUGEINT) AS sxy
+           FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxy) AS sxy
+        FROM m),
+sa AS (SELECT CASE WHEN tot.n * tot.sxy - tot.sx * tot.sy > 0 THEN 1
+                   WHEN tot.n * tot.sxy - tot.sx * tot.sy < 0 THEN -1
+                   ELSE 0 END AS s
+       FROM tot)
+SELECT m.flag, CAST(m.n AS BIGINT) AS n,
+       CAST(CASE WHEN m.n * m.sxy - m.sx * m.sy > 0 THEN 1
+                 WHEN m.n * m.sxy - m.sx * m.sy < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS sign_group,
+       CAST(sa.s AS BIGINT) AS sign_overall,
+       CAST(CASE WHEN (CASE WHEN m.n * m.sxy - m.sx * m.sy > 0 THEN 1
+                            WHEN m.n * m.sxy - m.sx * m.sy < 0 THEN -1
+                            ELSE 0 END) * sa.s < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS flipped
+FROM m, sa ORDER BY m.flag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19602,6 +19839,9 @@ def queries():
         "docs_char_entropy": docs_char_entropy,
         "events_hour_anova": events_hour_anova,
         "events_welch_ttest": events_welch_ttest,
+        "kg_wl_fingerprint": kg_wl_fingerprint,
+        "docs_bigram_cond_entropy": docs_bigram_cond_entropy,
+        "lineitem_simpson_flip": lineitem_simpson_flip,
         "emb_mmr_select": emb_mmr_select,
         "events_levene_bf": events_levene_bf,
         "orders_mann_kendall": orders_mann_kendall,
@@ -20039,6 +20279,8 @@ def oracle_sql():
         "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
         "events_hour_anova": _EVENTS_ANOVA_SQL,
         "events_welch_ttest": _EVENTS_WELCH_SQL,
+        "docs_bigram_cond_entropy": _DOCS_CONDH_SQL,
+        "lineitem_simpson_flip": _LINEITEM_SIMPSON_SQL,
         "emb_mmr_select": _EMB_MMR_SQL,
         "events_levene_bf": _EVENTS_LEVENE_SQL,
         "orders_mann_kendall": _ORDERS_MK_SQL,

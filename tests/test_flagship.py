@@ -162,6 +162,42 @@ def test_kg_predicate_stats_matches_pandas_recomputation(ray_session):
                           "n_subjects": "int64", "n_objects": "int64"}))
 
 
+def test_kg_wl_fingerprint_matches_pandas(ray_session):
+    """kg_wl_fingerprint equals an independent single-process WL
+    recomputation (degree-pair seed, 2 refinement rounds over sorted
+    (dir, pred, neighbor-label) multisets, md5-hex8) over the same
+    byte-golden edge table."""
+    import hashlib
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["kg_wl_fingerprint"](sf).to_pandas()
+
+    edges = e.queries()["kg_graph"](sf).to_pandas()
+    adj: dict = {}
+    for r in edges.itertuples():
+        adj.setdefault(r.subj_id, []).append(("o", r.pred, r.obj_id))
+        adj.setdefault(r.obj_id, []).append(("i", r.pred, r.subj_id))
+    lbl = {}
+    for node, nbrs in adj.items():
+        out_c = sum(1 for d, _, _ in nbrs if d == "o")
+        in_c = sum(1 for d, _, _ in nbrs if d == "i")
+        lbl[node] = f"{out_c}/{in_c}"
+    for _ in range(2):
+        nxt = {}
+        for node, nbrs in adj.items():
+            parts = sorted(f"{d}:{p}:{lbl[v]}" for d, p, v in nbrs)
+            sig = lbl[node] + "|" + ",".join(parts)
+            nxt[node] = hashlib.md5(sig.encode()).hexdigest()[:8]
+        lbl = nxt
+    from collections import Counter
+    hist = Counter(lbl.values())
+    want = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["wl2_label"], got["n_nodes"])) == \
+        [(k, v) for k, v in want]
+
+
 def test_kg_ntriples_format_and_cover(ray_session):
     """kg_ntriples lines are exactly '<urn:g:S> <urn:g:p:P> <urn:g:O> .'
     for the lexicographically-first 50 edges of the same edge table."""
