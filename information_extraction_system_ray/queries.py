@@ -19633,6 +19633,85 @@ FROM m, sa ORDER BY m.flag
 """
 
 
+def part_abc_classes(sf_dir: str):
+    """W24 — ABC / Pareto inventory classification of parts by revenue
+    (the 80/95 cumulative-share cut every planner runs; the class-label
+    sibling of the Lorenz/Pareto concentration audits): per-part exact
+    cents revenue, globally ranked by (revenue desc, part), class A
+    while 5·cum ≤ 4·total, B while 20·cum ≤ 19·total, else C — integer
+    cross-multiplication, no float share anywhere.
+
+    Scale shape: per-batch (part, Σcents) combiner → hash-bucketed
+    vectorized sum (functions/bucketed.py — the part key is
+    near-unique) → `global_running_sum`'s two-pass range-partitioned
+    cumulative (driver holds only per-partition offsets) → 3-row
+    class groupby."""
+    from .functions.bucketed import bucketed_groups
+    from .functions.rank import global_running_sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"p": t["l_partkey"],
+                          "rev": _cents(t["l_extendedprice"])})
+                .group_by("p").aggregate([("rev", "sum")])
+                .rename_columns(["p", "rev"]))
+
+    rev_schema = pa.schema([("p", pa.int64()), ("rev", pa.int64())])
+
+    def sum_parts(g: pd.DataFrame) -> pa.Table:
+        vc = g.groupby("p", sort=False)["rev"].sum()
+        return pa.table({
+            "p": pa.array(vc.index.to_numpy(np.int64)),
+            "rev": pa.array(vc.to_numpy(np.int64))})
+
+    rev = bucketed_groups(li.map_batches(partial,
+                                         batch_format="pyarrow"),
+                          ["p"], sum_parts,
+                          out_schema=rev_schema).materialize()
+    total = int(rev.sum("rev") or 0)
+    cum = global_running_sum(rev, "rev", order_by=["rev", "p"],
+                             descending=[True, False])
+
+    def classify(t: pa.Table) -> pa.Table:
+        c = t["cum"].to_numpy(zero_copy_only=False)
+        cls = np.where(5 * c <= 4 * total, "A",
+                       np.where(20 * c <= 19 * total, "B", "C"))
+        return pa.table({"cls": pa.array(cls, pa.string()),
+                         "one": pa.array(np.ones(len(t), np.int64)),
+                         "rev": t["rev"]}) \
+            .group_by("cls").aggregate([("one", "sum"), ("rev", "sum")]) \
+            .rename_columns(["cls", "n_parts", "revenue_cents"])
+
+    return (cum.map_batches(classify, batch_format="pyarrow")
+            .groupby("cls")
+            .aggregate(Sum("n_parts", alias_name="n_parts"),
+                       Sum("revenue_cents", alias_name="revenue_cents"))
+            .sort("cls"))
+
+
+_PART_ABC_SQL = """
+WITH r AS (SELECT l_partkey AS p,
+                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(rev) AS HUGEINT) AS tot FROM r),
+c AS (SELECT p, rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, p) AS HUGEINT)
+                 AS cum
+      FROM r),
+k AS (SELECT CASE WHEN 5 * c.cum <= 4 * t.tot THEN 'A'
+                  WHEN 20 * c.cum <= 19 * t.tot THEN 'B'
+                  ELSE 'C' END AS cls,
+             rev
+      FROM c, t)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19839,6 +19918,7 @@ def queries():
         "docs_char_entropy": docs_char_entropy,
         "events_hour_anova": events_hour_anova,
         "events_welch_ttest": events_welch_ttest,
+        "part_abc_classes": part_abc_classes,
         "kg_wl_fingerprint": kg_wl_fingerprint,
         "docs_bigram_cond_entropy": docs_bigram_cond_entropy,
         "lineitem_simpson_flip": lineitem_simpson_flip,
@@ -20279,6 +20359,7 @@ def oracle_sql():
         "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
         "events_hour_anova": _EVENTS_ANOVA_SQL,
         "events_welch_ttest": _EVENTS_WELCH_SQL,
+        "part_abc_classes": _PART_ABC_SQL,
         "docs_bigram_cond_entropy": _DOCS_CONDH_SQL,
         "lineitem_simpson_flip": _LINEITEM_SIMPSON_SQL,
         "emb_mmr_select": _EMB_MMR_SQL,
