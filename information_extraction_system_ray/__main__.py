@@ -107,7 +107,8 @@ def cmd_update(args) -> int:
                           concurrency=(max(2, ncpu * 3 // 4),
                                        max(2, ncpu)),
                           batch_size=args.batch_size,
-                          input_fingerprint=fp)
+                          input_fingerprint=fp,
+                          n_entities=getattr(args, "entities", None))
     print(json.dumps({"cmd": "update", "out_dir": res["out_dir"],
                       "base_part": res["base_part"],
                       "metrics": res["metrics"],
@@ -386,6 +387,9 @@ def main(argv=None) -> int:
                      help="NEW pages Parquet path/dir (the delta)")
     upd.add_argument("--out", required=True,
                      help="existing checkpoint dir from `extract --out`")
+    upd.add_argument("--entities", type=int, default=None,
+                     help="entity-universe size; MUST match the value "
+                          "the checkpoint was extracted with")
     upd.add_argument("--num-parts-new", type=int, default=16,
                      help="partitions for the delta namespace")
     upd.add_argument("--batch-size", type=int, default=128)

@@ -302,7 +302,8 @@ def update_flagship(new_pages: ray.data.Dataset, out_dir: str, *,
                     langs=DEFAULT_LANGS, num_parts_new: int = 16,
                     concurrency=(1, 8), batch_size: int = 256,
                     driver_threshold: int = 2_000_000,
-                    input_fingerprint: str = "") -> dict:
+                    input_fingerprint: str = "",
+                    n_entities: int | None = None) -> dict:
     """Incremental KG update (round 3): append a NEW batch of pages to an
     existing checkpointed flagship output, re-running the per-page stages
     for the delta only.
@@ -407,7 +408,8 @@ def update_flagship(new_pages: ray.data.Dataset, out_dir: str, *,
             ext_dir, columns=["url", "part_id", "lang", "text"]))
         src = _filter_parts(_filter_langs(ext_ds, langs), set(pend))
         ann = src.map_batches(
-            FusedAnnotator, fn_constructor_args=(model_ref,),
+            FusedAnnotator, fn_constructor_args=(model_ref, None,
+                                                 n_entities),
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency, num_cpus=1.0)
         ann.write_parquet(ann_dir, partition_cols=["part_id"])
@@ -425,7 +427,8 @@ def update_flagship(new_pages: ray.data.Dataset, out_dir: str, *,
                 shutil.rmtree(d)
         t0 = time.time()
         annotated = _normalize_part_id(ray.data.read_parquet(ann_dir))
-        g = build_graph(annotated, driver_threshold=driver_threshold)
+        g = build_graph(annotated, driver_threshold=driver_threshold,
+                        n_entities=n_entities)
         g["nodes"].write_parquet(nodes_dir)
         g["edges"].write_parquet(edges_dir)
         import pyarrow.parquet as pq
