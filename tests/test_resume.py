@@ -178,3 +178,57 @@ def test_incremental_update_equals_batch(ray_session, tmp_path):
                       ("edges", ["subj_id", "pred", "obj_id"])):
         pd.testing.assert_frame_equal(_load(batch_dir, sub, keys),
                                       _load(inc_dir, sub, keys))
+
+
+def test_incremental_update_equals_batch_scaled_universe(ray_session,
+                                                         tmp_path):
+    """r5: the A∪B == run(A)+update(B) contract holds at a SCALED entity
+    universe — the delta's annotate stage must rebuild the same
+    gazetteer/linker from the n_entities scalar as the original run
+    (the bug class the update-CLI --entities threading prevents)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from information_extraction_system_ray.pipelines.flagship import (
+        run_flagship, update_flagship)
+    from information_extraction_system_ray.sources.pages import synth_pages
+
+    N, CUT, ENT = 240, 160, 250
+
+    def _rng(lo, hi):
+        def f(t: pa.Table) -> pa.Table:
+            idx = pc.cast(pc.struct_field(
+                pc.extract_regex(t["url"], r"p(?P<i>\d+)$"), "i"),
+                pa.int64())
+            return t.filter(pc.and_(pc.greater_equal(idx, lo),
+                                    pc.less(idx, hi)))
+        return synth_pages(N, n_entities=ENT).map_batches(
+            f, batch_format="pyarrow")
+
+    batch_dir, inc_dir = str(tmp_path / "b"), str(tmp_path / "i")
+    run_flagship(synth_pages(N, n_entities=ENT), batch_dir, num_parts=4,
+                 input_fingerprint="all", n_entities=ENT)
+    run_flagship(_rng(0, CUT), inc_dir, num_parts=4,
+                 input_fingerprint="partA", n_entities=ENT)
+    update_flagship(_rng(CUT, N), inc_dir, num_parts_new=2,
+                    input_fingerprint="partB", n_entities=ENT)
+
+    def _load(out, sub, keys):
+        df = rd.read_parquet(f"{out}/{sub}").to_pandas() \
+            .sort_values(keys).reset_index(drop=True)
+        for c in df.columns:
+            if df[c].dtype == object and len(df) and \
+                    hasattr(df[c].iloc[0], "__len__") and \
+                    not isinstance(df[c].iloc[0], (str, bytes)):
+                df[c] = df[c].map(tuple)
+        return df[sorted(df.columns)]
+
+    for sub, keys in (("nodes", ["entity_id"]),
+                      ("edges", ["subj_id", "pred", "obj_id"])):
+        pd.testing.assert_frame_equal(_load(batch_dir, sub, keys),
+                                      _load(inc_dir, sub, keys))
+    # the scaled universe actually shows up in the output
+    nodes = _load(batch_dir, "nodes", ["entity_id"])
+    assert len(nodes) > 120, len(nodes)
