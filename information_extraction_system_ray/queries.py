@@ -19712,6 +19712,82 @@ FROM k GROUP BY 1 ORDER BY 1
 """
 
 
+_POIS1_CUM = [385749, 771499, 964373, 1028665, 1044738, 1047952,
+              1048488, 1048565, 1048574]   # floor(CDF_Poisson(1)·2^20)
+
+
+def orders_poisson_bootstrap(sf_dir: str):
+    """G77 — Poisson bootstrap of total order revenue (Chamandy et al.
+    2012, the resampling scheme that actually works at scale: classic
+    bootstrap needs random access to n rows per replicate; the Poisson
+    approximation gives every row an independent Poisson(1) weight per
+    replicate, so B=32 replicates are ONE streaming pass with per-batch
+    partial sums — no shuffle of the data, no driver materialization).
+    Weights are EXACT-integer deterministic: u = last-5-hex md5 of
+    (o_orderkey·64 + b) ∈ [0, 2²⁰), w = inverse-CDF via the fixed
+    integer thresholds ``_POIS1_CUM`` — both engines share the
+    constants, so every replicate's (n_rows, sum_cents) matches
+    bit-for-bit. Output: 32 rows (replicate, n_rows, sum_cents).
+
+    Scale shape: one pass, 32·#blocks partial rows, a 32-row groupby."""
+    import hashlib as _hl
+
+    B = 32
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        cum = np.array(_POIS1_CUM, np.int64)
+        reps, ns, sums = [], [], []
+        for b in range(B):
+            u = np.fromiter(
+                (int(_hl.md5(str(int(k) * 64 + b).encode())
+                     .hexdigest()[-5:], 16) for k in keys),
+                np.int64, len(keys))
+            w = np.searchsorted(cum, u, side="right")   # Poisson(1)
+            reps.append(b)
+            ns.append(int(w.sum()))
+            sums.append(int((w * cents).sum()))
+        return pa.table({"replicate": pa.array(reps, pa.int64()),
+                         "n_part": pa.array(ns, pa.int64()),
+                         "s_part": pa.array(sums, pa.int64())})
+
+    return (orders.map_batches(partial, batch_format="pyarrow",
+                               batch_size=8192)
+            .groupby("replicate")
+            .aggregate(Sum("n_part", alias_name="n_rows"),
+                       Sum("s_part", alias_name="sum_cents"))
+            .sort("replicate"))
+
+
+_ORDERS_BOOTSTRAP_SQL = """
+WITH b AS (SELECT UNNEST(generate_series(0, 31)) AS replicate),
+u AS (SELECT b.replicate,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(o.o_orderkey * 64
+                                              + b.replicate AS VARCHAR)),
+                                     28, 5)) AS BIGINT) AS h
+      FROM orders o, b),
+w AS (SELECT replicate, cents,
+             CASE WHEN h < 385749 THEN 0
+                  WHEN h < 771499 THEN 1
+                  WHEN h < 964373 THEN 2
+                  WHEN h < 1028665 THEN 3
+                  WHEN h < 1044738 THEN 4
+                  WHEN h < 1047952 THEN 5
+                  WHEN h < 1048488 THEN 6
+                  WHEN h < 1048565 THEN 7
+                  WHEN h < 1048574 THEN 8
+                  ELSE 9 END AS wt
+      FROM u)
+SELECT replicate, CAST(SUM(wt) AS BIGINT) AS n_rows,
+       CAST(SUM(wt * cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19918,6 +19994,7 @@ def queries():
         "docs_char_entropy": docs_char_entropy,
         "events_hour_anova": events_hour_anova,
         "events_welch_ttest": events_welch_ttest,
+        "orders_poisson_bootstrap": orders_poisson_bootstrap,
         "part_abc_classes": part_abc_classes,
         "kg_wl_fingerprint": kg_wl_fingerprint,
         "docs_bigram_cond_entropy": docs_bigram_cond_entropy,
@@ -20359,6 +20436,7 @@ def oracle_sql():
         "docs_char_entropy": _DOCS_CHAR_ENTROPY_SQL,
         "events_hour_anova": _EVENTS_ANOVA_SQL,
         "events_welch_ttest": _EVENTS_WELCH_SQL,
+        "orders_poisson_bootstrap": _ORDERS_BOOTSTRAP_SQL,
         "part_abc_classes": _PART_ABC_SQL,
         "docs_bigram_cond_entropy": _DOCS_CONDH_SQL,
         "lineitem_simpson_flip": _LINEITEM_SIMPSON_SQL,
